@@ -1,0 +1,89 @@
+"""Two-dialect SQL helpers.
+
+Each named query is declared once as a dialect-parameterized SQL template;
+``spark`` renders the Spark SQL run by the engine, ``duck`` renders the
+DuckDB oracle the driver verifies against. Fragments that must be
+bit-identical across engines live in :mod:`..functions`.
+
+Spark-side table names are prefixed ``slsp_`` so registering them never
+clobbers views in an externally-owned SparkSession; the DuckDB oracle uses
+the driver's pre-registered plain table names.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+
+
+def tbl(name: str, d: str) -> str:
+    return f"slsp_{name}" if d == "spark" else name
+
+
+def views(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    out = {}
+    for n in names:
+        df = load_table(spark, sf_dir, n)
+        df.createOrReplaceTempView(f"slsp_{n}")
+        out[n] = df
+    return out
+
+
+def s(expr: str, d: str) -> str:
+    """Cast to string (Spark STRING / DuckDB VARCHAR)."""
+    return f"CAST({expr} AS {'STRING' if d == 'spark' else 'VARCHAR'})"
+
+
+def ts_str(expr: str, d: str) -> str:
+    """Format a timestamp to 'yyyy-MM-dd HH:mm:ss' (second precision)."""
+    if d == "spark":
+        return f"date_format({expr}, 'yyyy-MM-dd HH:mm:ss')"
+    return f"strftime({expr}, '%Y-%m-%d %H:%M:%S')"
+
+
+def ts_str_us(expr: str, d: str) -> str:
+    """Format a timestamp with microsecond precision."""
+    if d == "spark":
+        return f"date_format({expr}, 'yyyy-MM-dd HH:mm:ss.SSSSSS')"
+    return f"strftime({expr}, '%Y-%m-%d %H:%M:%S.%f')"
+
+
+def dec_sum(expr: str, scale: int = 6) -> str:
+    """Order-independent (exact decimal) sum of a double expression, emitted
+    as DOUBLE. Identical text parses in both engines."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,{scale}))) AS DOUBLE)"
+
+
+def dec_avg(expr: str, scale: int = 6) -> str:
+    """Exact-sum average emitted as DOUBLE (same division in both engines)."""
+    return f"({dec_sum(expr, scale)} / COUNT(*))"
+
+
+def intdiv(a: str, b: str, d: str) -> str:
+    return f"({a} DIV {b})" if d == "spark" else f"({a} // {b})"
+
+
+def b64_decode(expr: str, d: str) -> str:
+    """base64 string -> original utf8 string."""
+    if d == "spark":
+        return f"CAST(unbase64({expr}) AS STRING)"
+    return f"decode(from_base64({expr}))"
+
+
+def b64_encode(expr: str, d: str) -> str:
+    """utf8 string -> base64 string."""
+    if d == "spark":
+        return f"base64(CAST({expr} AS BINARY))"
+    return f"base64(CAST({expr} AS BLOB))"
+
+
+def json_get(expr: str, path_key: str, d: str) -> str:
+    """Extract a top-level JSON field as string (NULL when absent)."""
+    if d == "spark":
+        return f"get_json_object({expr}, '$.{path_key}')"
+    return f"json_extract_string({expr}, '$.{path_key}')"
+
+
+def arr_len(expr: str, d: str) -> str:
+    return f"size({expr})" if d == "spark" else f"len({expr})"

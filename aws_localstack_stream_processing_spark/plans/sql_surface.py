@@ -1,0 +1,267 @@
+"""Engine SQL surface beyond the reference's own operators: window functions,
+rollup, pivot, sessionization, distributed keygen (mapInPandas) and the
+vectorized signing UDF path (pandas_udf) — SURVEY §2.7, §7 Phase 1/3.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dialect import dec_sum, intdiv, s, tbl, ts_str, views
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Seed keygen — S9/U3 (scripts/seed-keys.ts:32-90). Spark side is a real
+# distributed mapInPandas generator; the fake key derivation is deterministic
+# sha256 so the DuckDB oracle can replicate it in SQL.
+# ---------------------------------------------------------------------------
+
+_N_KEYS = 2048
+
+_KEYGEN_ORACLE = f"""
+SELECT key_id,
+       concat('0x', substr(sha256(concat('addr_', CAST(key_id AS VARCHAR))), 1, 40)) AS address,
+       sha256(concat('pub_', CAST(key_id AS VARCHAR))) AS public_key_fp,
+       key_id // 1000 AS key_file
+FROM generate_series(0, {_N_KEYS - 1}) t(key_id)
+"""
+
+
+@query("ref_seed_keygen", oracle=_KEYGEN_ORACLE, tags=("reference", "udf", "source"))
+def ref_seed_keygen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed key-pair generation: range → mapInPandas (UDTF-like,
+    1 row in → 1 keypair out), chunked 1000/file like seed-keys.ts:68-81.
+    Real crypto keygen would swap the sha256 stand-in inside the same
+    plumbing (schema, batching, partitioning are the operator).
+
+    Reference: scripts/seed-keys.ts:16-30 (keygen), 68-81 (chunking).
+    """
+
+    def gen(batches):
+        import hashlib
+
+        for pdf in batches:
+            ids = pdf["id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "key_id": ids,
+                    "address": [
+                        "0x" + hashlib.sha256(f"addr_{i}".encode()).hexdigest()[:40]
+                        for i in ids
+                    ],
+                    "public_key_fp": [
+                        hashlib.sha256(f"pub_{i}".encode()).hexdigest() for i in ids
+                    ],
+                    "key_file": ids // 1000,
+                }
+            )
+
+    return (
+        spark.range(_N_KEYS)
+        .repartition(8)  # distribute keygen across executors
+        .mapInPandas(
+            gen,
+            "key_id bigint, address string, public_key_fp string, key_file bigint",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Signing pipeline — the E2 flagship (signer/index.js:262-334): canonical
+# serialize → content hash → dedup → key assignment → vectorized sign UDF.
+# ---------------------------------------------------------------------------
+
+
+def _sign_tx_sql(d: str) -> str:
+    """Transaction building + hash + dedup + key assignment (shared shape)."""
+    to_addr = (
+        f"concat('0x', substr("
+        f"{'sha2' if d == 'spark' else 'sha256'}(concat('cust_', {s('o_custkey', d)})"
+        f"{', 256' if d == 'spark' else ''}), 1, 40))"
+    )
+    return f"""
+WITH txs AS (
+  SELECT o_orderkey AS nonce,
+         {to_addr} AS to_addr,
+         CAST(round(o_totalprice * 1e9, 0) AS BIGINT) AS value_wei
+  FROM {tbl('orders', d)}
+  UNION ALL
+  SELECT o_orderkey AS nonce,
+         {to_addr} AS to_addr,
+         CAST(round(o_totalprice * 1e9, 0) AS BIGINT) AS value_wei
+  FROM {tbl('orders', d)} WHERE o_orderkey % 7 = 0  -- simulated redelivery
+), hashed AS (
+  SELECT DISTINCT nonce, to_addr, value_wei,
+         {'sha2' if d == 'spark' else 'sha256'}(concat_ws('|', {s('nonce', d)}, to_addr, {s('value_wei', d)}){', 256' if d == 'spark' else ''}) AS tx_hash
+  FROM txs
+)
+SELECT nonce, to_addr, value_wei, tx_hash, nonce % 100 AS key_id FROM hashed
+"""
+
+
+_SIGN_ORACLE = f"""
+WITH assigned AS ({_sign_tx_sql('duck')})
+SELECT tx_hash, key_id, to_addr, value_wei,
+       sha256(concat(tx_hash, '|', sha256(concat('key_', CAST(key_id AS VARCHAR))))) AS signature
+FROM assigned
+"""
+
+
+def _sign_series(tx_hash: pd.Series, key_id: pd.Series) -> pd.Series:
+    """Vectorized signing stand-in (U2): HMAC-ish sha256(tx_hash | privkey).
+    Real ECDSA (ethers.js signTransaction, signer/index.js:292-295) swaps in
+    here — the Arrow-batched plumbing is the operator."""
+    import hashlib
+
+    def _priv(k: int) -> str:
+        return hashlib.sha256(f"key_{k}".encode()).hexdigest()
+
+    return pd.Series(
+        [
+            hashlib.sha256(f"{h}|{_priv(int(k))}".encode()).hexdigest()
+            for h, k in zip(tx_hash, key_id)
+        ]
+    )
+
+
+@query("ref_sign_pipeline", oracle=_SIGN_ORACLE, tags=("reference", "udf", "pipeline"))
+def ref_sign_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 end-to-end batch pipeline: orders → transactions (B3 fixture shape)
+    → sha256 content hash → exactly-once dedup → modulo key assignment →
+    vectorized signing pandas_udf.
+
+    Reference: signer/index.js:262-334; README.md:15-20 invariants.
+    """
+    views(spark, sf_dir, "orders")
+    assigned = spark.sql(_sign_tx_sql("spark"))
+    sign_udf = F.pandas_udf(_sign_series, "string")
+    return assigned.select(
+        "tx_hash",
+        "key_id",
+        "to_addr",
+        "value_wei",
+        sign_udf(F.col("tx_hash"), F.col("key_id")).alias("signature"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (O2 batch analogue needs row_number/lag; SURVEY §7 Phase 1).
+# ---------------------------------------------------------------------------
+
+
+def _window_sql(d: str) -> str:
+    order = "ORDER BY l_shipdate, l_orderkey, l_linenumber"
+    return f"""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       ROW_NUMBER() OVER (PARTITION BY l_suppkey {order}) AS rn,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6)))
+            OVER (PARTITION BY l_suppkey {order}
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+       RANK() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC) AS price_rank,
+       {ts_str('LAG(l_shipdate) OVER (PARTITION BY l_suppkey ' + order + ')', d)} AS prev_ship
+FROM {tbl('lineitem', d)}
+WHERE l_suppkey < 10
+"""
+
+
+@query("sql_window_functions", oracle=_window_sql("duck"), tags=("sql", "window"))
+def sql_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions: row_number, frame-bounded running sum,
+    rank, lag — per-supplier, deterministic total ordering."""
+    views(spark, sf_dir, "lineitem")
+    return spark.sql(_window_sql("spark"))
+
+
+def _rollup_sql(d: str) -> str:
+    return f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       {dec_sum('l_quantity')} AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM {tbl('lineitem', d)}
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+@query("sql_rollup", oracle=_rollup_sql("duck"), tags=("sql", "agg"))
+def sql_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP hierarchy totals (grouping-sets family)."""
+    views(spark, sf_dir, "lineitem")
+    return spark.sql(_rollup_sql("spark"))
+
+
+def _pivot_sql(d: str) -> str:
+    def branch(status: str) -> str:
+        return (
+            f"CAST(SUM(CASE WHEN l_linestatus = '{status}' "
+            f"THEN CAST(l_quantity AS DECIMAL(28,6)) "
+            f"ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)"
+        )
+
+    return f"""
+SELECT l_returnflag,
+       {branch('O')} AS qty_open,
+       {branch('F')} AS qty_filled,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM {tbl('lineitem', d)}
+GROUP BY l_returnflag
+"""
+
+
+@query("sql_pivot", oracle=_pivot_sql("duck"), tags=("sql", "agg"))
+def sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregate) via conditional aggregation — the portable
+    form of ``df.groupBy(...).pivot(...)``."""
+    views(spark, sf_dir, "lineitem")
+    return spark.sql(_pivot_sql("spark"))
+
+
+def _sessionize_sql(d: str) -> str:
+    order = "PARTITION BY user_id ORDER BY ts, event_id"
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN LAG(ts) OVER ({order}) IS NULL
+                   OR ts - LAG(ts) OVER ({order}) > INTERVAL 1 HOUR
+              THEN 1 ELSE 0 END AS new_sess
+  FROM {tbl('events', d)}
+), sess AS (
+  SELECT user_id, event_id, value,
+         SUM(new_sess) OVER ({order}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM seq
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {dec_sum('value')} AS sum_value
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+@query("sql_sessionize", oracle=_sessionize_sql("duck"), tags=("sql", "window", "sessionization"))
+def sql_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap detection + running-sum session ids (the batch
+    analogue of streaming ``session_window``; T6 extension surface)."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_sessionize_sql("spark"))
+
+
+def _distinct_sql(d: str) -> str:
+    return f"""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT {intdiv('event_id', '100', d)}) AS BIGINT) AS n_id_buckets,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM {tbl('events', d)}
+GROUP BY event_type
+"""
+
+
+@query("sql_distinct_agg", oracle=_distinct_sql("duck"), tags=("sql", "agg"))
+def sql_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column DISTINCT aggregation (expand + two-phase agg in Spark)."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_distinct_sql("spark"))

@@ -1,0 +1,43 @@
+"""Every registered query with an oracle must hash-match DuckDB — the same
+comparison the verification driver runs at sf0.01 (here at the test sf)."""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_localstack_stream_processing_spark.plans import all_queries
+
+from .conftest import SF_DIR, normalize
+
+QUERIES = all_queries()
+ORACLE_NAMES = sorted(n for n, q in QUERIES.items() if q.oracle)
+ROWS_ONLY_NAMES = sorted(n for n, q in QUERIES.items() if not q.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_match(name, spark, duck):
+    qd = QUERIES[name]
+    sdf = qd.fn(spark, SF_DIR)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    d_res = duck.execute(qd.oracle)
+    d_cols = [c[0] for c in d_res.description]
+    d_rows = d_res.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), (
+        f"{name}: column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    )
+    sc, sn = normalize(s_rows, s_cols)
+    dc, dn = normalize(d_rows, d_cols)
+    assert len(sn) == len(dn), f"{name}: row count {len(sn)} vs {len(dn)}"
+    mismatches = [(a, b) for a, b in zip(sn, dn) if a != b][:5]
+    assert sn == dn, f"{name}: value mismatch, first diffs: {mismatches}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_runs(name, spark):
+    qd = QUERIES[name]
+    sdf = qd.fn(spark, SF_DIR)
+    assert sdf.count() >= 0
+    assert len(sdf.schema.fields) > 0
