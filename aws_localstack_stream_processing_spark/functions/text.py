@@ -9,7 +9,9 @@ from __future__ import annotations
 
 # BPE-ish tokenizer: letter runs | single digits | single punctuation marks.
 # Simple enough to behave identically under Java regex and DuckDB's RE2.
-TOKEN_REGEX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+# NOTE: no backslash classes — Spark SQL string literals process escapes
+# ('\s' silently becomes 's'), so we use an explicit space character.
+TOKEN_REGEX = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 

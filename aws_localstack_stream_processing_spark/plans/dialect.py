@@ -87,3 +87,70 @@ def json_get(expr: str, path_key: str, d: str) -> str:
 
 def arr_len(expr: str, d: str) -> str:
     return f"size({expr})" if d == "spark" else f"len({expr})"
+
+
+def arr_distinct(expr: str, d: str) -> str:
+    return f"array_distinct({expr})" if d == "spark" else f"list_distinct({expr})"
+
+
+def unnest_fn(d: str) -> str:
+    """Row-generating array expansion in the SELECT list (same shape in both
+    engines: ``SELECT k, explode/unnest(arr) AS x FROM t``)."""
+    return "explode" if d == "spark" else "unnest"
+
+
+def arr_intersect_len(a: str, b: str, d: str) -> str:
+    if d == "spark":
+        return f"size(array_intersect({a}, {b}))"
+    return f"len(list_intersect({a}, {b}))"
+
+
+def arr_union_len(a: str, b: str, d: str) -> str:
+    if d == "spark":
+        return f"size(array_union({a}, {b}))"
+    return f"len(list_distinct(list_concat({a}, {b})))"
+
+
+def xor(a: str, b: str, d: str) -> str:
+    return f"({a} ^ {b})" if d == "spark" else f"xor({a}, {b})"
+
+
+def to_double_arr(expr: str, d: str) -> str:
+    if d == "spark":
+        return f"transform({expr}, x -> CAST(x AS DOUBLE))"
+    return f"list_transform({expr}, x -> CAST(x AS DOUBLE))"
+
+
+def dot(a: str, b: str, dim: int, d: str) -> str:
+    """Sequential-fold dot product of two DOUBLE arrays — identical
+    left-to-right summation order in both engines, so the result is
+    bit-exact across Spark and DuckDB (IEEE ops in a fixed order)."""
+    if d == "spark":
+        return (
+            f"aggregate(transform(sequence(0, {dim - 1}), i -> {a}[i] * {b}[i]), "
+            f"CAST(0 AS DOUBLE), (x, y) -> x + y)"
+        )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), i -> {a}[i] * {b}[i])), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def dot_const(a: str, signs: list[int], d: str) -> str:
+    """Dot product of a DOUBLE array with a compile-time constant ±1 sign
+    vector (random-hyperplane LSH projections)."""
+    lit = ", ".join(str(s) for s in signs)
+    dim = len(signs)
+    if d == "spark":
+        return (
+            f"aggregate(transform(sequence(0, {dim - 1}), "
+            f"i -> {a}[i] * CAST(array({lit})[i] AS DOUBLE)), "
+            f"CAST(0 AS DOUBLE), (x, y) -> x + y)"
+        )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        f"i -> {a}[i] * CAST(([{lit}])[i] AS DOUBLE))), "
+        f"(x, y) -> x + y)"
+    )

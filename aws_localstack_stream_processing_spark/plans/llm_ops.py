@@ -1,1 +1,518 @@
-"""LLM-data-pipeline operator queries (dedup, similarity, text, multimodal) — filled in incrementally."""
+"""LLM-training-data-pipeline operators (the north-star extension surface):
+
+- deduplication: exact hash, word-n-gram Jaccard, MinHash+LSH, SimHash,
+  embedding-cosine near-dup
+- similarity search: brute-force cosine top-k (baseline) and
+  random-hyperplane LSH buckets (the ANN scale path)
+- text analysis: quality stats, language-ID heuristic, token counting,
+  rolling-hash fingerprinting
+- multimodal: binary columns + Arrow-batched decode stubs
+
+Every query is deterministic and (except where noted) replicated in the
+DuckDB oracle dialect; test corpora inject duplicates/near-duplicates so the
+operators have non-trivial output.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hashing, text
+from .dialect import (
+    arr_distinct,
+    arr_intersect_len,
+    arr_len,
+    arr_union_len,
+    dot,
+    dot_const,
+    intdiv,
+    tbl,
+    to_double_arr,
+    unnest_fn,
+    views,
+)
+from .registry import query
+
+DIM = 64  # embedding dimensionality of the test corpus (constant at all SFs)
+
+# ---------------------------------------------------------------------------
+# Corpora with injected (near-)duplicates — deterministic so both engines
+# build the identical corpus.
+# ---------------------------------------------------------------------------
+
+
+def _doc_corpus(d: str) -> str:
+    docs = tbl("documents", d)
+    return f"""
+  SELECT doc_id, text FROM {docs}
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, concat('near dup marker ', text) AS text
+  FROM {docs} WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM {docs} WHERE doc_id % 25 = 0
+"""
+
+
+def _emb_corpus(d: str) -> str:
+    emb = tbl("embeddings", d)
+    if d == "spark":
+        perturbed = "transform(embedding, x -> CAST(x AS DOUBLE) * 0.9 + 0.01)"
+    else:
+        perturbed = "list_transform(embedding, x -> CAST(x AS DOUBLE) * 0.9 + 0.01)"
+    return f"""
+  SELECT vec_id, {to_double_arr('embedding', d)} AS emb FROM {emb}
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, {perturbed} AS emb
+  FROM {emb} WHERE vec_id % 10 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy (the sha256-keyed sink of the reference,
+# signer/index.js:229-242, generalized to a corpus-dedup operator).
+# ---------------------------------------------------------------------------
+
+
+def _dedup_exact_sql(d: str) -> str:
+    return f"""
+WITH corpus AS ({_doc_corpus(d)}),
+hashed AS (SELECT doc_id, {hashing.sha256_hex('text', d)} AS content_hash FROM corpus)
+SELECT content_hash,
+       MIN(doc_id) AS canonical_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM hashed
+GROUP BY content_hash
+HAVING COUNT(*) > 1
+"""
+
+
+@query("dedup_exact", oracle=_dedup_exact_sql("duck"), tags=("llm", "dedup"))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at scale: sha256 content hash → hash-partitioned groupBy,
+    keep the minimum id as canonical. One shuffle on the hash key; partial
+    aggregation makes it skew-tolerant at 100 TB."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_dedup_exact_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Word n-gram Jaccard dedup (exact) — inverted-index join on shared shingles,
+# |A∩B| from the join, sizes from per-doc distinct counts.
+# ---------------------------------------------------------------------------
+
+_JACCARD_THRESHOLD = 0.5
+
+
+def _ngram_jaccard_sql(d: str) -> str:
+    return f"""
+WITH corpus AS ({_doc_corpus(d)}),
+toks AS (SELECT doc_id, {text.words('text', d)} AS w FROM corpus),
+shing AS (
+  SELECT doc_id, {arr_distinct(text.shingles('w', 3, d), d)} AS sh
+  FROM toks WHERE {arr_len('w', d)} >= 3
+),
+exploded AS (SELECT doc_id, {unnest_fn(d)}(sh) AS s FROM shing),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM exploded GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM exploded a JOIN exploded b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.n_shared AS DOUBLE) / (sa.n + sb.n - i.n_shared), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_shared AS DOUBLE) / (sa.n + sb.n - i.n_shared) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_ngram_jaccard_sql("duck"), tags=("llm", "dedup"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs via inverted-index join
+    (explode shingles → equi-join on shingle → count shared). The join is a
+    shuffle on the shingle key — the scalable exact-verification backend for
+    MinHash candidates."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_ngram_jaccard_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH dedup — signature as array_min of seeded md5 over shingles
+# (narrow map, no explode), banding join for candidates, exact Jaccard verify.
+# ---------------------------------------------------------------------------
+
+_N_SEEDS = 8
+_BAND_ROWS = 2  # 4 bands of 2 rows
+
+
+def _minhash_sql(d: str) -> str:
+    sig_cols = ", ".join(
+        f"{hashing.minhash_sig('sh', i, d)} AS m{i}" for i in range(_N_SEEDS)
+    )
+    band_branches = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, md5(concat(m{2 * b}, m{2 * b + 1})) AS bv FROM sig"
+        for b in range(_N_SEEDS // _BAND_ROWS)
+    )
+    return f"""
+WITH corpus AS ({_doc_corpus(d)}),
+toks AS (SELECT doc_id, {text.words('text', d)} AS w FROM corpus),
+shing AS (
+  SELECT doc_id, {arr_distinct(text.shingles('w', 3, d), d)} AS sh
+  FROM toks WHERE {arr_len('w', d)} >= 3
+),
+sig AS (SELECT doc_id, {sig_cols} FROM shing),
+bands AS (
+{band_branches}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST({arr_intersect_len('sa.sh', 'sb.sh', d)} AS DOUBLE)
+           / {arr_union_len('sa.sh', 'sb.sh', d)} AS jaccard
+  FROM cand c
+  JOIN shing sa ON sa.doc_id = c.doc_a
+  JOIN shing sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+FROM verified WHERE jaccard >= {_JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_sql("duck"), tags=("llm", "dedup"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup detection. Signatures are an
+    ``array_min`` over seeded md5 of the shingle array — a narrow
+    (shuffle-free) map per document; only the tiny (doc, band-bucket) pairs
+    shuffle. Candidates sharing any band verify with exact Jaccard. This is
+    the 100 TB dedup path: cost scales with collisions, not with |corpus|²."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_minhash_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash dedup — 64-bit fingerprint (16 hex digits × 4 majority bits from
+# per-word md5), block-quarter candidate join + exact Hamming verify.
+# ---------------------------------------------------------------------------
+
+_HAMMING_MAX = 8
+
+
+def _simhash_sql(d: str) -> str:
+    # per-word hex digit value at position p: 0..15
+    def dv(p: int) -> str:
+        return hashing.hexdigit_val(f"substr(h, {p + 1}, 1)", d)
+
+    sum_exprs = []
+    for p in range(16):
+        for b in range(4):
+            cond = f"(({dv(p)} {'DIV' if d == 'spark' else '//'} {1 << b}) % 2) = 1"
+            sum_exprs.append(
+                f"SUM(CASE WHEN {cond} THEN 1 ELSE -1 END) AS s_{p}_{b}"
+            )
+    sums_sql = ",\n         ".join(sum_exprs)
+
+    digit_exprs = []
+    for p in range(16):
+        bits = " + ".join(
+            f"(CASE WHEN s_{p}_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(4)
+        )
+        digit_exprs.append(f"substr('0123456789abcdef', ({bits}) + 1, 1)")
+    simhash_expr = "concat(" + ", ".join(digit_exprs) + ")"
+
+    def dvs(col: str, p: int) -> str:
+        return hashing.hexdigit_val(f"substr({col}, {p + 1}, 1)", d)
+
+    xor_fn = "({a} ^ {b})" if d == "spark" else "xor({a}, {b})"
+    ham_terms = " + ".join(
+        hashing.popcount4(xor_fn.format(a=dvs("sa", p), b=dvs("sb", p)))
+        for p in range(16)
+    )
+
+    quarter_branches = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {qi} AS qi, substr(simhash, {qi * 4 + 1}, 4) AS qv FROM fp"
+        for qi in range(4)
+    )
+
+    return f"""
+WITH corpus AS ({_doc_corpus(d)}),
+wordsrc AS (
+  SELECT doc_id, {unnest_fn(d)}({text.words('text', d)}) AS w FROM corpus
+),
+wordbits AS (
+  SELECT doc_id, md5(w) AS h FROM wordsrc
+),
+sums AS (
+  SELECT doc_id,
+         {sums_sql}
+  FROM wordbits GROUP BY doc_id
+),
+fp AS (SELECT doc_id, {simhash_expr} AS simhash FROM sums),
+quarters AS (
+{quarter_branches}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM quarters a JOIN quarters b ON a.qi = b.qi AND a.qv = b.qv AND a.doc_id < b.doc_id
+),
+withfp AS (
+  SELECT c.doc_a, c.doc_b, fa.simhash AS sa, fb.simhash AS sb
+  FROM cand c JOIN fp fa ON fa.doc_id = c.doc_a JOIN fp fb ON fb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, CAST({ham_terms} AS BIGINT) AS hamming
+FROM withfp
+WHERE {ham_terms} <= {_HAMMING_MAX}
+"""
+
+
+@query("dedup_simhash", oracle=_simhash_sql("duck"), tags=("llm", "dedup"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection: 64-bit majority fingerprint from per-word
+    md5 bits, candidates via the 4-block pigeonhole trick (hamming ≤ 8 ⇒ at
+    least one identical 16-bit quarter), exact Hamming verify. Fingerprints
+    are one aggregation; the candidate join touches only block collisions."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_simhash_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup + brute-force top-k + LSH ANN.
+# ---------------------------------------------------------------------------
+
+_COSINE_DUP_THRESHOLD = 0.95
+
+
+def _emb_cosine_sql(d: str) -> str:
+    return f"""
+WITH corpus AS ({_emb_corpus(d)}),
+normed AS (SELECT vec_id, emb, sqrt({dot('emb', 'emb', DIM, d)}) AS nrm FROM corpus),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {dot('a.emb', 'b.emb', DIM, d)} / (a.nrm * b.nrm) AS cos_sim
+  FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cos_sim, 6) AS cosine
+FROM pairs WHERE cos_sim >= {_COSINE_DUP_THRESHOLD}
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_emb_cosine_sql("duck"), tags=("llm", "dedup", "similarity"))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.95), brute-force all-pairs —
+    the exact baseline; ``sim_ann_lsh`` is the bucketed scale path. The dot
+    product is a sequential fold over the double arrays (JVM codegen,
+    bit-exact vs the oracle)."""
+    views(spark, sf_dir, "embeddings")
+    return spark.sql(_emb_cosine_sql("spark"))
+
+
+def _topk_sql(d: str) -> str:
+    return f"""
+WITH base AS (SELECT vec_id, {to_double_arr('embedding', d)} AS emb FROM {tbl('embeddings', d)}),
+normed AS (SELECT vec_id, emb, sqrt({dot('emb', 'emb', DIM, d)}) AS nrm FROM base),
+q AS (SELECT * FROM normed WHERE vec_id < 5),
+pairs AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         {dot('q.emb', 'n.emb', DIM, d)} / (q.nrm * n.nrm) AS cos_sim
+  FROM q JOIN normed n ON q.vec_id <> n.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, round(cos_sim, 6) AS cosine
+FROM ranked WHERE rnk <= 10
+"""
+
+
+@query("sim_cosine_topk", oracle=_topk_sql("duck"), tags=("llm", "similarity", "topk"))
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k nearest neighbors for a query set — the
+    exact ANN baseline. Per-query top-k is a windowed rank; at scale the
+    per-partition partial top-k folds into TakeOrdered."""
+    views(spark, sf_dir, "embeddings")
+    return spark.sql(_topk_sql("spark"))
+
+
+def _hyperplane_signs(p: int) -> list[int]:
+    """Deterministic ±1 hyperplane components from md5 — computed at
+    query-build time (Python) and inlined as literals in both dialects."""
+    hx = (
+        hashlib.md5(f"hp_{p}_0".encode()).hexdigest()
+        + hashlib.md5(f"hp_{p}_1".encode()).hexdigest()
+    )
+    return [1 if int(c, 16) >= 8 else -1 for c in hx]
+
+
+_N_PLANES = 8
+_ANN_THRESHOLD = 0.9
+
+
+def _ann_lsh_sql(d: str) -> str:
+    bucket_bits = ", ".join(
+        f"(CASE WHEN {dot_const('emb', _hyperplane_signs(p), d)} >= 0 THEN '1' ELSE '0' END)"
+        for p in range(_N_PLANES)
+    )
+    return f"""
+WITH corpus AS ({_emb_corpus(d)}),
+normed AS (SELECT vec_id, emb, sqrt({dot('emb', 'emb', DIM, d)}) AS nrm FROM corpus),
+buckets AS (
+  SELECT vec_id, emb, nrm, concat({bucket_bits}) AS bucket FROM normed
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {dot('a.emb', 'b.emb', DIM, d)} / (a.nrm * b.nrm) AS cos_sim
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cos_sim, 6) AS cosine
+FROM cand WHERE cos_sim >= {_ANN_THRESHOLD}
+"""
+
+
+@query("sim_ann_lsh", oracle=_ann_lsh_sql("duck"), tags=("llm", "similarity"))
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest-neighbor via random-hyperplane LSH: 8 signed
+    projections → 8-bit bucket → equi-join within buckets → exact cosine
+    verify. The all-pairs O(n²) of the brute-force path becomes a shuffle on
+    the bucket key; recall trades off against bucket width."""
+    views(spark, sf_dir, "embeddings")
+    return spark.sql(_ann_lsh_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis.
+# ---------------------------------------------------------------------------
+
+
+def _text_stats_sql(d: str) -> str:
+    nw = text.n_words("text", d)
+    dw = text.distinct_words("text", d)
+    sw = text.stopword_hits("text", d)
+    return f"""
+SELECT doc_id, lang, n_chars,
+       CAST({nw} AS BIGINT) AS n_words,
+       CAST({dw} AS BIGINT) AS n_distinct_words,
+       round((CAST(n_chars AS DOUBLE) - ({nw} - 1)) / {nw}, 6) AS avg_word_len,
+       round(CAST({sw} AS DOUBLE) / {nw}, 6) AS stopword_ratio,
+       round(CAST({dw} AS DOUBLE) / {nw}, 6) AS uniq_ratio,
+       round(0.5 * (CAST({dw} AS DOUBLE) / {nw})
+             + 0.3 * (1.0 - CAST({sw} AS DOUBLE) / {nw})
+             + 0.2 * LEAST(1.0, {nw} / 100.0), 6) AS quality_score
+FROM {tbl('documents', d)}
+"""
+
+
+@query("text_stats_quality", oracle=_text_stats_sql("duck"), tags=("llm", "text"))
+def text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: word/char stats, stopword ratio,
+    vocabulary uniqueness, composite quality score — all built-in array/
+    string expressions (whole-stage codegen; no UDF)."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_text_stats_sql("spark"))
+
+
+def _langid_sql(d: str) -> str:
+    hits = {lang: text.marker_hits("text", lang, d) for lang in sorted(text.LANG_MARKERS)}
+    score_cols = ", ".join(f"{expr} AS h_{lang}" for lang, expr in hits.items())
+    langs = sorted(text.LANG_MARKERS)
+    others = lambda l: ", ".join(f"h_{o}" for o in langs if o != l)  # noqa: E731
+    pred = " ".join(
+        f"WHEN h_{l} >= GREATEST({others(l)}) THEN '{l}'" for l in langs
+    )
+    return f"""
+WITH scored AS (SELECT doc_id, lang AS actual_lang, {score_cols} FROM {tbl('documents', d)})
+SELECT doc_id, actual_lang,
+       CASE {pred} ELSE 'und' END AS predicted_lang,
+       CAST(GREATEST(h_de, h_en, h_es, h_fr, h_zh) AS BIGINT) AS marker_hits
+FROM scored
+"""
+
+
+@query("text_langid", oracle=_langid_sql("duck"), tags=("llm", "text"))
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (argmax over per-language hit
+    counts, alphabetical tie-break). Real language ID swaps the marker
+    profiles for char-n-gram profiles in the same expression shape."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_langid_sql("spark"))
+
+
+def _token_count_sql(d: str) -> str:
+    nw = text.n_words("text", d)
+    tc = text.token_count("text", d)
+    return f"""
+SELECT doc_id,
+       CAST({nw} AS BIGINT) AS ws_tokens,
+       CAST({tc} AS BIGINT) AS bpe_ish_tokens,
+       round(CAST(n_chars AS DOUBLE) / {tc}, 6) AS chars_per_token
+FROM {tbl('documents', d)}
+"""
+
+
+@query("text_token_count", oracle=_token_count_sql("duck"), tags=("llm", "text"))
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens and a BPE-ish regex tokenizer
+    (letter runs / digits / punctuation), plus chars-per-token."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_token_count_sql("spark"))
+
+
+def _fingerprint_sql(d: str) -> str:
+    return f"""
+WITH corpus AS ({_doc_corpus(d)}),
+fps AS (SELECT doc_id, {hashing.rolling_fingerprint('text', d)} AS fingerprint FROM corpus)
+SELECT fingerprint,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS canonical_doc_id
+FROM fps
+GROUP BY fingerprint
+HAVING COUNT(*) > 1
+"""
+
+
+@query("text_fingerprint", oracle=_fingerprint_sql("duck"), tags=("llm", "text", "dedup"))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (order-sensitive polynomial fold
+    over characters) grouped to find identical-content clusters."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_fingerprint_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns.
+# ---------------------------------------------------------------------------
+
+
+def _mm_oracle(d: str) -> str:
+    blob_len = "octet_length(CAST(text AS BLOB))"
+    return f"""
+SELECT doc_id,
+       CAST({blob_len} AS BIGINT) AS byte_len,
+       sha256(text) AS content_sha,
+       CAST({blob_len} % 640 + 1 AS BIGINT) AS width,
+       CAST(({blob_len} * 31) % 480 + 1 AS BIGINT) AS height,
+       CAST({blob_len} % 7 + 1 AS BIGINT) AS n_frames,
+       CAST(({blob_len} + 255) // 256 AS BIGINT) AS n_chunks
+FROM {tbl('documents', d)}
+"""
+
+
+@query("mm_decode_features", oracle=_mm_oracle("duck"), tags=("llm", "multimodal"))
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents as opaque binary blobs → Arrow-batched
+    mapInPandas 'decoder' producing typed feature rows. The decode arithmetic
+    is a deterministic stand-in (real codecs absent in this container); the
+    schema/batching/partition-parallel shape is the real operator."""
+    from ..catalog import load_table
+    from ..operators.multimodal import stub_decode_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select("doc_id", F.col("text").cast("binary").alias("blob"))
+    return stub_decode_features(blobs)

@@ -155,11 +155,11 @@ def _window_sql(d: str) -> str:
     order = "ORDER BY l_shipdate, l_orderkey, l_linenumber"
     return f"""
 SELECT l_suppkey, l_orderkey, l_linenumber,
-       ROW_NUMBER() OVER (PARTITION BY l_suppkey {order}) AS rn,
+       CAST(ROW_NUMBER() OVER (PARTITION BY l_suppkey {order}) AS BIGINT) AS rn,
        CAST(SUM(CAST(l_quantity AS DECIMAL(28,6)))
             OVER (PARTITION BY l_suppkey {order}
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
-       RANK() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC) AS price_rank,
+       CAST(RANK() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC) AS BIGINT) AS price_rank,
        {ts_str('LAG(l_shipdate) OVER (PARTITION BY l_suppkey ' + order + ')', d)} AS prev_ship
 FROM {tbl('lineitem', d)}
 WHERE l_suppkey < 10
