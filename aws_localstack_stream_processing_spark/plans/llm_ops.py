@@ -185,15 +185,72 @@ FROM verified WHERE jaccard >= {_JACCARD_THRESHOLD}
 """
 
 
+def _doc_corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "documents")
+    return spark.sql(f"SELECT * FROM ({_doc_corpus('spark')}) c")
+
+
 @query("dedup_minhash_lsh", oracle=_minhash_sql("duck"), tags=("llm", "dedup"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup detection. Signatures are an
     ``array_min`` over seeded md5 of the shingle array — a narrow
-    (shuffle-free) map per document; only the tiny (doc, band-bucket) pairs
+    (shuffle-free) map per document; only the (doc, band-bucket) pairs
     shuffle. Candidates sharing any band verify with exact Jaccard. This is
-    the 100 TB dedup path: cost scales with collisions, not with |corpus|²."""
-    views(spark, sf_dir, "documents")
-    return spark.sql(_minhash_sql("spark"))
+    the 100 TB dedup path: cost scales with collisions, not with |corpus|².
+
+    Single-pass plan: bands come from one ``posexplode`` (not UNION ALL
+    branches, which would recompute the signature subtree per band) and the
+    self-join shuffles one reused exchange; shingle arrays ride along so
+    verification needs no second scan.
+    """
+    corpus = _doc_corpus_df(spark, sf_dir)
+    toks = corpus.select("doc_id", F.split("text", " ").alias("w"))
+    shing = toks.filter(F.expr("size(w) >= 3")).select(
+        "doc_id",
+        F.expr(f"array_distinct({text.shingles('w', 3, 'spark')})").alias("sh"),
+    )
+    sig = shing.select(
+        "doc_id",
+        "sh",
+        *[
+            F.expr(hashing.minhash_sig("sh", i, "spark")).alias(f"m{i}")
+            for i in range(_N_SEEDS)
+        ],
+    )
+    band_arr = F.array(
+        *[
+            F.md5(F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")))
+            for b in range(_N_SEEDS // _BAND_ROWS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", "sh", F.posexplode(band_arr).alias("band", "bv")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sha"),
+            F.col("b.sh").alias("shb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.expr(
+        "CAST(size(array_intersect(sha, shb)) AS DOUBLE) "
+        "/ size(array_union(sha, shb))"
+    )
+    return (
+        cand.withColumn("jaccard_raw", jac)
+        .filter(F.col("jaccard_raw") >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -204,36 +261,55 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HAMMING_MAX = 8
 
 
-def _simhash_sql(d: str) -> str:
-    # per-word hex digit value at position p: 0..15
+def _simhash_sum_exprs(d: str) -> list[str]:
+    """64 majority-vote accumulators (16 hex digits × 4 bits) over per-word
+    md5 column ``h`` — identical arithmetic in both dialects."""
+
     def dv(p: int) -> str:
         return hashing.hexdigit_val(f"substr(h, {p + 1}, 1)", d)
 
-    sum_exprs = []
+    out = []
     for p in range(16):
         for b in range(4):
             cond = f"(({dv(p)} {'DIV' if d == 'spark' else '//'} {1 << b}) % 2) = 1"
-            sum_exprs.append(
-                f"SUM(CASE WHEN {cond} THEN 1 ELSE -1 END) AS s_{p}_{b}"
-            )
-    sums_sql = ",\n         ".join(sum_exprs)
+            out.append(f"SUM(CASE WHEN {cond} THEN 1 ELSE -1 END)")
+    return out
 
+
+def _simhash_digit_expr() -> str:
+    """Recombine the 64 sums (columns s_<p>_<b>) into a 16-hex-char
+    fingerprint (dialect-neutral)."""
     digit_exprs = []
     for p in range(16):
         bits = " + ".join(
             f"(CASE WHEN s_{p}_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(4)
         )
         digit_exprs.append(f"substr('0123456789abcdef', ({bits}) + 1, 1)")
-    simhash_expr = "concat(" + ", ".join(digit_exprs) + ")"
+    return "concat(" + ", ".join(digit_exprs) + ")"
+
+
+def _simhash_hamming_expr(d: str) -> str:
+    """Exact Hamming distance between fingerprints ``sa`` and ``sb``."""
 
     def dvs(col: str, p: int) -> str:
         return hashing.hexdigit_val(f"substr({col}, {p + 1}, 1)", d)
 
     xor_fn = "({a} ^ {b})" if d == "spark" else "xor({a}, {b})"
-    ham_terms = " + ".join(
+    return " + ".join(
         hashing.popcount4(xor_fn.format(a=dvs("sa", p), b=dvs("sb", p)))
         for p in range(16)
     )
+
+
+def _simhash_sql(d: str) -> str:
+    sums_sql = ",\n         ".join(
+        f"{e} AS s_{p}_{b}"
+        for (p, b), e in zip(
+            [(p, b) for p in range(16) for b in range(4)], _simhash_sum_exprs(d)
+        )
+    )
+    simhash_expr = _simhash_digit_expr()
+    ham_terms = _simhash_hamming_expr(d)
 
     quarter_branches = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {qi} AS qi, substr(simhash, {qi * 4 + 1}, 4) AS qv FROM fp"
@@ -276,9 +352,56 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup detection: 64-bit majority fingerprint from per-word
     md5 bits, candidates via the 4-block pigeonhole trick (hamming ≤ 8 ⇒ at
     least one identical 16-bit quarter), exact Hamming verify. Fingerprints
-    are one aggregation; the candidate join touches only block collisions."""
-    views(spark, sf_dir, "documents")
-    return spark.sql(_simhash_sql("spark"))
+    are one aggregation; the candidate join touches only block collisions.
+
+    Single-pass plan: quarters via ``posexplode`` (no UNION ALL recompute of
+    the 64-accumulator aggregation), fingerprints carried through the
+    self-join so the verify step needs no extra scan."""
+    corpus = _doc_corpus_df(spark, sf_dir)
+    wordsrc = corpus.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    wordbits = wordsrc.select("doc_id", F.md5("word").alias("h"))
+    sums = wordbits.groupBy("doc_id").agg(
+        *[
+            F.expr(e).alias(f"s_{p}_{b}")
+            for (p, b), e in zip(
+                [(p, b) for p in range(16) for b in range(4)],
+                _simhash_sum_exprs("spark"),
+            )
+        ]
+    )
+    fp = sums.select("doc_id", F.expr(_simhash_digit_expr()).alias("simhash"))
+    quarter_arr = F.array(
+        *[F.substring("simhash", qi * 4 + 1, 4) for qi in range(4)]
+    )
+    quarters = fp.select(
+        "doc_id", "simhash", F.posexplode(quarter_arr).alias("qi", "qv")
+    )
+    a, b = quarters.alias("a"), quarters.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.qi") == F.col("b.qi"))
+            & (F.col("a.qv") == F.col("b.qv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.expr(_simhash_hamming_expr("spark"))
+    return (
+        cand.withColumn("hamming_raw", ham)
+        .filter(F.col("hamming_raw") <= _HAMMING_MAX)
+        .select(
+            "doc_a", "doc_b", F.col("hamming_raw").cast("bigint").alias("hamming")
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,1 +1,220 @@
-"""Streaming-surface queries (rows-only checks) — filled in incrementally."""
+"""Streaming query surface — each entry runs a real Structured Streaming
+query (availableNow trigger → memory sink) and returns the result table.
+
+Because the test stream is bounded, the streaming results are deterministic
+and equal their batch analogues, so these get full DuckDB oracles — the
+driver verifies that the *streaming* engine path produces the same answers
+as the relational semantics (T1/T2/T5/T6 of SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.keyring import lru_keyring_assign
+from ..streaming.source import events_stream
+from .dialect import tbl, ts_str
+from .reference_ops import _lru_rotation_sql, _minute_sum_sql
+from .registry import query
+
+
+def _to_memory(df: DataFrame, mode: str) -> DataFrame:
+    name = f"slsp_mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = df.sparkSession
+    return spark.table(name)
+
+
+@query("stream_minute_sum", oracle=_minute_sum_sql("duck"), tags=("streaming", "agg"))
+def stream_minute_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 as a real streaming query: tumbling 1-minute Sum metrics computed
+    by Structured Streaming (complete mode) — must equal the batch oracle."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(
+            F.date_trunc("minute", "ts").alias("minute_ts"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("minute_ts", "yyyy-MM-dd HH:mm:ss").alias("minute"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _to_memory(agg, "complete")
+
+
+def _stream_validity_oracle(d: str) -> str:
+    valid = (
+        "(json_valid(props_c) AND json_extract_string(props_c, '$.k') IS NOT NULL)"
+    )
+    return f"""
+WITH base AS (
+  SELECT event_id,
+         CASE WHEN event_id % 97 = 0 THEN substr(props, 1, 3) ELSE props END AS props_c
+  FROM {tbl('events', d)}
+)
+SELECT CASE WHEN {valid} THEN 'Ok' ELSE 'ProcessingFailed' END AS result,
+       CAST(COUNT(*) AS BIGINT) AS n_records
+FROM base GROUP BY 1
+"""
+
+
+@query("stream_validity_split", oracle=_stream_validity_oracle("duck"), tags=("streaming", "dlq"))
+def stream_validity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/F3 streaming: per-record validity gate over the stream, Ok vs
+    ProcessingFailed counts (complete mode)."""
+    ev = events_stream(spark, sf_dir).withColumn(
+        "props_c",
+        F.when(F.col("event_id") % 97 == 0, F.substring("props", 1, 3)).otherwise(
+            F.col("props")
+        ),
+    )
+    marked = ev.withColumn(
+        "result",
+        F.when(
+            F.get_json_object("props_c", "$.k").isNotNull(), F.lit("Ok")
+        ).otherwise(F.lit("ProcessingFailed")),
+    )
+    agg = marked.groupBy("result").agg(F.count("*").alias("n_records"))
+    return _to_memory(agg, "complete")
+
+
+def _stream_dedup_oracle(d: str) -> str:
+    canon = "concat_ws('|', CAST(event_id AS VARCHAR), event_type, CAST(value AS VARCHAR))"
+    return f"""
+SELECT event_type, CAST(COUNT(DISTINCT sha256({canon})) AS BIGINT) AS n_signed
+FROM (
+  SELECT * FROM {tbl('events', d)}
+  UNION ALL
+  SELECT * FROM {tbl('events', d)} WHERE event_id % 5 = 0
+) base
+GROUP BY event_type
+"""
+
+
+@query("stream_dedup_signatures", oracle=_stream_dedup_oracle("duck"), tags=("streaming", "dedup"))
+def stream_dedup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3/T2/T5 streaming exactly-once: at-least-once delivery (20%
+    re-delivered) collapsed by watermarked streaming dropDuplicates on the
+    content hash; the deduped stream lands in the sink and is counted."""
+    base = events_stream(spark, sf_dir)
+    dup = events_stream(spark, sf_dir).filter(F.col("event_id") % 5 == 0)
+    ev = base.unionByName(dup)
+    canon = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("event_type"),
+        F.col("value").cast("string"),
+    )
+    deduped = (
+        ev.withColumn("tx_hash", F.sha2(canon, 256))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["tx_hash"])
+    )
+    sunk = _to_memory(deduped.select("event_type", "tx_hash"), "append")
+    return sunk.groupBy("event_type").agg(F.count("*").alias("n_signed"))
+
+
+def _sliding_oracle(d: str) -> str:
+    grid = "CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)"
+    return f"""
+WITH expanded AS (
+  SELECT event_type,
+         unnest([to_timestamp({grid}), to_timestamp({grid} - 300)]) AS wstart
+  FROM {tbl('events', d)}
+)
+SELECT {ts_str('wstart', d)} AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM expanded GROUP BY 1, 2
+"""
+
+
+@query("stream_sliding_window", oracle=_sliding_oracle("duck"), tags=("streaming", "window"))
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 extension: sliding windows (10 min, slide 5 min) over event time —
+    each event contributes to exactly two windows; complete-mode streaming
+    agg equals the epoch-grid expansion oracle."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+        )
+    )
+    return _to_memory(agg, "complete")
+
+
+def _session_oracle(d: str) -> str:
+    order = "PARTITION BY user_id ORDER BY ts, event_id"
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER ({order}) IS NULL
+                   OR ts - LAG(ts) OVER ({order}) >= INTERVAL 1 HOUR
+              THEN 1 ELSE 0 END AS new_sess
+  FROM {tbl('events', d)}
+), sess AS (
+  SELECT user_id, event_id, ts,
+         SUM(new_sess) OVER ({order}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM seq
+)
+SELECT user_id, {ts_str('MIN(ts)', d)} AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+@query("stream_session_window", oracle=_session_oracle("duck"), tags=("streaming", "window", "sessionization"))
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 extension: native streaming session windows (1 h gap) per user.
+    Session semantics: a gap ≥ 1 h starts a new session (event merges while
+    ts < previous window end) — the oracle replicates with lag-gap logic."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.session_window("ts", "1 hour"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+    return _to_memory(agg, "complete")
+
+
+@query("stream_lru_keyring", oracle=_lru_rotation_sql("duck"), tags=("streaming", "stateful"))
+def stream_lru_keyring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/T7: the stateful LRU key ring as a real applyInPandasWithState
+    streaming operator. With the ring seeded at distinct logical timestamps,
+    LRU selection round-robins — equal to the batch rotation oracle."""
+    from ..catalog import load_table
+
+    key_ids = [
+        r.s_suppkey for r in load_table(spark, sf_dir, "supplier").select("s_suppkey").collect()
+    ]
+    ev = events_stream(spark, sf_dir)
+    assigned = lru_keyring_assign(ev, key_ids, batch_size=100)
+    return _to_memory(assigned, "append")

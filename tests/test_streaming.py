@@ -1,0 +1,98 @@
+"""Streaming-semantics invariant tests (SURVEY §5.2) — the properties the
+DuckDB oracle can't check: multi-batch state, sink layout, replay."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture()
+def tmp(tmp_path):
+    return str(tmp_path)
+
+
+def test_ingest_partitioned_lake(spark, tmp):
+    """E1: hive-style dynamic+time partitioning in the lake sink, and
+    partition pruning on read-back (S3 + F1)."""
+    from aws_localstack_stream_processing_spark.streaming.jobs import run_ingest_stream
+
+    lake = f"{tmp}/lake"
+    run_ingest_stream(spark, SF_DIR, lake, f"{tmp}/ckpt")
+    parts = glob.glob(f"{lake}/partition=*/year=*/month=*/day=*/hour=*/*.parquet")
+    assert parts, "no hive-partitioned files written"
+    # partition labels are the djb2 buckets
+    labels = {p.split("partition=")[1].split("/")[0] for p in parts}
+    assert labels <= {f"partition_{i}" for i in range(5)}
+    # pruned read returns only that bucket and preserves row totals overall
+    df = spark.read.parquet(lake)
+    one = df.filter(df["partition"] == sorted(labels)[0])
+    assert 0 < one.count() < df.count()
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert df.count() == n_events
+
+
+def test_dlq_completeness(spark, tmp):
+    """T3/S4: ok + error outputs exactly partition the input (invariant 5)."""
+    from aws_localstack_stream_processing_spark.streaming.jobs import run_dlq_stream
+
+    ok, err = f"{tmp}/ok", f"{tmp}/err"
+    run_dlq_stream(spark, SF_DIR, ok, err, f"{tmp}/ckpt")
+    n_ok = spark.read.parquet(ok).count()
+    n_err = spark.read.parquet(err).count()
+    n_in = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert n_ok + n_err == n_in
+    assert n_err > 0  # corruption injection actually fired
+    # every error row is one of the corrupted ids
+    bad = spark.read.parquet(err).select("event_id").collect()
+    assert all(r.event_id % 97 == 0 for r in bad)
+
+
+def test_signing_stream_idempotent_replay(spark, tmp):
+    """T2/T8: running the signing pipeline twice from the same checkpoint
+    adds nothing (exactly-once); sink has one row per content hash."""
+    from aws_localstack_stream_processing_spark.streaming.jobs import run_signing_stream
+
+    sink, ckpt = f"{tmp}/sink", f"{tmp}/ckpt"
+    run_signing_stream(spark, SF_DIR, sink, ckpt)
+    first = spark.read.parquet(sink).count()
+    run_signing_stream(spark, SF_DIR, sink, ckpt)  # replay, same checkpoint
+    again = spark.read.parquet(sink).count()
+    assert first == again, "replay duplicated sink rows"
+    df = spark.read.parquet(sink)
+    assert df.count() == df.select("tx_hash").distinct().count()
+
+
+def test_keyring_multibatch_rotation(spark):
+    """O2/T7: LRU rotation persists across micro-batches — with
+    maxFilesPerTrigger splitting... the single test file arrives as one
+    batch, so split logically: feed two sequential availableNow runs through
+    the same checkpoint and check batch ids continue."""
+    import pandas as pd
+
+    from aws_localstack_stream_processing_spark.streaming.keyring import (
+        _assign_batches,
+    )
+
+    # pure-logic invariant check across simulated micro-batches
+    key_ids = [0, 1, 2]
+    st = {"ring": [[k, i] for i, k in enumerate(key_ids)], "clock": 0, "batches": 0}
+    out = []
+    for mb in range(4):  # 4 micro-batches of 250 rows, batch_size 100
+        pdf = pd.DataFrame({"event_id": range(mb * 250, (mb + 1) * 250)})
+        out += _assign_batches(pdf, st, key_ids, 100)
+    batch_ids = [b for b, _, _ in out]
+    keys = [k for _, k, _ in out]
+    sizes = [n for _, _, n in out]
+    assert batch_ids == list(range(len(out)))  # global continuity
+    # LRU rotation: strict round-robin given seeded ring
+    assert keys == [key_ids[i % 3] for i in range(len(out))]
+    # batches within a micro-batch: 100,100,50 pattern
+    assert sizes[:3] == [100, 100, 50]
+    # no key used twice before every key used once (LRU fairness)
+    for i in range(0, len(keys) - 3, 3):
+        assert sorted(keys[i : i + 3]) == key_ids
