@@ -143,3 +143,266 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic tie-break on the exact decimal revenue)."""
     views(spark, sf_dir, "customer", "orders", "lineitem", "nation")
     return spark.sql(_q10_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Extended TPC-H coverage — adapted to the driver schema (no partsupp table,
+# no commitdate/receiptdate/shipmode/phone/container columns; see FIXTURES.md).
+# Each keeps the *shape* of the official query: the join topology, subquery
+# style, and aggregate structure Catalyst must plan.
+# ---------------------------------------------------------------------------
+
+
+def _q4_sql(d: str) -> str:
+    # EXISTS correlated semi-join (official Q4's late-lineitem predicate is
+    # not expressible without commitdate; l_returnflag = 'R' stands in).
+    return f"""
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM {tbl('orders', d)} o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM {tbl('lineitem', d)} l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+  )
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("tpch_q4_priority_check", oracle=_q4_sql("duck"), tags=("sql", "semijoin"))
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS → left-semi hash join after
+    Catalyst decorrelation; orders-side date filter pushes to the scan."""
+    views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_q4_sql("spark"))
+
+
+def _q7_sql(d: str) -> str:
+    return f"""
+SELECT supp_nation, cust_nation, l_year,
+       {dec_sum('volume')} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l.l_shipdate) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM {tbl('supplier', d)} s
+  JOIN {tbl('lineitem', d)} l ON s.s_suppkey = l.l_suppkey
+  JOIN {tbl('orders', d)} o ON o.o_orderkey = l.l_orderkey
+  JOIN {tbl('customer', d)} c ON c.c_custkey = o.o_custkey
+  JOIN {tbl('nation', d)} n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN {tbl('nation', d)} n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                         AND TIMESTAMP '1997-12-31 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("tpch_q7_volume_shipping", oracle=_q7_sql("duck"), tags=("sql", "join"))
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: 6-way join with a disjunctive cross-nation predicate; the
+    two nation dims broadcast, the OR filter runs post-join."""
+    views(spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation")
+    return spark.sql(_q7_sql("spark"))
+
+
+def _q8_sql(d: str) -> str:
+    return f"""
+SELECT o_year,
+       CAST({dec_sum("CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END")}
+            / {dec_sum('volume')} AS DOUBLE) AS mkt_share
+FROM (
+  SELECT year(o.o_orderdate) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS nation
+  FROM {tbl('part', d)} p
+  JOIN {tbl('lineitem', d)} l ON p.p_partkey = l.l_partkey
+  JOIN {tbl('supplier', d)} s ON s.s_suppkey = l.l_suppkey
+  JOIN {tbl('orders', d)} o ON o.o_orderkey = l.l_orderkey
+  JOIN {tbl('customer', d)} c ON c.c_custkey = o.o_custkey
+  JOIN {tbl('nation', d)} n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN {tbl('region', d)} r ON n1.n_regionkey = r.r_regionkey
+  JOIN {tbl('nation', d)} n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'AMERICA'
+    AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                          AND TIMESTAMP '1997-12-31 00:00:00'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@query("tpch_q8_market_share", oracle=_q8_sql("duck"), tags=("sql", "join"))
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: 8-way join + conditional market-share ratio. Everything
+    except lineitem/orders broadcasts; one shuffle pair on orderkey."""
+    views(spark, sf_dir, "part", "lineitem", "supplier", "orders", "customer", "nation", "region")
+    return spark.sql(_q8_sql("spark"))
+
+
+def _q13_sql(d: str) -> str:
+    return f"""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM {tbl('customer', d)} c
+  LEFT JOIN {tbl('orders', d)} o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@query("tpch_q13_customer_distribution", oracle=_q13_sql("duck"), tags=("sql", "outerjoin"))
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: left outer join with a join-side residual predicate,
+    double aggregation (per-customer count → histogram)."""
+    views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_q13_sql("spark"))
+
+
+def _q14_sql(d: str) -> str:
+    promo = "CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END"
+    return f"""
+SELECT CAST(100.00 * {dec_sum(promo)} / {dec_sum('l.l_extendedprice * (1 - l.l_discount)')}
+       AS DOUBLE) AS promo_revenue
+FROM {tbl('lineitem', d)} l
+JOIN {tbl('part', d)} p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+@query("tpch_q14_promo_effect", oracle=_q14_sql("duck"), tags=("sql", "join", "agg"))
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: broadcast join + conditional-ratio aggregate; the 1-month
+    shipdate range prunes row groups at the scan."""
+    views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_q14_sql("spark"))
+
+
+def _q15_sql(d: str) -> str:
+    return f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS total_revenue
+  FROM {tbl('lineitem', d)}
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM {tbl('supplier', d)} s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@query("tpch_q15_top_supplier", oracle=_q15_sql("duck"), tags=("sql", "subquery"))
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: CTE reused twice (agg + uncorrelated scalar MAX subquery);
+    exact decimal revenue makes the equality deterministic."""
+    views(spark, sf_dir, "lineitem", "supplier")
+    return spark.sql(_q15_sql("spark"))
+
+
+def _q17_sql(d: str) -> str:
+    return f"""
+SELECT CAST({dec_sum('l.l_extendedprice')} / 7.0 AS DOUBLE) AS avg_yearly
+FROM {tbl('lineitem', d)} l
+JOIN {tbl('part', d)} p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3'
+  AND l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity)
+    FROM {tbl('lineitem', d)} l2
+    WHERE l2.l_partkey = p.p_partkey
+  )
+"""
+
+
+@query("tpch_q17_small_quantity", oracle=_q17_sql("duck"), tags=("sql", "subquery"))
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated scalar AVG subquery — Catalyst decorrelates to
+    an aggregate + join on partkey (quantities are integer-valued doubles,
+    so the distributed AVG is exact)."""
+    views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_q17_sql("spark"))
+
+
+def _q18_sql(d: str) -> str:
+    return f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       {ts_str('o.o_orderdate', d)} AS orderdate, o.o_totalprice,
+       {dec_sum('l.l_quantity')} AS sum_qty
+FROM {tbl('customer', d)} c
+JOIN {tbl('orders', d)} o ON c.c_custkey = o.o_custkey
+JOIN {tbl('lineitem', d)} l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM {tbl('lineitem', d)}
+  GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(28,6))) > 150
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, {ts_str('o.o_orderdate', d)}, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+@query("tpch_q18_large_volume", oracle=_q18_sql("duck"), tags=("sql", "semijoin", "topk"))
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: IN over a grouped-HAVING subquery (semi join against an
+    aggregate), then join + agg + deterministic top-100."""
+    views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_q18_sql("spark"))
+
+
+def _q19_sql(d: str) -> str:
+    return f"""
+SELECT {dec_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM {tbl('lineitem', d)} l
+JOIN {tbl('part', d)} p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("tpch_q19_discounted_revenue", oracle=_q19_sql("duck"), tags=("sql", "join"))
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs join predicate; Catalyst extracts the common
+    partkey equi-condition and pushes per-side conjuncts below the join."""
+    views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_q19_sql("spark"))
+
+
+def _q22_sql(d: str) -> str:
+    in_list = "(3, 7, 11, 13, 17, 19, 23)"
+    return f"""
+SELECT c.c_nationkey AS cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+       {dec_sum('c.c_acctbal')} AS totacctbal
+FROM {tbl('customer', d)} c
+WHERE c.c_nationkey IN {in_list}
+  AND c.c_acctbal > (
+    SELECT {dec_avg('c2.c_acctbal')}
+    FROM {tbl('customer', d)} c2
+    WHERE c2.c_acctbal > 0.00 AND c2.c_nationkey IN {in_list}
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM {tbl('orders', d)} o WHERE o.o_custkey = c.c_custkey
+  )
+GROUP BY c.c_nationkey
+"""
+
+
+@query("tpch_q22_sales_opportunity", oracle=_q22_sql("duck"), tags=("sql", "antijoin", "subquery"))
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: uncorrelated scalar AVG subquery + NOT EXISTS anti join
+    (nationkey stands in for the phone country code; exact decimal AVG keeps
+    the > comparison engine-independent)."""
+    views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_q22_sql("spark"))
