@@ -198,20 +198,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle. Candidates sharing any band verify with exact Jaccard. This is
     the 100 TB dedup path: cost scales with collisions, not with |corpus|².
 
-    Single-pass plan: bands come from one ``posexplode`` (not UNION ALL
-    branches, which would recompute the signature subtree per band) and the
-    self-join shuffles one reused exchange; shingle arrays ride along so
-    verification needs no second scan.
+    Plan shape for scale: the shingle table and the slim (doc_id, band,
+    bucket) table are materialized once (``persist``; at petabyte scale this
+    would be a temp-table write) so the expensive signature subtree is not
+    recomputed on each side of the self-join, and no array payload rides the
+    band shuffle — candidates join back to the shingle table only for the
+    final Jaccard verify.
     """
     corpus = _doc_corpus_df(spark, sf_dir)
     toks = corpus.select("doc_id", F.split("text", " ").alias("w"))
-    shing = toks.filter(F.expr("size(w) >= 3")).select(
-        "doc_id",
-        F.expr(f"array_distinct({text.shingles('w', 3, 'spark')})").alias("sh"),
+    shing = (
+        toks.filter(F.expr("size(w) >= 3"))
+        .select(
+            "doc_id",
+            F.expr(f"array_distinct({text.shingles('w', 3, 'spark')})").alias("sh"),
+        )
+        .persist()
     )
     sig = shing.select(
         "doc_id",
-        "sh",
         *[
             F.expr(hashing.minhash_sig("sh", i, "spark")).alias(f"m{i}")
             for i in range(_N_SEEDS)
@@ -224,8 +229,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     bands = sig.select(
-        "doc_id", "sh", F.posexplode(band_arr).alias("band", "bv")
-    )
+        "doc_id", F.posexplode(band_arr).alias("band", "bv")
+    ).persist()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -237,17 +242,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sha"),
-            F.col("b.sh").alias("shb"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sha = shing.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    shb = shing.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
     jac = F.expr(
         "CAST(size(array_intersect(sha, shb)) AS DOUBLE) "
         "/ size(array_union(sha, shb))"
     )
     return (
-        cand.withColumn("jaccard_raw", jac)
+        cand.join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .withColumn("jaccard_raw", jac)
         .filter(F.col("jaccard_raw") >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard"))
     )
@@ -354,30 +361,48 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one identical 16-bit quarter), exact Hamming verify. Fingerprints
     are one aggregation; the candidate join touches only block collisions.
 
-    Single-pass plan: quarters via ``posexplode`` (no UNION ALL recompute of
-    the 64-accumulator aggregation), fingerprints carried through the
-    self-join so the verify step needs no extra scan."""
+    Spark-side physical plan: the md5 hex is parsed once per word into four
+    32-bit integers (``conv``), so the 64 majority accumulators are integer
+    shift/mask sums instead of per-digit string searches; the Hamming verify
+    is ``bit_count`` over XORed chunks. The tiny fingerprint table persists
+    so the aggregation runs once, the self-join carries only (doc_id,
+    quarter), and candidates join back to fingerprints for the verify —
+    identical votes/results to the string-arithmetic DuckDB oracle."""
     corpus = _doc_corpus_df(spark, sf_dir)
     wordsrc = corpus.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
-    wordbits = wordsrc.select("doc_id", F.md5("word").alias("h"))
-    sums = wordbits.groupBy("doc_id").agg(
+    # the fingerprint votes use the first 16 hex chars of md5(word): two
+    # 8-hex-char chunks as 32-bit ints (the vote bit for hex digit p, bit b
+    # lives at chunk p DIV 8, shift 4*(7 - p%8) + b)
+    wordbits = wordsrc.select("doc_id", F.md5("word").alias("h")).select(
+        "doc_id",
         *[
-            F.expr(e).alias(f"s_{p}_{b}")
-            for (p, b), e in zip(
-                [(p, b) for p in range(16) for b in range(4)],
-                _simhash_sum_exprs("spark"),
+            F.expr(f"CAST(conv(substr(h, {8 * c + 1}, 8), 16, 10) AS BIGINT)").alias(
+                f"w{c}"
             )
-        ]
+            for c in range(2)
+        ],
     )
-    fp = sums.select("doc_id", F.expr(_simhash_digit_expr()).alias("simhash"))
+    accs = []
+    for p in range(16):
+        c, j = p // 8, p % 8
+        for b in range(4):
+            s = 4 * (7 - j) + b
+            accs.append(
+                F.expr(
+                    f"SUM(CASE WHEN (shiftright(w{c}, {s}) & 1) = 1 "
+                    f"THEN 1 ELSE -1 END)"
+                ).alias(f"s_{p}_{b}")
+            )
+    sums = wordbits.groupBy("doc_id").agg(*accs)
+    fp = sums.select(
+        "doc_id", F.expr(_simhash_digit_expr()).alias("simhash")
+    ).persist()
     quarter_arr = F.array(
         *[F.substring("simhash", qi * 4 + 1, 4) for qi in range(4)]
     )
-    quarters = fp.select(
-        "doc_id", "simhash", F.posexplode(quarter_arr).alias("qi", "qv")
-    )
+    quarters = fp.select("doc_id", F.posexplode(quarter_arr).alias("qi", "qv"))
     a, b = quarters.alias("a"), quarters.alias("b")
     cand = (
         a.join(
@@ -389,14 +414,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sa"),
-            F.col("b.simhash").alias("sb"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    ham = F.expr(_simhash_hamming_expr("spark"))
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    # the fingerprint is 16 hex chars = two 32-bit chunks
+    ham = F.expr(
+        " + ".join(
+            f"bit_count(CAST(conv(substr(sa, {8 * c + 1}, 8), 16, 10) AS BIGINT)"
+            f" ^ CAST(conv(substr(sb, {8 * c + 1}, 8), 16, 10) AS BIGINT))"
+            for c in range(2)
+        )
+    )
     return (
-        cand.withColumn("hamming_raw", ham)
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("hamming_raw", ham)
         .filter(F.col("hamming_raw") <= _HAMMING_MAX)
         .select(
             "doc_a", "doc_b", F.col("hamming_raw").cast("bigint").alias("hamming")
