@@ -673,3 +673,70 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     blobs = docs.select("doc_id", F.col("text").cast("binary").alias("blob"))
     return stub_decode_features(blobs)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN — inverted-file index: coarse quantize every vector to its nearest
+# centroid, probe the query's top-2 cells only.
+# ---------------------------------------------------------------------------
+
+_IVF_CENT_MOD = 50  # centroids = vec_id % 50 == 0 (deterministic "training")
+_IVF_QUERY_MOD = 25
+_IVF_NPROBE = 2
+_IVF_TOPK = 5
+
+
+def _ann_ivf_sql(d: str) -> str:
+    return f"""
+WITH base AS (SELECT vec_id, {to_double_arr('embedding', d)} AS emb FROM {tbl('embeddings', d)}),
+normed AS (SELECT vec_id, emb, sqrt({dot('emb', 'emb', DIM, d)}) AS nrm FROM base),
+cents AS (
+  SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM normed
+  WHERE vec_id % {_IVF_CENT_MOD} = 0
+),
+assign AS (
+  SELECT vec_id, emb, nrm, cid FROM (
+    SELECT n.vec_id, n.emb, n.nrm, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY {dot('n.emb', 'c.cemb', DIM, d)} / (n.nrm * c.cnrm) DESC, c.cid
+           ) AS crnk
+    FROM normed n CROSS JOIN cents c
+  ) a WHERE crnk = 1
+),
+qprobe AS (
+  SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm, cid FROM (
+    SELECT n.vec_id, n.emb, n.nrm, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY {dot('n.emb', 'c.cemb', DIM, d)} / (n.nrm * c.cnrm) DESC, c.cid
+           ) AS crnk
+    FROM normed n CROSS JOIN cents c
+    WHERE n.vec_id % {_IVF_QUERY_MOD} = 0
+  ) p WHERE crnk <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT q.qid, a.vec_id AS neighbor_id,
+         {dot('q.qemb', 'a.emb', DIM, d)} / (q.qnrm * a.nrm) AS cos_sim
+  FROM qprobe q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid AS query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM cand
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, round(cos_sim, 6) AS cosine
+FROM ranked WHERE rnk <= {_IVF_TOPK}
+"""
+
+
+@query("sim_ann_ivf", oracle=_ann_ivf_sql("duck"), tags=("llm", "similarity"))
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: every vector is coarse-quantized
+    to its nearest centroid (the centroid set broadcasts — it is ~sqrt(N)
+    rows); queries probe only their top-2 cells, so search cost is
+    |q| * N/cells * nprobe instead of |q| * N. The assignment pass is one
+    broadcast cross join + per-vector top-1 (no all-pairs shuffle) — the
+    standard billion-scale ANN layout (FAISS IVF) expressed relationally."""
+    views(spark, sf_dir, "embeddings")
+    return spark.sql(_ann_ivf_sql("spark"))

@@ -47,6 +47,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 def all_queries() -> dict[str, QueryDef]:
     """Import every query module and return the populated registry."""
-    from . import llm_ops, reference_ops, sql_surface, streaming_surface, tpch  # noqa: F401
+    from . import (  # noqa: F401
+        llm_ops,
+        reference_ops,
+        sql_surface,
+        streaming_surface,
+        timeseries,
+        tpch,
+    )
 
     return QUERIES

@@ -265,3 +265,56 @@ def sql_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-column DISTINCT aggregation (expand + two-phase agg in Spark)."""
     views(spark, sf_dir, "events")
     return spark.sql(_distinct_sql("spark"))
+
+
+def _grouping_sets_sql(d: str) -> str:
+    return f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+FROM {tbl('orders', d)}
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority), ())
+"""
+
+
+@query("sql_grouping_sets", oracle=_grouping_sets_sql("duck"), tags=("sql", "agg"))
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS: four aggregation granularities in one pass (Spark
+    expands to a single Expand + hash aggregate — one scan, one shuffle)."""
+    views(spark, sf_dir, "orders")
+    return spark.sql(_grouping_sets_sql("spark"))
+
+
+def _cube_sql(d: str) -> str:
+    return f"""
+SELECT o_orderstatus, o_orderpriority, year(o_orderdate) AS o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM {tbl('orders', d)}
+GROUP BY CUBE (o_orderstatus, o_orderpriority, year(o_orderdate))
+"""
+
+
+@query("sql_cube", oracle=_cube_sql("duck"), tags=("sql", "agg"))
+def sql_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over three dimensions: all 8 grouping combinations from one
+    scan via Expand — the OLAP rollup lattice."""
+    views(spark, sf_dir, "orders")
+    return spark.sql(_cube_sql("spark"))
+
+
+@query("sql_approx_distinct", oracle=None, tags=("sql", "agg", "approx"))
+def sql_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch per event type — the 100 TB
+    cardinality operator (mergeable, constant memory; exact distinct would
+    shuffle every key). No SQL oracle: sketch estimates are
+    engine-specific; tests/test_approx.py bounds the error vs exact."""
+    views(spark, sf_dir, "events")
+    return spark.sql(
+        f"""
+SELECT event_type,
+       approx_count_distinct(user_id) AS approx_users,
+       approx_count_distinct(event_id) AS approx_events
+FROM {tbl('events', 'spark')}
+GROUP BY event_type
+"""
+    )

@@ -1,0 +1,185 @@
+"""Time-series / interval operators the reference's event pipeline implies
+but never generalizes (SURVEY §2.3: the reference has only RPC lookup joins;
+§2.6 T6 extensions): as-of join, interval range join, quantile monitoring.
+
+Spark-first designs:
+- as-of join = union + partitioned window scan (one shuffle on the join key,
+  no range explosion) — the standard distributed formulation.
+- range join = broadcast nested-loop against the tiny interval side.
+- quantiles = exact interpolated percentiles per group (same interpolation
+  formula as the DuckDB oracle's quantile_cont).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .dialect import tbl, ts_str, views
+from .registry import query
+
+
+def _asof_sql(d: str) -> str:
+    # Oracle uses DuckDB's native ASOF JOIN (inclusive t_left >= t_right);
+    # right side pre-aggregated to one row per (user_id, ts) so the match is
+    # unambiguous under timestamp ties.
+    right_agg = (
+        "SELECT user_id, ts, max_by(value, event_id) AS p_value"
+        if d == "spark"
+        else "SELECT user_id, ts, arg_max(value, event_id) AS p_value"
+    )
+    if d == "duck":
+        return f"""
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  {right_agg} FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, {ts_str('c.ts', d)} AS click_ts,
+       c.value AS click_value, p.p_value AS last_purchase_value,
+       CAST(date_diff('second', p.ts, c.ts) AS BIGINT) AS lag_sec
+FROM clicks c
+ASOF JOIN purchases p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+    raise ValueError("spark side is DataFrame-native")
+
+
+@query("ts_asof_join", oracle=_asof_sql("duck"), tags=("timeseries", "join"))
+def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click joins the most recent purchase (ts <=
+    click.ts) of the same user. Distributed formulation: tag and union both
+    sides, one hash shuffle on user_id, then a running last_value(ignore
+    nulls) ordered by (ts, side) — right rows sort before left rows at equal
+    ts, giving inclusive as-of semantics. No per-row range scan, no
+    broadcast requirement: scales to arbitrarily large both sides."""
+    ev = views(spark, sf_dir, "events")["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.expr("max_by(value, event_id)").alias("p_value"))
+    )
+    tagged = clicks.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_left"),
+        "event_id",
+        "value",
+        F.lit(None).cast("double").alias("p_value"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+    ).unionByName(
+        purchases.select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("is_left"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+            "p_value",
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = tagged.withColumn(
+        "last_p_value", F.last("p_value", ignorenulls=True).over(w)
+    ).withColumn("last_p_ts", F.last("p_ts", ignorenulls=True).over(w))
+    return (
+        joined.filter((F.col("is_left") == 1) & F.col("last_p_value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            F.col("value").alias("click_value"),
+            F.col("last_p_value").alias("last_purchase_value"),
+            (F.unix_timestamp("ts") - F.unix_timestamp("last_p_ts"))
+            .cast("bigint")
+            .alias("lag_sec"),
+        )
+    )
+
+
+_BANDS = [
+    (0, 0.0, 50_000.0),
+    (1, 50_000.0, 150_000.0),
+    (2, 150_000.0, 300_000.0),
+    (3, 300_000.0, 450_000.0),
+    (4, 450_000.0, 1_000_000.0),
+]
+
+
+def _band_values(d: str) -> str:
+    rows = ", ".join(f"({i}, {lo}, {hi})" for i, lo, hi in _BANDS)
+    return f"(VALUES {rows}) AS b(band_id, lo, hi)"
+
+
+def _range_band_sql(d: str) -> str:
+    return f"""
+SELECT b.band_id, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+FROM {tbl('orders', d)} o
+JOIN {_band_values(d)} ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band_id
+"""
+
+
+@query("ts_range_band_join", oracle=_range_band_sql("duck"), tags=("timeseries", "join"))
+def ts_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: orders against a tiny static band table on a
+    lo <= x < hi predicate. Physically a broadcast nested-loop join — the
+    correct plan when one side is a handful of intervals; the fact table
+    never shuffles."""
+    orders = views(spark, sf_dir, "orders")["orders"]
+    bands = spark.createDataFrame(_BANDS, ["band_id", "lo", "hi"])
+    j = orders.join(
+        F.broadcast(bands),
+        (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+    )
+    return (
+        j.groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+_PCT_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("ts_percentile_monitor", oracle=_PCT_ORACLE, tags=("timeseries", "agg"))
+def ts_percentile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO quantiles per metric stream (A3 generalized): exact interpolated
+    p50/p95/p99 of event values. Spark's `percentile` and DuckDB's
+    `quantile_cont` share the (n-1)*q linear-interpolation definition. At
+    ingest scale the same query swaps to `approx_percentile` (t-digest,
+    single-pass mergeable sketch) with identical shape."""
+    views(spark, sf_dir, "events")
+    return spark.sql(
+        f"""
+SELECT event_type,
+       round(pct[0], 6) AS p50, round(pct[1], 6) AS p95, round(pct[2], 6) AS p99, n
+FROM (
+  SELECT event_type,
+         percentile(value, array(0.5D, 0.95D, 0.99D)) AS pct,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM {tbl('events', 'spark')}
+  GROUP BY event_type
+)
+"""
+    )
