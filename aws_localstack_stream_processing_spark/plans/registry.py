@@ -50,6 +50,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import (  # noqa: F401
         llm_ops,
         reference_ops,
+        scale_ops,
         sql_surface,
         streaming_surface,
         timeseries,

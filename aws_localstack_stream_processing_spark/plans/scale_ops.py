@@ -1,0 +1,98 @@
+"""Skew- and scale-management operators.
+
+These queries compute ordinary relational answers, but with the physical
+strategies a 100 TB deployment needs when keys are hot: two-phase salted
+aggregation and salted replicate-joins. The DuckDB oracle runs the plain
+(unsalted) query — results must be identical, proving the rewrite is
+semantics-preserving. AQE's skew-join splitting handles post-shuffle skew
+automatically; explicit salting is the tool when a *single grouping key*
+dominates (pre-aggregation) or the dimension side must be replicated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dialect import tbl, views
+from .registry import query
+
+_N_SALTS = 16
+
+
+def _hot_key_sql(d: str) -> str:
+    return f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM {tbl('events', d)}
+GROUP BY event_type
+"""
+
+
+@query("scale_salted_hot_key_agg", oracle=_hot_key_sql("duck"), tags=("scale", "agg", "skew"))
+def scale_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for hot grouping keys: phase 1 groups by
+    (key, salt) so a dominant key spreads over N_SALTS reducers; phase 2
+    merges the partials. COUNT(DISTINCT user_id) stays exact by carrying the
+    per-salt distinct sets through `collect_set` and unioning in phase 2
+    (sets stay small because user cardinality per key is bounded). Identical
+    result to the plain GROUP BY oracle."""
+    ev = views(spark, sf_dir, "events")["events"]
+    salted = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(_N_SALTS)))
+    phase1 = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("psum"),
+        F.collect_set("user_id").alias("pusers"),
+    )
+    return (
+        phase1.groupBy("event_type")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_events"),
+            F.sum("psum").cast("double").alias("sum_value"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("pusers"))))
+            .cast("bigint")
+            .alias("n_users"),
+        )
+    )
+
+
+def _skew_join_sql(d: str) -> str:
+    return f"""
+WITH user_dim AS (
+  SELECT user_id, MIN(ts) AS first_seen
+  FROM {tbl('events', d)} GROUP BY user_id
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+       CAST(MIN(u.first_seen = e.ts) AS {'BOOLEAN' if d == 'duck' else 'BOOLEAN'}) AS any_first
+FROM {tbl('events', d)} e
+JOIN user_dim u ON e.user_id = u.user_id
+GROUP BY e.event_type
+"""
+
+
+@query("scale_salted_skew_join", oracle=_skew_join_sql("duck"), tags=("scale", "join", "skew"))
+def scale_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicate-join for a skewed fact key: the fact side gets a
+    random-but-deterministic salt in [0, N); the dimension side is
+    replicated N ways with `explode(sequence(...))`; the join key becomes
+    (user_id, salt) so one hot user spreads across N tasks. Same rows as
+    the plain equi-join oracle."""
+    ev = views(spark, sf_dir, "events")["events"]
+    user_dim = ev.groupBy("user_id").agg(F.min("ts").alias("first_seen"))
+    fact = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(_N_SALTS)))
+    dim_rep = user_dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_N_SALTS - 1)))
+    ).withColumn("salt", F.col("salt").cast("long"))
+    j = fact.join(dim_rep, ["user_id", "salt"])
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+            F.min(F.col("first_seen") == F.col("ts")).alias("any_first"),
+        )
+    )

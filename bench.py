@@ -25,7 +25,9 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
     "tpch_q10_returned_items",
+    "tpch_q18_large_volume",
     # reference pipelines
     "ref_ingest_partition_assign",
     "ref_minute_sum",
@@ -37,7 +39,11 @@ HEADLINE = [
     "dedup_simhash",
     "sim_cosine_topk",
     "sim_ann_lsh",
+    "sim_ann_ivf",
     "text_stats_quality",
+    # time-series + skew ops
+    "ts_asof_join",
+    "scale_salted_hot_key_agg",
     # streaming path
     "stream_minute_sum",
 ]
