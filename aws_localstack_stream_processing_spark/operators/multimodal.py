@@ -62,3 +62,73 @@ def stub_decode_features(df: DataFrame, id_col: str = "doc_id", binary_col: str 
             )
 
     return df.mapInPandas(fn, STUB_FEATURE_SCHEMA)
+
+
+STUB_FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, frame_offset bigint, frame_sha string"
+)
+
+
+def stub_frame_sample(
+    df: DataFrame, id_col: str = "doc_id", binary_col: str = "blob"
+) -> DataFrame:
+    """UDTF-shaped frame sampler: one input blob → n_frames output rows
+    (video frame extraction shape). Frame count/offsets are deterministic
+    functions of the payload so the SQL oracle replicates them; a real
+    ffmpeg-based sampler swaps into the same 1→N mapInPandas contract."""
+
+    def fn(batches):
+        import hashlib
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame_sha": []}
+            for doc_id, blob in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(blob)
+                n = len(b) % 7 + 1
+                stride = len(b) // n
+                sha = hashlib.sha256(b).hexdigest()
+                for i in range(n):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(i * stride)
+                    out["frame_sha"].append(
+                        hashlib.sha256(f"{sha}|{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(fn, STUB_FRAME_SCHEMA)
+
+
+STUB_RESIZE_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, "
+    "out_width bigint, out_height bigint, est_bytes bigint"
+)
+
+_RESIZE_BOX = 224
+
+
+def stub_resize(df: DataFrame) -> DataFrame:
+    """Image-resize stub: aspect-preserving fit into a 224×224 box, integer
+    arithmetic only (bit-identical to the SQL oracle). Input rows carry the
+    fake decoded (width, height); a real implementation would decode pixels
+    from the binary column and emit resized buffers through the identical
+    Arrow-batched scalar contract."""
+
+    def fn(batches):
+        for pdf in batches:
+            w, h = pdf["width"], pdf["height"]
+            longest = w.combine(h, max)
+            ow = (w * _RESIZE_BOX // longest).clip(lower=1).astype("int64")
+            oh = (h * _RESIZE_BOX // longest).clip(lower=1).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": w.astype("int64"),
+                    "height": h.astype("int64"),
+                    "out_width": ow,
+                    "out_height": oh,
+                    "est_bytes": (ow * oh * 3).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(fn, STUB_RESIZE_SCHEMA)

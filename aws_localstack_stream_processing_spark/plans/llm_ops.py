@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing, text
@@ -492,10 +492,46 @@ FROM ranked WHERE rnk <= 10
 @query("sim_cosine_topk", oracle=_topk_sql("duck"), tags=("llm", "similarity", "topk"))
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k nearest neighbors for a query set — the
-    exact ANN baseline. Per-query top-k is a windowed rank; at scale the
-    per-partition partial top-k folds into TakeOrdered."""
+    exact ANN baseline. The normalized table materializes once (norms are
+    not recomputed per side); the tiny query side broadcasts, so the scan of
+    the corpus is a single pass with no shuffle; per-query top-k is a
+    windowed rank over |q|·k rows."""
     views(spark, sf_dir, "embeddings")
-    return spark.sql(_topk_sql("spark"))
+    normed = spark.sql(
+        f"""
+SELECT vec_id, emb, sqrt({dot('emb', 'emb', DIM, 'spark')}) AS nrm
+FROM (SELECT vec_id, {to_double_arr('embedding', 'spark')} AS emb
+      FROM {tbl('embeddings', 'spark')})
+"""
+    ).persist()
+    q = F.broadcast(
+        normed.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    pairs = q.join(normed, F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            F.expr(dot("qemb", "emb", DIM, "spark"))
+            / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.round("cos_sim", 6).alias("cosine"),
+        )
+    )
 
 
 def _hyperplane_signs(p: int) -> list[int]:
@@ -538,9 +574,41 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest-neighbor via random-hyperplane LSH: 8 signed
     projections → 8-bit bucket → equi-join within buckets → exact cosine
     verify. The all-pairs O(n²) of the brute-force path becomes a shuffle on
-    the bucket key; recall trades off against bucket width."""
+    the bucket key; recall trades off against bucket width. The bucketed
+    table (projections are 8 × 64-term folds) materializes once instead of
+    once per self-join side."""
     views(spark, sf_dir, "embeddings")
-    return spark.sql(_ann_lsh_sql("spark"))
+    bucket_bits = ", ".join(
+        f"(CASE WHEN {dot_const('emb', _hyperplane_signs(p), 'spark')} >= 0 "
+        "THEN '1' ELSE '0' END)"
+        for p in range(_N_PLANES)
+    )
+    buckets = spark.sql(
+        f"""
+SELECT vec_id, emb, sqrt({dot('emb', 'emb', DIM, 'spark')}) AS nrm,
+       concat({bucket_bits}) AS bucket
+FROM ({_emb_corpus('spark')})
+"""
+    ).persist()
+    a = buckets.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("ea"),
+        F.col("nrm").alias("na"),
+        "bucket",
+    )
+    b = buckets.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
+    )
+    cand = a.join(b, ["bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
+    cos = F.expr(dot("ea", "eb", DIM, "spark")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= _ANN_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cosine"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -740,3 +808,75 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard billion-scale ANN layout (FAISS IVF) expressed relationally."""
     views(spark, sf_dir, "embeddings")
     return spark.sql(_ann_ivf_sql("spark"))
+
+
+def _mm_frame_oracle() -> str:
+    # DuckDB replica of the deterministic frame-sampling arithmetic
+    blen = "octet_length(CAST(text AS BLOB))"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {blen} AS blen, sha256(text) AS sha,
+         {blen} % 7 + 1 AS n_frames
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, blen, sha, n_frames,
+         unnest(generate_series(0, n_frames - 1)) AS frame_idx
+  FROM base
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(frame_idx * (blen // n_frames) AS BIGINT) AS frame_offset,
+       sha256(concat(sha, '|', CAST(frame_idx AS VARCHAR))) AS frame_sha
+FROM frames
+"""
+
+
+@query("mm_frame_sample", oracle=_mm_frame_oracle(), tags=("llm", "multimodal"))
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal 1→N: video-style frame sampling as a UDTF-shaped
+    mapInPandas (one blob in, n_frames rows out). Emitted offsets/ids are
+    deterministic so the oracle replicates them; the row-explosion contract
+    (schema, Arrow batching, partition parallelism) is the real operator."""
+    from ..catalog import load_table
+    from ..operators.multimodal import stub_frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select("doc_id", F.col("text").cast("binary").alias("blob"))
+    return stub_frame_sample(blobs)
+
+
+def _mm_resize_oracle() -> str:
+    blen = "octet_length(CAST(text AS BLOB))"
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+         {blen} % 640 + 1 AS w,
+         ({blen} * 31) % 480 + 1 AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(greatest(w * 224 // greatest(w, h), 1) AS BIGINT) AS out_width,
+       CAST(greatest(h * 224 // greatest(w, h), 1) AS BIGINT) AS out_height,
+       CAST(greatest(w * 224 // greatest(w, h), 1)
+            * greatest(h * 224 // greatest(w, h), 1) * 3 AS BIGINT) AS est_bytes
+FROM dims
+"""
+
+
+@query("mm_resize", oracle=_mm_resize_oracle(), tags=("llm", "multimodal"))
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal scalar transform: aspect-preserving resize planning
+    (integer-exact 224-box fit) over decoded dimensions, Arrow-batched.
+    Composes with mm_decode_features: decode → resize is two mapInPandas
+    stages with no shuffle between them (narrow pipeline)."""
+    from ..catalog import load_table
+    from ..operators.multimodal import stub_resize
+
+    docs = load_table(spark, sf_dir, "documents")
+    dims = docs.selectExpr(
+        "doc_id",
+        "octet_length(CAST(text AS BINARY)) % 640 + 1 AS width",
+        "(octet_length(CAST(text AS BINARY)) * 31) % 480 + 1 AS height",
+    )
+    return stub_resize(dims)
