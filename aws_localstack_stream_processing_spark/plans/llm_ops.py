@@ -880,3 +880,53 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(octet_length(CAST(text AS BINARY)) * 31) % 480 + 1 AS height",
     )
     return stub_resize(dims)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction — corpus-wide document frequency join, top terms
+# per document. The idf uses the log-free rational form (N+1)/(df+1) so
+# scores are bit-exact across engines (no libm ln differences).
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOPN = 3
+
+
+def _tfidf_sql(d: str) -> str:
+    docs = tbl("documents", d)
+    uw = unnest_fn(d)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {uw}({text.words('text', d)}) AS term FROM {docs}
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY term
+),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM toks),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * (n.n_docs + 1.0) / (df.df + 1.0) AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk, round(score, 6) AS tfidf
+FROM ranked WHERE rnk <= {_TFIDF_TOPN} AND doc_id % 10 = 0
+"""
+
+
+@query("text_tfidf", oracle=_tfidf_sql("duck"), tags=("llm", "text"))
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: per-doc term frequency ⋈ corpus document
+    frequency (one shuffle each on the term key), rational smoothed idf,
+    windowed top-3 per document. The df table is tiny relative to the corpus
+    (vocabulary-sized) — at 100 TB it broadcasts; Catalyst picks that
+    automatically from stats."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_tfidf_sql("spark"))

@@ -11,13 +11,13 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..streaming.keyring import lru_keyring_assign
 from ..streaming.source import events_stream
 from .dialect import tbl, ts_str
-from .reference_ops import _lru_rotation_sql, _minute_sum_sql
+from .reference_ops import _alarm_sql, _lru_rotation_sql, _minute_sum_sql
 from .registry import query
 
 
@@ -218,3 +218,31 @@ def stream_lru_keyring(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_stream(spark, sf_dir)
     assigned = lru_keyring_assign(ev, key_ids, batch_size=100)
     return _to_memory(assigned, "append")
+
+
+@query("stream_alarm_threshold", oracle=_alarm_sql("duck"), tags=("streaming", "agg", "alarm"))
+def stream_alarm_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 streaming: the hourly counts aggregate inside Structured Streaming
+    (complete mode); the k-consecutive-breach detector (window-over-window,
+    not incrementally expressible) runs as a batch query over the streamed
+    sink — the CloudWatch alarm split (metric pipeline streams, alarm
+    evaluation reads the metric store; app.ts:547-588)."""
+    from .reference_ops import _ALARM_THRESHOLD
+
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    sunk = _to_memory(agg, "complete")
+    w = Window.partitionBy("event_type").orderBy("h")
+    seq = sunk.withColumn("n_prev1", F.lag("n", 1).over(w)).withColumn(
+        "n_prev2", F.lag("n", 2).over(w)
+    )
+    thr = _ALARM_THRESHOLD
+    return seq.filter(
+        (F.col("n") > thr) & (F.col("n_prev1") > thr) & (F.col("n_prev2") > thr)
+    ).select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("n").cast("bigint").alias("n"),
+    )
