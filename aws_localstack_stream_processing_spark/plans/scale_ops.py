@@ -96,3 +96,49 @@ def scale_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col("first_seen") == F.col("ts")).alias("any_first"),
         )
     )
+
+
+def _mode_sql(d: str) -> str:
+    return f"""
+SELECT user_id, event_type AS top_type, CAST(n AS BIGINT) AS n
+FROM (
+  SELECT user_id, event_type, COUNT(*) AS n,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type
+         ) AS rn
+  FROM {tbl('events', d)}
+  GROUP BY user_id, event_type
+) t
+WHERE rn = 1
+"""
+
+
+@query("grouped_map_mode", oracle=_mode_sql("duck"), tags=("scale", "udf", "grouped-map"))
+def grouped_map_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF-shaped grouped-map: per-user modal event type via
+    ``applyInPandas`` (whole group as one Arrow batch → one output row;
+    deterministic lexicographic tie-break). The oracle is the pure-SQL
+    window formulation — proving the Python operator matches relational
+    semantics. Shuffle profile: one hash partition on the group key, same
+    as the SQL plan."""
+    ev = views(spark, sf_dir, "events")["events"]
+
+    def mode_fn(pdf):
+        import pandas as pd
+
+        counts = (
+            pdf.groupby("event_type").size().reset_index(name="n")
+            .sort_values(["n", "event_type"], ascending=[False, True])
+        )
+        top = counts.iloc[0]
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "top_type": [top["event_type"]],
+                "n": [int(top["n"])],
+            }
+        )
+
+    return ev.select("user_id", "event_type").groupBy("user_id").applyInPandas(
+        mode_fn, "user_id bigint, top_type string, n bigint"
+    )

@@ -318,3 +318,70 @@ FROM {tbl('events', 'spark')}
 GROUP BY event_type
 """
     )
+
+
+def _unpivot_sql(d: str) -> str:
+    # wide per-type aggregate -> long (metric, value) via stack/UNION ALL —
+    # identical row product in both engines
+    wide = f"""
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+         CAST(COUNT(*) AS DOUBLE) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users
+  FROM {tbl('events', d)} GROUP BY event_type
+"""
+    if d == "spark":
+        return f"""
+SELECT event_type, metric, val
+FROM ({wide}) w
+LATERAL VIEW stack(3,
+  'total_value', total_value,
+  'n_events', n_events,
+  'n_users', n_users) AS metric, val
+"""
+    return f"""
+WITH w AS ({wide})
+SELECT event_type, 'total_value' AS metric, total_value AS val FROM w
+UNION ALL
+SELECT event_type, 'n_events', n_events FROM w
+UNION ALL
+SELECT event_type, 'n_users', n_users FROM w
+"""
+
+
+@query("sql_unpivot", oracle=_unpivot_sql("duck"), tags=("sql", "reshape"))
+def sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (unpivot/melt) via stack — the inverse of
+    sql_pivot; generates rows without a shuffle or join."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_unpivot_sql("spark"))
+
+
+def _frames_sql(d: str) -> str:
+    rows_w = "PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW"
+    range_w = "PARTITION BY user_id ORDER BY epoch_s RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW"
+    epoch = (
+        "CAST(unix_timestamp(ts) AS BIGINT)"
+        if d == "spark"
+        else "CAST(epoch(ts) AS BIGINT)"
+    )
+    return f"""
+WITH base AS (
+  SELECT user_id, event_id, ts, {epoch} AS epoch_s,
+         CAST(value AS DECIMAL(28,6)) AS dval
+  FROM {tbl('events', d)}
+)
+SELECT user_id, event_id,
+       CAST(SUM(dval) OVER ({rows_w}) AS DOUBLE) AS moving_sum_4,
+       CAST(COUNT(*) OVER ({range_w}) AS BIGINT) AS n_last_hour
+FROM base
+"""
+
+
+@query("sql_window_frames", oracle=_frames_sql("duck"), tags=("sql", "window"))
+def sql_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window frame specs: a ROWS frame (last 4 rows moving sum,
+    exact decimal) and a numeric RANGE frame (sliding 1-hour count over
+    epoch seconds) — one sort per user partition serves both frames."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_frames_sql("spark"))

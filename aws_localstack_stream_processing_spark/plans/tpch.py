@@ -406,3 +406,38 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     the > comparison engine-independent)."""
     views(spark, sf_dir, "customer", "orders")
     return spark.sql(_q22_sql("spark"))
+
+
+def _q21_sql(d: str) -> str:
+    # Official Q21's "kept orders waiting" needs receipt/commit dates; the
+    # l_returnflag = 'R' flag stands in for "late". Shape preserved: join +
+    # correlated EXISTS + correlated NOT EXISTS on the same fact table.
+    return f"""
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM {tbl('supplier', d)} s
+JOIN {tbl('lineitem', d)} l1 ON s.s_suppkey = l1.l_suppkey
+JOIN {tbl('orders', d)} o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM {tbl('lineitem', d)} l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM {tbl('lineitem', d)} l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+"""
+
+
+@query("tpch_q21_waiting_supplier", oracle=_q21_sql("duck"), tags=("sql", "semijoin", "antijoin"))
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: one fact table referenced three ways — base join +
+    correlated EXISTS (left-semi) + correlated NOT EXISTS (left-anti), both
+    decorrelated onto the same orderkey shuffle."""
+    views(spark, sf_dir, "supplier", "lineitem", "orders")
+    return spark.sql(_q21_sql("spark"))
