@@ -50,14 +50,32 @@ HEADLINE = [
 
 
 def main() -> None:
+    from pyspark.sql import functions as F
+
     from aws_localstack_stream_processing_spark.plans import all_queries
     from aws_localstack_stream_processing_spark.session import get_spark
 
     spark = get_spark(app_name="slsp-bench")
     qs = all_queries()
 
-    # JVM/codegen warmup outside the timed region
+    # JVM/codegen warmup outside the timed region: exercise the code paths
+    # the headline queries hit (vectorized parquet scan, decimal hash agg,
+    # broadcast join, window) so timings reflect steady state, not first-hit
+    # JIT compilation
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    wu = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+    (
+        wu.join(wu.selectExpr("s_suppkey AS k", "s_acctbal AS b"),
+                wu.s_suppkey == F.col("k"))
+        .selectExpr(
+            "s_nationkey",
+            "CAST(s_acctbal AS DECIMAL(28,6)) AS d",
+            "row_number() OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) AS rn",
+        )
+        .groupBy("s_nationkey")
+        .agg(F.sum("d"), F.max("rn"))
+        .write.format("noop").mode("overwrite").save()
+    )
 
     times: dict[str, float] = {}
     for name in HEADLINE:
@@ -65,6 +83,9 @@ def main() -> None:
         df = qs[name].fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        # queries that materialize intermediates (persist) pay for them
+        # inside their own timing; drop the cache so queries stay isolated
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     try:

@@ -1,0 +1,62 @@
+"""Physical-plan assertions — the scale properties that row-count checks
+can't see: predicate pushdown reaching the parquet scan, column pruning,
+broadcast join selection, and shuffle budgets."""
+
+from __future__ import annotations
+
+from .conftest import SF_DIR
+
+
+def _plan(spark, name):
+    from aws_localstack_stream_processing_spark.plans import all_queries
+
+    df = all_queries()[name].fn(spark, SF_DIR)
+    qe = df._jdf.queryExecution()
+    return qe.sparkPlan().toString(), qe.executedPlan().toString()
+
+
+def test_q6_pushdown_and_pruning(spark):
+    plan, _ = _plan(spark, "tpch_q6_forecast_revenue")
+    # every predicate reaches the parquet reader
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:300]
+    # column pruning: only the 4 referenced columns are read
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("l_extendedprice", "l_discount", "l_quantity", "l_shipdate"):
+        assert col in read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_q3_broadcasts_small_sides(spark):
+    plan, _ = _plan(spark, "tpch_q3_shipping_priority")
+    # customer and orders sides broadcast; lineitem never shuffles for a join
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_exact_single_shuffle(spark):
+    plan, executed = _plan(spark, "dedup_exact")
+    # partial agg -> one exchange on the hash key -> final agg
+    # (sparkPlan is pre-EnsureRequirements; exchanges appear in executedPlan)
+    assert executed.count("Exchange") == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_range_band_join_broadcast_nested_loop(spark):
+    plan, executed = _plan(spark, "ts_range_band_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    # the only exchanges are the band broadcast and the final agg shuffle —
+    # the orders fact side itself never hash-shuffles for the join
+    assert executed.count("ShuffleExchange") + executed.count(
+        "Exchange hashpartitioning"
+    ) <= 1
+
+
+def test_asof_join_single_shuffle_no_cartesian(spark):
+    plan, executed = _plan(spark, "ts_asof_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # union + window: one exchange for the purchases (user_id, ts) pre-agg,
+    # one on user_id feeding the window sort — and nothing else (no join
+    # shuffle, no range explosion)
+    assert executed.count("Exchange hashpartitioning") == 2
