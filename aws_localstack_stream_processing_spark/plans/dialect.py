@@ -122,14 +122,15 @@ def to_double_arr(expr: str, d: str) -> str:
 
 
 def dot(a: str, b: str, dim: int, d: str) -> str:
-    """Sequential-fold dot product of two DOUBLE arrays — identical
-    left-to-right summation order in both engines, so the result is
-    bit-exact across Spark and DuckDB (IEEE ops in a fixed order)."""
+    """Dot product of two DOUBLE arrays with a fixed left-to-right summation
+    order, so the result is bit-exact across Spark and DuckDB (IEEE ops in a
+    fixed order). The Spark side is a flat 64-term sum — plain expressions
+    stay inside whole-stage codegen, unlike higher-order functions
+    (aggregate/transform) which run interpreted per row; the left-associative
+    ``+`` chain is the same order as DuckDB's sequential fold."""
     if d == "spark":
-        return (
-            f"aggregate(transform(sequence(0, {dim - 1}), i -> {a}[i] * {b}[i]), "
-            f"CAST(0 AS DOUBLE), (x, y) -> x + y)"
-        )
+        terms = " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim))
+        return f"(CAST(0 AS DOUBLE) + {terms})"
     return (
         f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
         f"list_transform(generate_series(1, {dim}), i -> {a}[i] * {b}[i])), "
@@ -143,11 +144,12 @@ def dot_const(a: str, signs: list[int], d: str) -> str:
     lit = ", ".join(str(s) for s in signs)
     dim = len(signs)
     if d == "spark":
-        return (
-            f"aggregate(transform(sequence(0, {dim - 1}), "
-            f"i -> {a}[i] * CAST(array({lit})[i] AS DOUBLE)), "
-            f"CAST(0 AS DOUBLE), (x, y) -> x + y)"
+        # flat codegen-friendly form; constant folding turns each term into
+        # {a}[i] or -{a}[i]
+        terms = " + ".join(
+            f"{a}[{i}] * CAST({signs[i]} AS DOUBLE)" for i in range(dim)
         )
+        return f"(CAST(0 AS DOUBLE) + {terms})"
     return (
         f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
         f"list_transform(generate_series(1, {dim}), "
