@@ -930,3 +930,47 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     automatically from stats."""
     views(spark, sf_dir, "documents")
     return spark.sql(_tfidf_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering — connected components over the MinHash pair graph
+# (pairs → clusters → canonical doc). Spark side: iterative min-label
+# propagation (operators/graph.py); oracle: recursive CTE fixpoint.
+# ---------------------------------------------------------------------------
+
+
+def _cc_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_sql('duck')}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b
+)
+SELECT node AS doc_id, MIN(lab) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+@query("dedup_cc_clusters", oracle=_cc_oracle(), tags=("llm", "dedup", "iterative"))
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the MinHash-LSH pair
+    graph by iterative min-label propagation (one join + one agg per round,
+    driver checks only a convergence counter). cluster_id = min doc_id in
+    the component — the canonical document every member dedupes to. The
+    oracle computes the same fixpoint with a recursive CTE; the iterative
+    DataFrame loop is the shape that scales (the CTE's transitive closure
+    does not)."""
+    from ..operators.graph import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
