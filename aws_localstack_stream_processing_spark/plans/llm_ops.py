@@ -26,6 +26,7 @@ from .dialect import (
     arr_intersect_len,
     arr_len,
     arr_union_len,
+    dec_sum,
     dot,
     dot_const,
     intdiv,
@@ -974,3 +975,62 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship composed pipeline — the full training-data prep pass: quality
+# gate → language gate → exact dedup (keep canonical) → per-language corpus
+# stats. One declarative plan; Catalyst fuses the scalar stages into a
+# single codegen'd pass over the corpus, the dedup is the only shuffle.
+# ---------------------------------------------------------------------------
+
+
+def _prep_pipeline_sql(d: str) -> str:
+    nw = text.n_words("text", d)
+    dw = text.distinct_words("text", d)
+    sw = text.stopword_hits("text", d)
+    tc = text.token_count("text", d)
+    quality = (
+        f"(0.5 * (CAST({dw} AS DOUBLE) / {nw})"
+        f" + 0.3 * (1.0 - CAST({sw} AS DOUBLE) / {nw})"
+        f" + 0.2 * LEAST(1.0, {nw} / 100.0))"
+    )
+    return f"""
+WITH corpus AS ({_doc_corpus(d)}),
+scored AS (
+  SELECT doc_id, text,
+         {quality} AS q,
+         CAST({tc} AS BIGINT) AS n_tokens,
+         {hashing.sha256_hex('text', d)} AS content_hash
+  FROM corpus
+),
+gated AS (SELECT * FROM scored WHERE q >= 0.5 AND n_tokens >= 10),
+canonical AS (
+  SELECT content_hash, MIN(doc_id) AS doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_copies
+  FROM gated GROUP BY content_hash
+),
+kept AS (
+  SELECT g.doc_id, g.n_tokens, g.q, c.n_copies
+  FROM gated g JOIN canonical c
+    ON c.content_hash = g.content_hash AND c.doc_id = g.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+       CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_dupes_removed,
+       round({dec_sum('q')} / COUNT(*), 6) AS avg_quality
+FROM kept
+"""
+
+
+@query("llm_prep_pipeline", oracle=_prep_pipeline_sql("duck"), tags=("llm", "pipeline"))
+def llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data prep pass: quality score + token gate →
+    sha256 exact dedup keeping the canonical (minimum-id) copy → corpus
+    yield stats. All scalar stages fuse into one codegen'd scan; the
+    content-hash groupBy is the single shuffle. At 100 TB this is the
+    shape of a nightly corpus build: gate cheap, dedup once, account for
+    everything removed."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_prep_pipeline_sql("spark"))
