@@ -804,11 +804,72 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors: every vector is coarse-quantized
     to its nearest centroid (the centroid set broadcasts — it is ~sqrt(N)
     rows); queries probe only their top-2 cells, so search cost is
-    |q| * N/cells * nprobe instead of |q| * N. The assignment pass is one
-    broadcast cross join + per-vector top-1 (no all-pairs shuffle) — the
-    standard billion-scale ANN layout (FAISS IVF) expressed relationally."""
+    |q| * N/cells * nprobe instead of |q| * N — the standard billion-scale
+    ANN layout (FAISS IVF) expressed relationally.
+
+    The assignment argmax is an aggregation ``max(struct(cos, -cid))`` —
+    map-side combinable, no sort, no shuffle of the (vector × centroid)
+    product (unlike a window rank, which would sort all N·C rows). Windows
+    remain only on the tiny query side. Identical winner to the oracle's
+    ROW_NUMBER (cos DESC, cid ASC): cosines are bit-exact across engines."""
     views(spark, sf_dir, "embeddings")
-    return spark.sql(_ann_ivf_sql("spark"))
+    normed = spark.sql(
+        f"""
+SELECT vec_id, emb, sqrt({dot('emb', 'emb', DIM, 'spark')}) AS nrm
+FROM (SELECT vec_id, {to_double_arr('embedding', 'spark')} AS emb
+      FROM {tbl('embeddings', 'spark')})
+"""
+    ).persist()
+    cents = F.broadcast(
+        normed.filter(F.col("vec_id") % _IVF_CENT_MOD == 0).select(
+            F.col("vec_id").alias("cid"),
+            F.col("emb").alias("cemb"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    cos = F.expr(dot("emb", "cemb", DIM, "spark")) / (F.col("nrm") * F.col("cnrm"))
+    scored = normed.join(cents).withColumn("ccos", cos)
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("ccos"), (-F.col("cid")).alias("nc"))).alias("b"))
+        .select("vec_id", (-F.col("b.nc")).alias("cid"))
+    )
+    # cell members with payloads (assign is slim; join back to normed)
+    members = assign.join(normed, "vec_id")
+    # query side: top-nprobe cells by the same ordering (tiny: window is fine)
+    qscored = scored.filter(F.col("vec_id") % _IVF_QUERY_MOD == 0)
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cid")
+    )
+    qprobe = (
+        qscored.withColumn("crnk", F.row_number().over(wq))
+        .filter(F.col("crnk") <= _IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("emb").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+            "cid",
+        )
+    )
+    qcos = F.expr(dot("qemb", "emb", DIM, "spark")) / (
+        F.col("qnrm") * F.col("nrm")
+    )
+    cand = (
+        qprobe.join(members, "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("cos_sim", qcos)
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _IVF_TOPK)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.round("cos_sim", 6).alias("cosine"),
+        )
+    )
 
 
 def _mm_frame_oracle() -> str:
