@@ -15,6 +15,7 @@ import pytest
 from aws_localstack_stream_processing_spark.functions import hashing, text
 
 CASES = [
+    "",
     "hello world",
     "a",
     "the quick brown fox jumps over the lazy dog",

@@ -96,3 +96,52 @@ def test_keyring_multibatch_rotation(spark):
     # no key used twice before every key used once (LRU fairness)
     for i in range(0, len(keys) - 3, 3):
         assert sorted(keys[i : i + 3]) == key_ids
+
+
+def test_multi_microbatch_stream_equals_batch(spark, tmp):
+    """T1/S6: maxFilesPerTrigger drives multiple micro-batches through the
+    same query; the final streamed result must equal the one-shot batch
+    answer (micro-batch slicing is invisible to the aggregation)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    parts_dir = f"{tmp}/parts"
+    src.repartition(6).write.parquet(parts_dir)
+    n_files = len(glob.glob(f"{parts_dir}/part-*.parquet"))
+    assert n_files >= 6
+
+    schema = spark.read.parquet(parts_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(parts_dir)
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("s"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("mb_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len(q.recentProgress)
+    streamed = {
+        r.event_type: (r.n, r.s) for r in spark.table("mb_agg").collect()
+    }
+    batch = {
+        r.event_type: (r.n, r.s)
+        for r in src.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("s"),
+        )
+        .collect()
+    }
+    assert n_batches >= 6, f"expected one micro-batch per file, got {n_batches}"
+    assert streamed == batch
