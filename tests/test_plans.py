@@ -60,3 +60,22 @@ def test_asof_join_single_shuffle_no_cartesian(spark):
     # one on user_id feeding the window sort — and nothing else (no join
     # shuffle, no range explosion)
     assert executed.count("Exchange hashpartitioning") == 2
+
+
+def test_global_sort_uses_range_partitioning(spark):
+    """A full ORDER BY (no limit) must sample-and-range-partition, not
+    funnel through one task."""
+    df = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .orderBy("o_totalprice", "o_orderkey")
+    )
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in executed.lower()
+
+
+def test_topk_avoids_global_sort(spark):
+    """ORDER BY + LIMIT compiles to TakeOrderedAndProject (per-partition
+    heaps), never a full range-partitioned sort."""
+    plan, executed = _plan(spark, "ref_topk_orders")
+    assert "TakeOrderedAndProject" in executed
+    assert "rangepartitioning" not in executed.lower()

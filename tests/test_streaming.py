@@ -145,3 +145,58 @@ def test_multi_microbatch_stream_equals_batch(spark, tmp):
     }
     assert n_batches >= 6, f"expected one micro-batch per file, got {n_batches}"
     assert streamed == batch
+
+
+def test_watermark_drops_late_rows(spark, tmp):
+    """T5: event-time watermark discards rows arriving after the watermark
+    has passed their window (the late-data policy the reference lacks,
+    SURVEY §2.6 T5). Run 1 advances the watermark past the stale window and
+    persists it in the checkpoint; run 2 delivers stale rows (dropped: their
+    window already closed) plus fresh rows that close the on-time window —
+    so the sink holds exactly the on-time window."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src_dir = f"{tmp}/wm_src"
+    os.makedirs(src_dir)
+
+    def write(name, ts, ids):
+        spark.createDataFrame(
+            [(i, ts) for i in ids], ["id", "ts_s"]
+        ).select("id", F.to_timestamp("ts_s").alias("ts")).coalesce(1).write.parquet(
+            f"{src_dir}/{name}"
+        )
+
+    def run():
+        schema = "id bigint, ts timestamp"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src_dir}/*")
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", f"{tmp}/wm_out")
+            .option("checkpointLocation", f"{tmp}/wm_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write("b1", "2024-01-01 12:00:00", range(10))   # on time
+    run()  # watermark -> 11:00, persisted in the checkpoint
+    write("b2", "2024-01-01 06:00:00", range(100, 105))  # stale: window closed
+    write("b3", "2024-01-01 14:30:00", range(200, 207))  # watermark 13:30 > 13:00 closes the 12:00 window
+    run()
+    sink = spark.read.schema("ws timestamp, n bigint").parquet(f"{tmp}/wm_out")
+    rows = {str(r.ws): r.n for r in sink.collect()}
+    assert rows.get("2024-01-01 12:00:00") == 10, rows
+    assert not any("06:00" in k for k in rows), rows  # late rows dropped
