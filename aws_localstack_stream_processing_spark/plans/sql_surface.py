@@ -112,15 +112,18 @@ FROM assigned
 def _sign_series(tx_hash: pd.Series, key_id: pd.Series) -> pd.Series:
     """Vectorized signing stand-in (U2): HMAC-ish sha256(tx_hash | privkey).
     Real ECDSA (ethers.js signTransaction, signer/index.js:292-295) swaps in
-    here — the Arrow-batched plumbing is the operator."""
+    here — the Arrow-batched plumbing is the operator. Key derivation is
+    memoized per batch: the ring is ~100 keys, so each Arrow batch derives
+    each key once, not once per row."""
     import hashlib
 
-    def _priv(k: int) -> str:
-        return hashlib.sha256(f"key_{k}".encode()).hexdigest()
-
+    privs = {
+        int(k): hashlib.sha256(f"key_{int(k)}".encode()).hexdigest()
+        for k in key_id.unique()
+    }
     return pd.Series(
         [
-            hashlib.sha256(f"{h}|{_priv(int(k))}".encode()).hexdigest()
+            hashlib.sha256(f"{h}|{privs[int(k)]}".encode()).hexdigest()
             for h, k in zip(tx_hash, key_id)
         ]
     )
