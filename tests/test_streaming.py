@@ -200,3 +200,22 @@ def test_watermark_drops_late_rows(spark, tmp):
     rows = {str(r.ws): r.n for r in sink.collect()}
     assert rows.get("2024-01-01 12:00:00") == 10, rows
     assert not any("06:00" in k for k in rows), rows  # late rows dropped
+
+
+def test_chunked_file_sink(spark, tmp):
+    """S9/A5 physical layout: maxRecordsPerFile caps every output file at
+    the chunk size (seed-keys.ts:68-81's 1000-per-file contract)."""
+    import glob
+
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = f"{tmp}/chunks"
+    chunk = 100
+    src.repartition(2).write.option("maxRecordsPerFile", chunk).parquet(out)
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) > 2  # the cap actually split files
+    total = 0
+    for f in files:
+        n = spark.read.parquet(f).count()
+        assert n <= chunk, f
+        total += n
+    assert total == src.count()
