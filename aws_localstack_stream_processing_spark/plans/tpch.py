@@ -441,3 +441,86 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelated onto the same orderkey shuffle."""
     views(spark, sf_dir, "supplier", "lineitem", "orders")
     return spark.sql(_q21_sql("spark"))
+
+
+def _q2_sql(d: str) -> str:
+    # Official Q2 ranks suppliers by min ps_supplycost; without partsupp the
+    # supplier↔part link comes via lineitem and the correlated MIN is over
+    # s_acctbal. Shape preserved: join + correlated scalar agg over a join.
+    return f"""
+SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, s.s_acctbal
+FROM {tbl('part', d)} p
+JOIN {tbl('lineitem', d)} l ON l.l_partkey = p.p_partkey
+JOIN {tbl('supplier', d)} s ON s.s_suppkey = l.l_suppkey
+WHERE p.p_size = 10
+  AND s.s_acctbal = (
+    SELECT MIN(s2.s_acctbal)
+    FROM {tbl('lineitem', d)} l2
+    JOIN {tbl('supplier', d)} s2 ON s2.s_suppkey = l2.l_suppkey
+    WHERE l2.l_partkey = p.p_partkey
+  )
+GROUP BY p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, s.s_acctbal
+ORDER BY s.s_acctbal, p.p_partkey, s.s_suppkey
+LIMIT 50
+"""
+
+
+@query("tpch_q2_min_cost_supplier", oracle=_q2_sql("duck"), tags=("sql", "subquery", "join"))
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar MIN over a two-table join —
+    Catalyst decorrelates into an aggregate on partkey joined back to the
+    outer join tree."""
+    views(spark, sf_dir, "part", "lineitem", "supplier")
+    return spark.sql(_q2_sql("spark"))
+
+
+def _q9_sql(d: str) -> str:
+    return f"""
+SELECT nation, o_year, {dec_sum('amount')} AS sum_profit
+FROM (
+  SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount)
+           - 0.5 * l.l_quantity * p.p_retailprice / 100.0 AS amount
+  FROM {tbl('part', d)} p
+  JOIN {tbl('lineitem', d)} l ON p.p_partkey = l.l_partkey
+  JOIN {tbl('supplier', d)} s ON s.s_suppkey = l.l_suppkey
+  JOIN {tbl('orders', d)} o ON o.o_orderkey = l.l_orderkey
+  JOIN {tbl('nation', d)} n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%a%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@query("tpch_q9_product_profit", oracle=_q9_sql("duck"), tags=("sql", "join", "agg"))
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: 5-way join with a LIKE filter on the part dimension
+    (cost term uses p_retailprice for the absent ps_supplycost), profit
+    grouped by nation × year. part/supplier/nation broadcast; lineitem
+    shuffles once on orderkey."""
+    views(spark, sf_dir, "part", "lineitem", "supplier", "orders", "nation")
+    return spark.sql(_q9_sql("spark"))
+
+
+def _q12_sql(d: str) -> str:
+    # Official Q12 splits line counts by ship mode and priority class;
+    # l_linestatus stands in for the absent l_shipmode.
+    hi = "o.o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    return f"""
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN {hi} THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN NOT ({hi}) THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM {tbl('orders', d)} o
+JOIN {tbl('lineitem', d)} l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_linestatus
+"""
+
+
+@query("tpch_q12_shipping_modes", oracle=_q12_sql("duck"), tags=("sql", "join", "agg"))
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional two-way counts (CASE inside SUM);
+    the shipdate range prunes the lineitem scan."""
+    views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_q12_sql("spark"))
