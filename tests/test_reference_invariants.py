@@ -1,0 +1,79 @@
+"""The reference's five challenge invariants (README.md:15-20), asserted
+end-to-end against the engine's pipelines — the correctness oracle the
+reference itself defines:
+
+1. every record is signed exactly once (no double-signing);
+2. a key is never used concurrently;
+3. one key per processing batch;
+4. keys rotate in least-recently-used order;
+5. batch size is configurable and respected.
+"""
+
+from __future__ import annotations
+
+from .conftest import SF_DIR
+
+BATCH = 100
+
+
+def _assignments(spark):
+    from aws_localstack_stream_processing_spark.catalog import load_table
+    from aws_localstack_stream_processing_spark.plans.streaming_surface import (
+        _to_memory,
+    )
+    from aws_localstack_stream_processing_spark.streaming.keyring import (
+        lru_keyring_assign,
+    )
+    from aws_localstack_stream_processing_spark.streaming.source import events_stream
+
+    key_ids = sorted(
+        r.s_suppkey
+        for r in load_table(spark, SF_DIR, "supplier").select("s_suppkey").collect()
+    )
+    ev = events_stream(spark, SF_DIR)
+    sunk = _to_memory(lru_keyring_assign(ev, key_ids, batch_size=BATCH), "append")
+    rows = sorted(
+        ((r.batch_id, r.key_id, r.n_records) for r in sunk.collect())
+    )
+    return key_ids, rows
+
+
+def test_invariants_1_and_5_signed_once_batch_size(spark, tmp_path):
+    """#1: replaying the signing pipeline adds nothing and the sink is
+    unique per content hash. #5: every processing batch holds <= BATCH
+    records and all but the final batch are full."""
+    from aws_localstack_stream_processing_spark.streaming.jobs import (
+        run_signing_stream,
+    )
+
+    sink, ckpt = f"{tmp_path}/sink", f"{tmp_path}/ckpt"
+    run_signing_stream(spark, SF_DIR, sink, ckpt)
+    df = spark.read.parquet(sink)
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert df.count() == n_events  # every record signed
+    assert df.select("tx_hash").distinct().count() == n_events  # exactly once
+
+    key_ids, rows = _assignments(spark)
+    sizes = [n for _, _, n in rows]
+    assert sum(sizes) == n_events
+    assert all(n <= BATCH for n in sizes)
+    assert all(n == BATCH for n in sizes[:-1])  # only the tail may be short
+
+
+def test_invariants_2_3_4_key_rotation(spark):
+    """#3: each batch carries exactly one key. #4: the seeded ring rotates
+    in strict LRU (round-robin) order. #2: within any window of |ring|
+    consecutive batches no key repeats — the serialized ring never hands a
+    key out again before every other key was used (no concurrent use)."""
+    key_ids, rows = _assignments(spark)
+    batch_ids = [b for b, _, _ in rows]
+    keys = [k for _, k, _ in rows]
+    n = len(key_ids)
+
+    assert batch_ids == list(range(len(rows)))  # one key per batch, dense ids
+    # LRU with a rank-seeded ring degenerates to exact round-robin
+    assert keys == [key_ids[i % n] for i in range(len(keys))]
+    # no key reused inside any n-batch window
+    for i in range(len(keys) - n + 1):
+        window = keys[i : i + n]
+        assert len(set(window)) == n, f"key reuse within window at {i}"
