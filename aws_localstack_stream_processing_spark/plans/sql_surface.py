@@ -388,3 +388,49 @@ def sql_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch seconds) — one sort per user partition serves both frames."""
     views(spark, sf_dir, "events")
     return spark.sql(_frames_sql("spark"))
+
+
+def _bag_set_ops_sql(d: str) -> str:
+    # multiset semantics: duplicates preserved/subtracted by multiplicity
+    a = f"SELECT o_custkey FROM {tbl('orders', d)} WHERE o_orderstatus = 'F'"
+    b = f"SELECT o_custkey FROM {tbl('orders', d)} WHERE o_orderpriority = '1-URGENT'"
+    return f"""
+SELECT 'except_all' AS op, o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+FROM (({a}) EXCEPT ALL ({b})) t1 GROUP BY o_custkey
+UNION ALL
+SELECT 'intersect_all', o_custkey, CAST(COUNT(*) AS BIGINT)
+FROM (({a}) INTERSECT ALL ({b})) t2 GROUP BY o_custkey
+"""
+
+
+@query("sql_bag_set_ops", oracle=_bag_set_ops_sql("duck"), tags=("sql", "setops"))
+def sql_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL / INTERSECT ALL — duplicate-preserving set
+    algebra (complements ref_set_ops' distinct variants); Spark plans these
+    as a counted anti/semi aggregation, one shuffle each."""
+    views(spark, sf_dir, "orders")
+    return spark.sql(_bag_set_ops_sql("spark"))
+
+
+def _lateral_sql(d: str) -> str:
+    return f"""
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM {tbl('customer', d)} c,
+LATERAL (
+  SELECT o.o_orderkey, o.o_totalprice
+  FROM {tbl('orders', d)} o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o.o_totalprice DESC, o.o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_acctbal > 9000
+"""
+
+
+@query("sql_lateral_topn", oracle=_lateral_sql("duck"), tags=("sql", "join", "subquery"))
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 orders per qualifying customer.
+    Catalyst rewrites the per-row LIMIT into a ranked window over one
+    orders shuffle — no nested-loop re-execution per customer."""
+    views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_lateral_sql("spark"))
