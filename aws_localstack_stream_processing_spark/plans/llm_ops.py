@@ -1095,3 +1095,49 @@ def llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything removed."""
     views(spark, sf_dir, "documents")
     return spark.sql(_prep_pipeline_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Canonicalization dedup — normalize (case/punctuation/whitespace) before
+# hashing: the standard first stage of LLM corpus dedup, catching copies
+# that exact-hash misses. Regexes restricted to character classes that
+# behave identically in Java regex (Spark) and RE2 (DuckDB).
+# ---------------------------------------------------------------------------
+
+
+def _canon_expr(col: str, d: str) -> str:
+    if d == "spark":
+        inner = f"regexp_replace(lower({col}), '[^a-z0-9 ]+', ' ')"
+        collapsed = f"regexp_replace({inner}, ' +', ' ')"
+    else:
+        inner = f"regexp_replace(lower({col}), '[^a-z0-9 ]+', ' ', 'g')"
+        collapsed = f"regexp_replace({inner}, ' +', ' ', 'g')"
+    return f"trim({collapsed})"
+
+
+def _canon_dedup_sql(d: str) -> str:
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM {tbl('documents', d)}
+  UNION ALL
+  SELECT doc_id + 3000000, concat(upper(substr(text, 1, 5)), substr(text, 6), '!!')
+  FROM {tbl('documents', d)} WHERE doc_id % 7 = 0
+),
+canon AS (
+  SELECT doc_id, {hashing.sha256_hex(_canon_expr('text', d), d)} AS canon_hash
+  FROM corpus
+)
+SELECT canon_hash, MIN(doc_id) AS canonical_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_variants
+FROM canon GROUP BY canon_hash HAVING COUNT(*) > 1
+"""
+
+
+@query("dedup_canonicalized", oracle=_canon_dedup_sql("duck"), tags=("llm", "dedup", "text"))
+def dedup_canonicalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization-then-hash dedup: lowercase, strip non-alphanumerics,
+    collapse whitespace, sha256 — catches case/punctuation variants that
+    byte-exact hashing misses (the corpus injects such variants). All
+    JVM-side regex/string ops in one codegen'd scan + one hash shuffle."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_canon_dedup_sql("spark"))
