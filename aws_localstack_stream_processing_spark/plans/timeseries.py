@@ -183,3 +183,82 @@ FROM (
 )
 """
     )
+
+
+def _ohlc_sql(d: str) -> str:
+    # composite BIGINT tick-order key: second epoch * 1e8 + event_id
+    # (unique, sortable, same arithmetic both engines)
+    key = (
+        "CAST(unix_timestamp(ts) AS BIGINT) * 100000000 + event_id"
+        if d == "spark"
+        else "CAST(epoch(ts) AS BIGINT) * 100000000 + event_id"
+    )
+    o = f"min_by(value, {key})" if d == "spark" else f"arg_min(value, {key})"
+    c = f"max_by(value, {key})" if d == "spark" else f"arg_max(value, {key})"
+    return f"""
+SELECT event_type, {ts_str("date_trunc('hour', ts)", d)} AS bar_hour,
+       {o} AS open, MAX(value) AS high, MIN(value) AS low, {c} AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks
+FROM {tbl('events', d)}
+GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+@query("ts_ohlc_bars", oracle=_ohlc_sql("duck"), tags=("timeseries", "agg"))
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar aggregation: open/close via min_by/max_by on the (ts,
+    event_id) order key — single hash aggregate, no window sort; the
+    hypertable-rollup shape for tick data."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_ohlc_sql("spark"))
+
+
+def _gap_fill_sql(d: str) -> str:
+    # hourly spine per event_type over the observed range, forward-filled
+    last_ignore_nulls = (
+        "last(v, true)" if d == "spark" else "last_value(v IGNORE NULLS)"
+    )
+    if d == "spark":
+        spine = """
+  SELECT event_type, explode(sequence(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM bounds"""
+    else:
+        spine = """
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM bounds"""
+    return f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS v
+  FROM {tbl('events', d)}
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY event_type, date_trunc('hour', ts)
+),
+bounds AS (
+  SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY event_type
+),
+spine AS ({spine}),
+joined AS (
+  SELECT s.event_type, s.h, hr.v,
+         CASE WHEN hr.v IS NULL THEN 1 ELSE 0 END AS was_gap
+  FROM spine s LEFT JOIN hourly hr
+    ON hr.event_type = s.event_type AND hr.h = s.h
+)
+SELECT event_type, {ts_str('h', d)} AS hour,
+       {last_ignore_nulls} OVER (
+         PARTITION BY event_type ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS v_filled,
+       CAST(was_gap AS BIGINT) AS was_gap
+FROM joined
+"""
+
+
+@query("ts_gap_fill", oracle=_gap_fill_sql("duck"), tags=("timeseries", "window"))
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a generated hourly spine per series
+    (sequence/explode — no driver loop) left-joined to observations, gaps
+    forward-filled with a running last-non-null window. One shuffle for the
+    join, one sort per series partition."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_gap_fill_sql("spark"))
