@@ -108,16 +108,16 @@ def signed_stream(spark: SparkSession, sf_dir: str, n_keys: int = 100) -> DataFr
 def run_signing_stream(
     spark: SparkSession, sf_dir: str, sink_path: str, checkpoint: str
 ) -> None:
-    """E2 with an idempotent keyed sink: foreachBatch de-dups within the
-    batch and appends; PK = content hash ⇒ replays overwrite identically
-    (DynamoDB put semantics, signer/index.js:229-242)."""
+    """E2 with an idempotent keyed sink: put-if-absent per content hash
+    (DynamoDB put semantics, signer/index.js:229-242). The KeyedParquetSink
+    converges under redelivery even without the checkpoint; with it, the
+    stream is exactly-once end to end."""
+    from .sinks import KeyedParquetSink
 
-    def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.dropDuplicates(["tx_hash"]).write.mode("append").parquet(sink_path)
-
+    sink = KeyedParquetSink(sink_path, "tx_hash")
     q = (
         signed_stream(spark, sf_dir)
-        .writeStream.foreachBatch(upsert)
+        .writeStream.foreachBatch(sink.upsert_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
