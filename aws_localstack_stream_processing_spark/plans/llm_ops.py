@@ -1141,3 +1141,50 @@ def dedup_canonicalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side regex/string ops in one codegen'd scan + one hash shuffle."""
     views(spark, sf_dir, "documents")
     return spark.sql(_canon_dedup_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Array-function surface — per-vector statistics over ArrayType(Double):
+# norms (fixed-order folds), extrema, sorted top components.
+# ---------------------------------------------------------------------------
+
+
+def _vector_stats_sql(d: str) -> str:
+    emb = tbl("embeddings", d)
+    arr = to_double_arr("embedding", d)
+    l1_terms = " + ".join(f"abs(emb[{i}])" for i in range(DIM))
+    if d == "spark":
+        l1 = f"(CAST(0 AS DOUBLE) + {l1_terms})"
+        srt = "sort_array(emb, false)"
+        top = [f"{srt}[{i}]" for i in range(3)]
+        vmax, vmin = "array_max(emb)", "array_min(emb)"
+    else:
+        l1 = (
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            "list_transform(emb, x -> abs(x))), (a, b) -> a + b)"
+        )
+        srt = "list_sort(emb, 'DESC')"
+        top = [f"{srt}[{i + 1}]" for i in range(3)]
+        vmax, vmin = "list_max(emb)", "list_min(emb)"
+    return f"""
+WITH base AS (SELECT vec_id, {arr} AS emb FROM {emb})
+SELECT vec_id,
+       round(sqrt({dot('emb', 'emb', DIM, d)}), 6) AS l2_norm,
+       round({l1}, 6) AS l1_norm,
+       round({vmax}, 6) AS v_max,
+       round({vmin}, 6) AS v_min,
+       round({top[0]}, 6) AS top1,
+       round({top[1]}, 6) AS top2,
+       round({top[2]}, 6) AS top3
+FROM base
+"""
+
+
+@query("emb_vector_stats", oracle=_vector_stats_sql("duck"), tags=("llm", "similarity", "array"))
+def emb_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column statistics per embedding: L2/L1 norms as fixed-order
+    folds (bit-exact both engines), extrema, and the three largest
+    components via array sort — the array-function surface
+    (sort/index/fold) the reference never needed but embeddings do."""
+    views(spark, sf_dir, "embeddings")
+    return spark.sql(_vector_stats_sql("spark"))

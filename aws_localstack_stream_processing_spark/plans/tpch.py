@@ -524,3 +524,29 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shipdate range prunes the lineitem scan."""
     views(spark, sf_dir, "orders", "lineitem")
     return spark.sql(_q12_sql("spark"))
+
+
+def _q16_sql(d: str) -> str:
+    # Official Q16 counts suppliers per part attribute, excluding suppliers
+    # with complaints (NOT IN subquery). The complaint predicate adapts to
+    # s_acctbal < 0; the supplier↔part link comes via lineitem.
+    return f"""
+SELECT p.p_brand, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM {tbl('part', d)} p
+JOIN {tbl('lineitem', d)} l ON l.l_partkey = p.p_partkey
+WHERE p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM {tbl('supplier', d)} WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_size
+"""
+
+
+@query("tpch_q16_supplier_count", oracle=_q16_sql("duck"), tags=("sql", "antijoin", "agg"))
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN subquery (null-aware anti join — a distinct
+    plan from NOT EXISTS) + distinct-count aggregate per attribute pair."""
+    views(spark, sf_dir, "part", "lineitem", "supplier")
+    return spark.sql(_q16_sql("spark"))
