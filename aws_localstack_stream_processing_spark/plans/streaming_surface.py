@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 from ..streaming.keyring import lru_keyring_assign
 from ..streaming.source import events_stream
 from .dialect import tbl, ts_str
-from .reference_ops import _alarm_sql, _lru_rotation_sql, _minute_sum_sql
+from .reference_ops import (
+    _alarm_sql,
+    _ingest_sql,
+    _lru_rotation_sql,
+    _minute_sum_sql,
+)
 from .registry import query
 
 
@@ -245,4 +250,54 @@ def stream_alarm_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         F.col("n").cast("bigint").alias("n"),
+    )
+
+
+@query(
+    "stream_ingest_partition_assign",
+    oracle=_ingest_sql("duck"),
+    tags=("streaming", "ingest"),
+)
+def stream_ingest_partition_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 as a real streaming query: the full decode→parse→key→djb2→
+    partition pipeline (P1-P6/U1) running inside Structured Streaming, with
+    per-partition counts equal to the batch oracle — the streamed and
+    batch ingest paths are the same logical plan over different sources."""
+    from ..functions import hashing
+
+    ev = events_stream(spark, sf_dir)
+    payload = F.expr(
+        "CASE WHEN event_id % 10 = 7 "
+        "THEN concat('{\"event_type\":\"', event_type, '\"}') "
+        "ELSE concat('{\"id\":', CAST(event_id AS STRING), "
+        "',\"event_type\":\"', event_type, '\"}') END"
+    )
+    raw = ev.select(
+        "event_id", F.base64(payload.cast("binary")).alias("data")
+    )
+    decoded = raw.select(
+        "event_id", F.unbase64("data").cast("string").alias("payload")
+    )
+    keyed = decoded.select(
+        F.coalesce(
+            F.get_json_object("payload", "$.id"), F.col("payload")
+        ).alias("rec_key")
+    )
+    assigned = keyed.select(
+        "rec_key",
+        F.concat(
+            F.lit("partition_"),
+            (F.expr(hashing.djb2("rec_key", "spark")) % 5).cast("string"),
+        ).alias("partition"),
+    )
+    # COUNT DISTINCT is not incrementally computable; stream the
+    # (partition, rec_key) pre-aggregate and fold it in the sink — the
+    # standard streaming two-level distinct
+    pre = assigned.groupBy("partition", "rec_key").agg(
+        F.count("*").alias("cnt")
+    )
+    sunk = _to_memory(pre, "complete")
+    return sunk.groupBy("partition").agg(
+        F.sum("cnt").cast("bigint").alias("n_records"),
+        F.count("*").cast("bigint").alias("n_keys"),
     )

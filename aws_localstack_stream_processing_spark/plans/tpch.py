@@ -550,3 +550,34 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan from NOT EXISTS) + distinct-count aggregate per attribute pair."""
     views(spark, sf_dir, "part", "lineitem", "supplier")
     return spark.sql(_q16_sql("spark"))
+
+
+def _q20_sql(d: str) -> str:
+    # Official Q20: suppliers holding excess stock of qualifying parts —
+    # an IN whose subquery itself filters by an IN and a correlated
+    # aggregate threshold. Adapted: suppliers who shipped more than 30
+    # units of some PROMO part in 1997.
+    return f"""
+SELECT s.s_suppkey, s.s_name
+FROM {tbl('supplier', d)} s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM {tbl('lineitem', d)} l
+  WHERE l.l_partkey IN (
+    SELECT p_partkey FROM {tbl('part', d)} WHERE p_type = 'PROMO'
+  )
+    AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l.l_suppkey, l.l_partkey
+  HAVING SUM(CAST(l.l_quantity AS DECIMAL(28,6))) > 30
+)
+ORDER BY s.s_suppkey
+"""
+
+
+@query("tpch_q20_excess_stock", oracle=_q20_sql("duck"), tags=("sql", "semijoin", "subquery"))
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN chains — a semi join whose inner side is
+    itself a semi join plus a grouped-HAVING threshold."""
+    views(spark, sf_dir, "supplier", "lineitem", "part")
+    return spark.sql(_q20_sql("spark"))
