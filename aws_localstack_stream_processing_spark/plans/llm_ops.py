@@ -30,6 +30,7 @@ from .dialect import (
     dot,
     dot_const,
     intdiv,
+    s,
     tbl,
     to_double_arr,
     unnest_fn,
@@ -1188,3 +1189,42 @@ def emb_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sort/index/fold) the reference never needed but embeddings do."""
     views(spark, sf_dir, "embeddings")
     return spark.sql(_vector_stats_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixing — deterministic stratified sampling: per-language keep rates
+# via a content-stable hash bucket (djb2, proven bit-identical across
+# engines), so the sample is reproducible, engine-independent, and needs no
+# RNG state. The standard "data mixture" op of LLM corpus construction.
+# ---------------------------------------------------------------------------
+
+_MIX_RATES = {"en": 50, "zh": 80, "es": 80, "de": 100, "fr": 100}  # percent
+
+
+def _mix_sample_sql(d: str) -> str:
+    rate = "CASE " + " ".join(
+        f"WHEN lang = '{lg}' THEN {r}" for lg, r in sorted(_MIX_RATES.items())
+    ) + " ELSE 100 END"
+    bucket = f"({hashing.djb2(s('doc_id', d), d)} % 100)"
+    return f"""
+WITH sampled AS (
+  SELECT doc_id, lang, n_chars
+  FROM {tbl('documents', d)}
+  WHERE {bucket} < {rate}
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc_id
+FROM sampled GROUP BY lang
+"""
+
+
+@query("llm_mix_sample", oracle=_mix_sample_sql("duck"), tags=("llm", "pipeline", "sampling"))
+def llm_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus mixing: per-language keep rates
+    applied through a stable hash bucket of the document id — reproducible
+    across engines, runs, and partitionings (no RNG), embarrassingly
+    parallel (pure filter; no shuffle before the stats rollup)."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_mix_sample_sql("spark"))
