@@ -434,3 +434,51 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders shuffle — no nested-loop re-execution per customer."""
     views(spark, sf_dir, "customer", "orders")
     return spark.sql(_lateral_sql("spark"))
+
+
+def _from_json_sql(d: str) -> str:
+    # JSON built from events (10% corrupt), parsed with a typed schema;
+    # corrupt rows yield NULL fields (PERMISSIVE) and are counted
+    payload = (
+        "CASE WHEN event_id % 10 = 3 THEN substr(j, 1, 5) ELSE j END"
+    )
+    if d == "spark":
+        parse = (
+            "from_json(payload, 'id BIGINT, et STRING, v DOUBLE') AS p"
+        )
+        fields = "p.id AS id, p.et AS et, p.v AS v"
+    else:
+        parse = "payload AS p"
+        fields = (
+            "CASE WHEN json_valid(p) THEN CAST(json_extract_string(p, '$.id') AS BIGINT) END AS id, "
+            "CASE WHEN json_valid(p) THEN json_extract_string(p, '$.et') END AS et, "
+            "CASE WHEN json_valid(p) THEN CAST(json_extract_string(p, '$.v') AS DOUBLE) END AS v"
+        )
+    return f"""
+WITH built AS (
+  SELECT event_id,
+         concat('{{"id":', {s('event_id', d)}, ',"et":"', event_type,
+                '","v":', {s('value', d)}, '}}') AS j
+  FROM {tbl('events', d)}
+), corrupted AS (
+  SELECT event_id, {payload} AS payload FROM built
+), parsed AS (
+  SELECT event_id, {parse} FROM corrupted
+), flat AS (
+  SELECT event_id, {fields} FROM parsed
+)
+SELECT et,
+       CAST(COUNT(*) AS BIGINT) AS n_parsed,
+       CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS sum_v
+FROM flat WHERE id IS NOT NULL
+GROUP BY et
+"""
+
+
+@query("sql_from_json_struct", oracle=_from_json_sql("duck"), tags=("sql", "json"))
+def sql_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: from_json with an explicit struct schema in
+    PERMISSIVE mode — corrupt records become NULL structs (per-record
+    failure isolation, F3/P2) and drop out of the typed aggregate."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_from_json_sql("spark"))

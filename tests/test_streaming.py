@@ -219,3 +219,39 @@ def test_chunked_file_sink(spark, tmp):
         assert n <= chunk, f
         total += n
     assert total == src.count()
+
+
+def test_rate_source_processing_time_trigger(spark):
+    """T1: the rate source with a processingTime trigger — a continuously
+    running micro-batch query (not availableNow) producing rows."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 50)
+        .load()
+        .withColumn("bucket", F.pmod("value", F.lit(5)))
+        .groupBy("bucket")
+        .count()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_sink")
+        .outputMode("complete")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 20
+        total = 0
+        while time.time() < deadline:
+            rows = spark.table("rate_sink").collect()
+            total = sum(r["count"] for r in rows)
+            if total >= 20 and len(rows) == 5:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert total >= 20
