@@ -41,6 +41,7 @@ HEADLINE = [
     "sim_ann_lsh",
     "sim_ann_ivf",
     "text_stats_quality",
+    "llm_prep_pipeline",
     # time-series + skew ops
     "ts_asof_join",
     "scale_salted_hot_key_agg",
