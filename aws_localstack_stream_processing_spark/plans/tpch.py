@@ -581,3 +581,44 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself a semi join plus a grouped-HAVING threshold."""
     views(spark, sf_dir, "supplier", "lineitem", "part")
     return spark.sql(_q20_sql("spark"))
+
+
+def _q11_sql(d: str) -> str:
+    # Official Q11 values partsupp stock (ps_supplycost * ps_availqty) for one
+    # nation's suppliers and keeps parts whose value exceeds a fraction of the
+    # national total. Without partsupp the part↔supplier link comes via
+    # lineitem and value = l_extendedprice * l_quantity. Shape preserved:
+    # join + grouped agg + HAVING against a global-sum scalar subquery.
+    nations = "('NATION_7', 'NATION_8', 'NATION_9')"
+    val = "CAST(SUM(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(28,6))) AS DOUBLE)"
+    return f"""
+SELECT l.l_partkey, {val} AS part_value
+FROM {tbl('lineitem', d)} l
+JOIN {tbl('supplier', d)} s ON l.l_suppkey = s.s_suppkey
+JOIN {tbl('nation', d)} n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name IN {nations}
+GROUP BY l.l_partkey
+HAVING {val} > (
+  SELECT {val} * 0.001
+  FROM {tbl('lineitem', d)} l
+  JOIN {tbl('supplier', d)} s ON l.l_suppkey = s.s_suppkey
+  JOIN {tbl('nation', d)} n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name IN {nations}
+)
+ORDER BY part_value DESC, l.l_partkey
+"""
+
+
+@query("tpch_q11_important_stock", oracle=_q11_sql("duck"), tags=("sql", "agg", "subquery"))
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): grouped value per part filtered by
+    HAVING > global-sum scalar subquery (``partsupp`` absent from the driver
+    schema, so stock value adapts to lineitem volume — see _q11_sql note).
+    Both the per-group and the global sums are exact decimal sums emitted as
+    DOUBLE, so the threshold comparison is engine-independent. The scalar
+    subquery is one extra pass over the same filtered join; Catalyst
+    broadcasts its single-row result. Reference parity: SURVEY §2.4 — the
+    reference has no HAVING/subquery aggregation; this is §7 extended OLAP
+    surface."""
+    views(spark, sf_dir, "lineitem", "supplier", "nation")
+    return spark.sql(_q11_sql("spark"))
