@@ -482,3 +482,71 @@ def sql_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     failure isolation, F3/P2) and drop out of the typed aggregate."""
     views(spark, sf_dir, "events")
     return spark.sql(_from_json_sql("spark"))
+
+
+def _scalar_fn_sql(d: str) -> str:
+    # Per-dialect spellings of the few functions whose names differ; every
+    # output value is bit-identical across engines (string ops are exact;
+    # math ops are single IEEE operations; ints are cast to BIGINT).
+    fmt = "format_string" if d == "spark" else "printf"
+    strpos = "instr" if d == "spark" else "strpos"
+    if d == "spark":
+        pmod7 = "pmod(o_orderkey - 3, 7)"
+        ddiff = "datediff(o_orderdate, TIMESTAMP '1995-01-01 00:00:00')"
+        sha = "sha2(o_orderpriority, 256)"
+    else:
+        pmod7 = "((o_orderkey - 3) % 7 + 7) % 7"
+        ddiff = "date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)"
+        sha = "sha256(o_orderpriority)"
+    return f"""
+SELECT o_orderkey,
+       lower(o_orderpriority)                                   AS pri_lower,
+       upper(o_orderstatus)                                     AS st_upper,
+       left(o_orderpriority, 3)                                 AS pri_left,
+       substr(o_orderpriority, 3, 4)                            AS pri_sub,
+       replace(o_orderpriority, '-', '_')                       AS pri_repl,
+       lpad(o_orderstatus, 4, '*')                              AS st_pad,
+       reverse(o_orderpriority)                                 AS pri_rev,
+       repeat(o_orderstatus, 3)                                 AS st_rep,
+       concat_ws('|', o_orderstatus, o_orderpriority)           AS st_pri,
+       CAST({strpos}(o_orderpriority, '-') AS BIGINT)           AS dash_pos,
+       CAST(ascii(o_orderpriority) AS BIGINT)                   AS pri_ascii,
+       CAST(length(o_orderpriority) AS BIGINT)                  AS pri_len,
+       {fmt}('%06d', o_orderkey)                                AS key_pad,
+       CAST(abs(o_totalprice - 250000.0) AS DOUBLE)             AS bal_abs,
+       CAST({pmod7} AS BIGINT)                                  AS key_pmod,
+       pow(2.0, o_orderkey % 16)                                AS key_pow,
+       CAST(floor(o_totalprice / 1000.0) AS BIGINT)             AS price_floor,
+       CAST(ceil(o_totalprice / 1000.0) AS BIGINT)              AS price_ceil,
+       CAST(sign(o_totalprice - 250000.0) AS BIGINT)            AS price_sign,
+       greatest(o_totalprice, 250000.0)                         AS price_hi,
+       least(o_totalprice, 250000.0)                            AS price_lo,
+       CAST(o_orderkey & 255 AS BIGINT)                         AS key_band,
+       CAST(o_orderkey | 4096 AS BIGINT)                        AS key_bor,
+       CAST(year(o_orderdate) AS BIGINT)                        AS o_year,
+       CAST(quarter(o_orderdate) AS BIGINT)                     AS o_quarter,
+       CAST(dayofyear(o_orderdate) AS BIGINT)                   AS o_doy,
+       {ts_str('o_orderdate', d)}                               AS o_date_str,
+       {ts_str('o_orderdate + INTERVAL 7 DAY', d)}              AS o_date_p7,
+       CAST({ddiff} AS BIGINT)                                  AS days_since,
+       {sha}                                                    AS pri_sha,
+       md5(o_orderstatus)                                       AS st_md5
+FROM {tbl('orders', d)}
+"""
+
+
+@query("sql_scalar_fn_surface", oracle=_scalar_fn_sql("duck"), tags=("sql", "functions"))
+def sql_scalar_fn_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.8 scalar-function footprint in one row-level query: string
+    ops (lower/upper/left/substr/replace/lpad/reverse/repeat/concat_ws/
+    instr/ascii/length/format_string), math (abs/pmod/pow/floor/ceil/sign/
+    greatest/least, bit and/or), datetime (year/quarter/dayofyear/
+    date_format/interval add/datediff), hashing (sha2/md5). Everything is a
+    built-in JVM expression inside one WholeStageCodegen projection over the
+    scan — no Python, no shuffle; at 100 TB this is a pure map stage.
+
+    Reference parity: §2.8 lists the reference's scalar calls
+    (partitioner/index.js:17-23,46-57; signer/index.js:133-137,237;
+    app.ts:400) — each maps to one of these builtins."""
+    views(spark, sf_dir, "orders")
+    return spark.sql(_scalar_fn_sql("spark"))
