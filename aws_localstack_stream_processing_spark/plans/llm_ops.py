@@ -1228,3 +1228,87 @@ def llm_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel (pure filter; no shuffle before the stats rollup)."""
     views(spark, sf_dir, "documents")
     return spark.sql(_mix_sample_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Retained-corpus dedup: keep ONE representative per duplicate group
+# (newest copy = highest doc_id), emit the full retained corpus with copy
+# counts — the shape a production dedup stage actually writes back out.
+# ---------------------------------------------------------------------------
+
+
+def _keep_best_sql(d: str) -> str:
+    return f"""
+WITH corpus AS ({_doc_corpus(d)}),
+hashed AS (
+  SELECT doc_id, {hashing.sha256_hex('text', d)} AS content_hash FROM corpus
+),
+ranked AS (
+  SELECT doc_id, content_hash,
+         ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY content_hash) AS n_copies
+  FROM hashed
+)
+SELECT content_hash, doc_id AS kept_doc_id, CAST(n_copies AS BIGINT) AS n_copies
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("dedup_keep_best", oracle=_keep_best_sql("duck"), tags=("llm", "dedup"))
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retained-corpus exact dedup: unlike ``dedup_exact`` (which reports
+    duplicate groups), this emits the corpus a dedup stage keeps — one
+    representative per content hash (policy: newest copy wins, i.e. highest
+    doc_id; swap the ORDER BY for any quality score), singletons included.
+    One shuffle on the content hash; the window argmax and the group count
+    share that single partitioning — no second exchange. At 100 TB the hash
+    key is uniform by construction (sha256), so no skew handling is needed."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_keep_best_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Context-window sequence packing: assign documents to fixed token-budget
+# packs (the step that turns a deduped corpus into training sequences).
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+def _context_pack_sql(d: str) -> str:
+    docs = tbl("documents", d)
+    pack = intdiv("(cum_tokens - n_tokens)", str(_PACK_BUDGET), d)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, CAST({text.token_count('text', d)} AS BIGINT) AS n_tokens
+  FROM {docs}
+),
+running AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM toks
+)
+SELECT lang,
+       CAST({pack} AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM running
+GROUP BY lang, CAST({pack} AS BIGINT)
+"""
+
+
+@query("llm_context_pack", oracle=_context_pack_sql("duck"), tags=("llm", "pipeline"))
+def llm_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: tokenize (BPE-ish regex, pure codegen
+    expression), then assign each document to a 512-token pack via
+    a windowed prefix sum in stable doc_id order, partitioned by language so
+    packs are language-homogeneous AND the sort parallelizes across
+    partitions (never a single global sort — at 100 TB each language's
+    window is itself range-partitioned by Spark's window exec). Pack id =
+    tokens-before DIV budget: deterministic boundary-crossing packing, not
+    bin packing — documents straddling a boundary start the next pack."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_context_pack_sql("spark"))
