@@ -550,3 +550,35 @@ def sql_scalar_fn_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     app.ts:400) — each maps to one of these builtins."""
     views(spark, sf_dir, "orders")
     return spark.sql(_scalar_fn_sql("spark"))
+
+
+def _recursive_sql(d: str) -> str:
+    # Halving is an exact IEEE operation, so `remaining` is bit-identical
+    # across engines at every depth; depth is bounded (~4) by the data range.
+    return f"""
+WITH RECURSIVE pay (o_orderkey, installment, remaining) AS (
+  SELECT o_orderkey, CAST(0 AS BIGINT) AS installment, o_totalprice AS remaining
+  FROM {tbl('orders', d)}
+  WHERE o_orderkey % 100 = 0
+  UNION ALL
+  SELECT o_orderkey, installment + 1, remaining / 2.0
+  FROM pay
+  WHERE remaining >= 50000.0
+)
+SELECT o_orderkey, installment, remaining
+FROM pay
+"""
+
+
+@query("sql_recursive_cte", oracle=_recursive_sql("duck"), tags=("sql", "recursive"))
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (iterative row generation inside the engine): each
+    seed order fans out into an installment schedule until the halved
+    remainder drops below the floor. Spark 4 executes WITH RECURSIVE as
+    iterated UNION ALL steps — each step is a distributed map over the
+    previous frontier, so the recursion parallelizes per row and needs no
+    driver-side loop (contrast dedup_cc_clusters, which iterates in the
+    driver for pre-4.x compatibility). Depth is data-bounded, not
+    plan-bounded."""
+    views(spark, sf_dir, "orders")
+    return spark.sql(_recursive_sql("spark"))
