@@ -79,3 +79,34 @@ def test_topk_avoids_global_sort(spark):
     plan, executed = _plan(spark, "ref_topk_orders")
     assert "TakeOrderedAndProject" in executed
     assert "rangepartitioning" not in executed.lower()
+
+
+def test_scalar_fn_surface_is_pure_map(spark):
+    """The §2.8 builtin-function query must be one codegen'd projection over
+    the scan: no shuffle, no Python, full column read limited to the 5
+    referenced columns."""
+    plan, executed = _plan(spark, "sql_scalar_fn_surface")
+    assert "Exchange" not in executed
+    assert "BatchEvalPython" not in executed and "ArrowEvalPython" not in executed
+    # '*(1)' is the whole-stage-codegen marker: one fused stage
+    assert "*(1) Project" in executed
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_custkey" not in read_schema  # unreferenced column pruned
+
+
+def test_context_pack_single_shuffle(spark):
+    """Window (partition by lang) and the pack rollup (group by lang, pack)
+    must share one hash exchange — the grouping keys are a superset of the
+    window partitioning, so EnsureRequirements reuses it."""
+    _, executed = _plan(spark, "llm_context_pack")
+    assert executed.count("Exchange hashpartitioning") == 1
+
+
+def test_q11_scans_prune_to_referenced_columns(spark):
+    """Both passes over lineitem (group-by and global-sum subquery) read
+    only the 3 referenced columns."""
+    plan, _ = _plan(spark, "tpch_q11_important_stock")
+    for rs in plan.split("ReadSchema:")[1:]:
+        line = rs.splitlines()[0]
+        if "l_suppkey" in line:
+            assert "l_shipdate" not in line and "l_orderkey" not in line
