@@ -1312,3 +1312,53 @@ def llm_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin packing — documents straddling a boundary start the next pack."""
     views(spark, sf_dir, "documents")
     return spark.sql(_context_pack_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram statistics: top-k word bigrams per language.
+# ---------------------------------------------------------------------------
+
+_NGRAM_TOPK = 5
+
+
+def _ngram_topk_sql(d: str) -> str:
+    docs = tbl("documents", d)
+    w = text.words("text", d)
+    # Spark arrays index 0-based, DuckDB lists 1-based — the generated index
+    # ranges differ so the bigrams produced are identical.
+    if d == "spark":
+        bigrams = f"transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))"
+    else:
+        bigrams = f"list_transform(generate_series(1, len(w) - 1), i -> concat(w[i], ' ', w[i + 1]))"
+    return f"""
+WITH tokenized AS (
+  SELECT lang, {w} AS w FROM {docs} WHERE {text.n_words('text', d)} >= 2
+),
+grams AS (
+  SELECT lang, {unnest_fn(d)}({bigrams}) AS bigram FROM tokenized
+),
+counted AS (
+  SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS n
+  FROM grams GROUP BY lang, bigram
+),
+ranked AS (
+  SELECT lang, bigram, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rk
+  FROM counted
+)
+SELECT lang, bigram, n, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_NGRAM_TOPK}
+"""
+
+
+@query("text_ngram_topk", oracle=_ngram_topk_sql("duck"), tags=("llm", "text", "topk"))
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per language: tokenize → indexed-transform bigram
+    generation (pure codegen-free higher-order fn but no Python) → explode →
+    count → per-group top-k window. At 100 TB: the count's partial
+    aggregation collapses the exploded rows map-side before the (lang,
+    bigram) shuffle, and the top-k window shuffles only the counted
+    distincts on lang — the explosion itself never crosses the wire.
+    Deterministic rank: ties broken lexicographically."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_ngram_topk_sql("spark"))
