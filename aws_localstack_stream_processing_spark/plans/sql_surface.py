@@ -582,3 +582,61 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-bounded."""
     views(spark, sf_dir, "orders")
     return spark.sql(_recursive_sql("spark"))
+
+
+def _array_fn_sql(d: str) -> str:
+    # Array-function surface; Spark arrays are 0-indexed, DuckDB lists
+    # 1-indexed, and a few nulls/absence conventions differ (array_position
+    # yields 0 for missing in Spark, NULL in DuckDB) — normalized here so the
+    # emitted values are identical.
+    from ..functions.text import words
+
+    w = words("text", d)
+    if d == "spark":
+        first3 = f"array_join(slice({w}, 1, 3), ' ')"
+        pos_the = f"array_position({w}, 'the')"
+        sorted_first = f"sort_array({w})[0]"
+        rev_first = f"reverse({w})[0]"
+        with_tail = f"size(concat({w}, array('endmarker')))"
+        flat2 = f"size(flatten(array({w}, {w})))"
+        wmax = f"array_max({w})"
+        ndist = f"size(array_distinct({w}))"
+    else:
+        first3 = f"array_to_string(list_slice({w}, 1, 3), ' ')"
+        pos_the = f"COALESCE(list_position({w}, 'the'), 0)"
+        sorted_first = f"list_sort({w})[1]"
+        rev_first = f"list_reverse({w})[1]"
+        with_tail = f"len(list_concat({w}, ['endmarker']))"
+        flat2 = f"len(flatten([{w}, {w}]))"
+        wmax = f"list_aggregate({w}, 'max')"
+        ndist = f"len(list_distinct({w}))"
+    return f"""
+SELECT doc_id,
+       CAST({arr_len_expr(w, d)} AS BIGINT)      AS n_words,
+       {first3}                                  AS first3,
+       CAST({pos_the} AS BIGINT)                 AS pos_the,
+       {sorted_first}                            AS sorted_first,
+       {rev_first}                               AS last_word,
+       CAST({with_tail} AS BIGINT)               AS n_with_tail,
+       CAST({flat2} AS BIGINT)                   AS n_flat2,
+       {wmax}                                    AS max_word,
+       CAST({ndist} AS BIGINT)                   AS n_distinct
+FROM {tbl('documents', d)}
+"""
+
+
+def arr_len_expr(w: str, d: str) -> str:
+    return f"size({w})" if d == "spark" else f"len({w})"
+
+
+@query("sql_array_fn_surface", oracle=_array_fn_sql("duck"), tags=("sql", "functions", "array"))
+def sql_array_fn_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over tokenized documents: size/slice/join/
+    position/sort/reverse/concat/flatten/max/distinct — the collection
+    builtins SURVEY §2.8 calls out as required for the embeddings and text
+    extensions (the reference itself has no array types). All JVM built-in
+    expressions, one projection over the scan, no shuffle; indexing and
+    missing-element conventions are normalized cross-engine (Spark 0-based
+    vs DuckDB 1-based)."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_array_fn_sql("spark"))
