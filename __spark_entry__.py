@@ -27,8 +27,21 @@ def entry(spark: SparkSession) -> DataFrame:
     return qs["ref_sign_pipeline"].fn(spark, "/root/testdata/sf0.001")
 
 
+def _scoped(fn: Callable[[SparkSession, str], DataFrame]):
+    """Per-query cache scope: drop whatever the previous query persisted
+    before building the next plan, so a long sweep over the whole registry
+    doesn't accrue executor storage (each query's own persist() calls still
+    serve it within its lifetime)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.catalog.clearCache()
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: qd.fn for name, qd in all_queries().items()}
+    return {name: _scoped(qd.fn) for name, qd in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -12,9 +12,16 @@ Design notes for scale:
   no explode needed to build signatures, so signature computation is a
   narrow (shuffle-free) map.
 
-djb2 reference semantics: ``partitioner/index.js:17-23`` in the reference
-repo (h = h*33 + charCode, 32-bit wrap, abs). We keep h in [0, 2^32) via
-pmod at every step, which equals the JS uint32 semantics for ASCII input.
+djb2 reference semantics: ``partitioner/index.js:17-23``:
+``hash = ((hash << 5) + hash) + charCode; return Math.abs(hash)``. JS wraps
+ONLY the shifted term to signed int32 (``<<`` applies ToInt32); the ``+
+hash`` accumulator stays an unwrapped double, so the result is NOT a
+mod-2^32 fold. Doubles hold exact integers below 2^53 and |hash| grows by
+at most ~2^31 per character, so for any string under ~4M chars the JS
+arithmetic is exact integer arithmetic — replicated bit-for-bit here in
+BIGINT (:func:`djb2_js`). :func:`djb2` keeps the simpler mod-2^32 fold for
+content-bucketing uses where only the distribution matters — it is
+*distribution-equivalent*, not record-route-compatible with the reference.
 """
 
 from __future__ import annotations
@@ -24,7 +31,10 @@ MOD31 = 2_147_483_648  # 2^31
 
 
 def djb2(col: str, dialect: str) -> str:
-    """Fold-based djb2 string hash, h in [0, 2^32)."""
+    """Fold-based djb2-style hash, h in [0, 2^32). Distribution-equivalent
+    to the reference's hash (good bucketing), but the bucket *labels* differ
+    from the JS function's — use :func:`djb2_js` when routing must match the
+    reference system record-for-record."""
     if dialect == "spark":
         return (
             f"aggregate(transform(split({col}, ''), c -> ascii(c)), 5381L, "
@@ -34,6 +44,33 @@ def djb2(col: str, dialect: str) -> str:
         f"list_reduce(list_prepend(5381::BIGINT, "
         f"list_transform(string_split({col}, ''), c -> ascii(c)::BIGINT)), "
         f"(h, c) -> (h * 33 + c) % {MOD32})"
+    )
+
+
+def djb2_js(col: str, dialect: str) -> str:
+    """Bit-exact replication of the reference's JS hash
+    (partitioner/index.js:17-23): per step the ``hash << 5`` term wraps to
+    signed int32 while the ``+ hash + charCode`` accumulator does not;
+    ``Math.abs`` at the end. Exact for inputs whose BMP code units equal
+    their code points (all ASCII keys and payloads in this engine); the JS
+    empty-string case (loop never runs → 5381) is preserved by filtering
+    the '' element ``split`` emits for an empty input."""
+    if dialect == "spark":
+        chars = f"transform(filter(split({col}, ''), c -> c <> ''), c -> ascii(c))"
+        sh = f"pmod(h * 32, {MOD32})"
+        return (
+            f"abs(aggregate({chars}, 5381L, "
+            f"(h, c) -> h + c + {sh} - IF({sh} >= {MOD31}, {MOD32}, 0L)))"
+        )
+    chars = (
+        f"list_transform(list_filter(string_split({col}, ''), c -> c <> ''), "
+        f"c -> ascii(c)::BIGINT)"
+    )
+    sh = f"(((h * 32) % {MOD32} + {MOD32}) % {MOD32})"
+    return (
+        f"abs(list_reduce(list_prepend(5381::BIGINT, {chars}), "
+        f"(h, c) -> h + c + {sh} - CASE WHEN {sh} >= {MOD31} "
+        f"THEN {MOD32} ELSE 0 END))"
     )
 
 

@@ -49,7 +49,7 @@ WITH raw AS (
   FROM decoded
 ), assigned AS (
   SELECT rec_key,
-         concat('partition_', {s(f"{hashing.djb2('rec_key', d)} % 5", d)}) AS partition
+         concat('partition_', {s(f"{hashing.djb2_js('rec_key', d)} % 5", d)}) AS partition
   FROM keyed
 )
 SELECT partition,

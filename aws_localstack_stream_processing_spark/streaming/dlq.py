@@ -24,21 +24,22 @@ def with_validity(df: DataFrame, json_col: str = "props") -> DataFrame:
 
 
 def foreach_batch_dlq(ok_path: str, err_path: str, json_col: str = "props"):
-    """Reusable foreachBatch writer: split on validity, append both sides.
+    """Reusable foreachBatch writer: split on validity, land both sides.
 
-    Idempotence: the file-sink pair is keyed by batchId via the stream
-    checkpoint; a replayed batch rewrites the same split deterministically.
+    Idempotence: foreachBatch is at-least-once (a crash between the writes
+    and the checkpoint commit replays the whole micro-batch), so each
+    invocation OVERWRITES a ``batch_id=<id>`` subdirectory instead of
+    blind-appending — a replayed batch rewrites the same files and readers
+    of the base path see each record exactly once. ``batch_id`` stays
+    visible to readers as a discovered partition column.
     """
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        marked = with_validity(batch_df, json_col).withColumn(
-            "batch_id", F.lit(batch_id)
-        )
-        marked.filter(F.col("result") == "Ok").drop("result").write.mode(
-            "append"
-        ).parquet(ok_path)
-        marked.filter(F.col("result") != "Ok").drop("result").write.mode(
-            "append"
-        ).parquet(err_path)
+        marked = with_validity(batch_df, json_col)
+        for pred, path in ((F.col("result") == "Ok", ok_path),
+                           (F.col("result") != "Ok", err_path)):
+            marked.filter(pred).drop("result").write.mode("overwrite").parquet(
+                f"{path}/batch_id={batch_id}"
+            )
 
     return handle

@@ -19,13 +19,16 @@ from .source import events_stream
 
 
 def ingest_columns(df: DataFrame) -> DataFrame:
-    """E1 transform: key extraction with fallback, djb2 partition label,
-    event-time path parts (deterministic replay: uses ts, not wall clock)."""
+    """E1 transform: key extraction with fallback, djb2 partition label
+    (route-compatible with the reference: ``djb2_js`` replicates
+    partitioner/index.js:17-23 bit-for-bit, so a record lands in the same
+    partition_N here as in the reference system), event-time path parts
+    (deterministic replay: uses ts, not wall clock)."""
     key = F.coalesce(
         F.get_json_object(F.col("props"), "$.k"),
         F.col("event_id").cast("string"),
     )
-    djb2 = F.expr(hashing.djb2("rec_key", "spark"))
+    djb2 = F.expr(hashing.djb2_js("rec_key", "spark"))
     return (
         df.withColumn("rec_key", key)
         .withColumn(

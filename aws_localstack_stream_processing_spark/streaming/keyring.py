@@ -9,12 +9,15 @@ Reference semantics (signer/index.js:151-214, README.md:15-20):
 - no concurrent use of a key (Aurora FOR UPDATE SKIP LOCKED).
 
 Spark re-expression: the ring lives in the Structured Streaming state store
-(checkpointed — Aurora replaced by state), updated by a single
-``applyInPandasWithState`` group. A single group serializes key assignment
-exactly like the reference's single keyring table; horizontal scale comes
-from sharding into G independent rings (``ring_id = hash(...) % G``) —
-partition affinity guarantees no two tasks share a ring, which replaces
-FOR UPDATE SKIP LOCKED with no locks at all (SURVEY §2.5 O4).
+(checkpointed — Aurora replaced by state), updated by
+``applyInPandasWithState``. Horizontal scale comes from sharding the keys
+into G independent rings: record ``ring_id = pmod(record_key, G)`` routes
+each record to exactly one ring, each ring owns a disjoint key subset
+(``key_id % G``), and state-partition affinity guarantees no two tasks ever
+share a ring — which replaces FOR UPDATE SKIP LOCKED with no locks at all
+(SURVEY §2.5 O4). Within a ring, key assignment is serialized exactly like
+the reference's single keyring table; across rings throughput scales with G
+(the state shuffle hashes on ring_id, so G state partitions run G tasks).
 """
 
 from __future__ import annotations
@@ -26,26 +29,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUTPUT_SCHEMA = "batch_id long, key_id long, n_records long"
+OUTPUT_SCHEMA = "ring_id long, batch_id long, key_id long, n_records long"
 STATE_SCHEMA = "state_json string"
 
 
+def ring_of_key(key_id: int, n_rings: int) -> int:
+    """Which ring owns a key. Shared by the operator, the oracle SQL, and
+    the no-key-in-two-rings invariant test."""
+    return key_id % n_rings
+
+
 def _assign_batches(
-    pdf: pd.DataFrame, st: dict, key_ids: list[int], batch_size: int
+    n_rows: int, st: dict, batch_size: int
 ) -> list[tuple[int, int, int]]:
-    """Chunk rows (ordered by event_id) into processing batches and assign
+    """Chunk ``n_rows`` ring-local records into processing batches and assign
     each the current LRU key. ``last_used`` is a logical clock so rotation
     is deterministic; ties break on key_id (stable for the seeded ring)."""
     out = []
-    n = len(pdf)
     pos = 0
     ring = st["ring"]  # list of [key_id, last_used]
-    while pos < n:
-        take = min(batch_size, n - pos)
+    while pos < n_rows:
+        take = min(batch_size, n_rows - pos)
         i = min(range(len(ring)), key=lambda j: (ring[j][1], ring[j][0]))
         key_id = ring[i][0]
         st["clock"] += 1
-        ring[i][1] = len(key_ids) + st["clock"]
+        ring[i][1] = len(ring) + st["clock"]
         out.append((st["batches"], key_id, take))
         st["batches"] += 1
         pos += take
@@ -53,30 +61,57 @@ def _assign_batches(
 
 
 def lru_keyring_assign(
-    events: DataFrame, key_ids: list[int], batch_size: int = 100
+    events: DataFrame,
+    key_ids: list[int],
+    batch_size: int = 100,
+    n_rings: int = 1,
 ) -> DataFrame:
-    """Streaming stateful operator: (batch_id, key_id, n_records) per
-    processing batch, LRU rotation persisted across micro-batches."""
+    """Streaming stateful operator: (ring_id, batch_id, key_id, n_records)
+    per processing batch; LRU rotation persisted across micro-batches,
+    sharded over ``n_rings`` independent rings.
+
+    Routing is cross-engine deterministic (``event_id % n_rings`` /
+    ``key_id % n_rings``) so the whole sharded rotation has a pure-SQL
+    oracle. batch_id is ring-local (each ring is its own serialized
+    assignment line, like one reference keyring table per shard)."""
+    by_ring: dict[int, list[int]] = {}
+    for kid in sorted(key_ids):
+        by_ring.setdefault(ring_of_key(kid, n_rings), []).append(kid)
 
     def fn(key, pdfs, state: GroupState):
+        (ring_id,) = key
+        ring_keys = by_ring.get(ring_id, [])
         if state.exists:
             st = json.loads(state.get[0])
         else:
             # seed: every key "last used" at its rank → LRU order = rank order
             st = {
-                "ring": [[kid, rank] for rank, kid in enumerate(sorted(key_ids))],
+                "ring": [[kid, rank] for rank, kid in enumerate(ring_keys)],
                 "clock": 0,
                 "batches": 0,
             }
-        rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame({"event_id": []})
-        rows = rows.sort_values("event_id")
-        out = _assign_batches(rows, st, key_ids, batch_size)
+        chunks = list(pdfs)  # materialize BEFORE truthiness: generators lie
+        rows = (
+            pd.concat(chunks)
+            if chunks
+            else pd.DataFrame({"event_id": pd.Series([], dtype="int64")})
+        )
+        if len(rows) == 0 or not st["ring"]:
+            state.update((json.dumps(st),))
+            yield pd.DataFrame(
+                columns=["ring_id", "batch_id", "key_id", "n_records"]
+            ).astype("int64")
+            return
+        out = _assign_batches(len(rows), st, batch_size)
         state.update((json.dumps(st),))
-        yield pd.DataFrame(out, columns=["batch_id", "key_id", "n_records"])
+        yield pd.DataFrame(
+            [(ring_id, b, k, n) for b, k, n in out],
+            columns=["ring_id", "batch_id", "key_id", "n_records"],
+        )
 
     return (
         events.select("event_id")
-        .withColumn("ring_id", F.lit(0))  # shard key: hash(...) % G at scale
+        .withColumn("ring_id", F.pmod(F.col("event_id"), F.lit(n_rings)))
         .groupBy("ring_id")
         .applyInPandasWithState(
             fn,

@@ -6,8 +6,10 @@ SQS route it to a dead-letter queue after ``maxReceiveCount`` receives
 *systemic* failures (executor loss); this module reproduces the
 *record-level* contract: each record carries a receive count, failed
 records re-enter the next batch, and records that fail ``max_receives``
-times land in a DLQ table with their count — nothing is lost, nothing is
-processed twice.
+times land in a DLQ table with their count — nothing is lost, and the
+ok/dlq writes are idempotent per batch (each invocation overwrites a
+``batch_id``-keyed subdirectory, so a replayed micro-batch rewrites the
+same files instead of duplicating them).
 
 All state lives in two keyed parquet tables (retry buffer, DLQ) — the same
 put-if-absent convergence as :class:`..streaming.sinks.KeyedParquetSink`;
@@ -17,6 +19,7 @@ the driver holds no row data.
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,7 +50,8 @@ class RetryingProcessor:
 
     def _read_or_none(self, spark: SparkSession, path: str) -> DataFrame | None:
         if os.path.isdir(path) and any(
-            f.endswith(".parquet") for f in os.listdir(path)
+            f.endswith(".parquet") or f.startswith("batch_id=")
+            for f in os.listdir(path)
         ):
             return spark.read.parquet(path)
         return None
@@ -61,9 +65,6 @@ class RetryingProcessor:
         )
         # one receive for every record in this batch
         work = work.withColumn("receive_count", F.col("receive_count") + 1)
-        # persist is load-bearing: the ok/dlq writes below materialize every
-        # partition, so the later overwrite of the retry buffer reads cached
-        # blocks, not the files it is replacing
         attempted = self.attempt_fn(work).persist()
 
         ok = attempted.filter("ok").drop("ok")
@@ -71,13 +72,30 @@ class RetryingProcessor:
         poison = failed.filter(F.col("receive_count") >= self.max_receives)
         again = failed.filter(F.col("receive_count") < self.max_receives)
 
-        ok.write.mode("append").parquet(self.ok_path)
+        # batch-idempotent outputs: overwrite a batch_id-keyed subdirectory,
+        # never blind-append (a replayed batch rewrites the same files)
+        ok.write.mode("overwrite").parquet(f"{self.ok_path}/batch_id={batch_id}")
         if poison.limit(1).count() > 0:
-            poison.write.mode("append").parquet(self.dlq_path)
-        # the retry buffer is replaced wholesale each batch (tiny by design:
-        # only currently-failing records live here)
-        again.write.mode("overwrite").parquet(self.retry_path)
+            poison.write.mode("overwrite").parquet(
+                f"{self.dlq_path}/batch_id={batch_id}"
+            )
+        # Replace the retry buffer wholesale (tiny by design: only
+        # currently-failing records live here). `again`'s lineage still reads
+        # the CURRENT buffer files, so never overwrite in place — write to a
+        # temp dir, then swap directories. The swap happens only after the
+        # write job has fully materialized `again`, so no plan re-execution
+        # can read deleted files (the persist() above is an optimization,
+        # not a correctness dependency).
+        tmp = self.retry_path + ".tmp"
+        old = self.retry_path + ".old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        again.write.mode("overwrite").parquet(tmp)
         attempted.unpersist()
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(self.retry_path):
+            os.rename(self.retry_path, old)
+        os.rename(tmp, self.retry_path)
+        shutil.rmtree(old, ignore_errors=True)
 
     def drain(self, spark: SparkSession, max_batches: int = 5) -> None:
         """Re-deliver the retry buffer with empty batches until it empties

@@ -34,6 +34,7 @@ CASES = [
 
 FRAGMENTS = {
     "djb2": hashing.djb2,
+    "djb2_js": hashing.djb2_js,
     "rolling_fingerprint": hashing.rolling_fingerprint,
     "sha256": hashing.sha256_hex,
     "n_words": text.n_words,

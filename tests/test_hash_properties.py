@@ -23,6 +23,21 @@ def py_djb2(s: str) -> int:
     return h
 
 
+def py_djb2_js(s: str) -> int:
+    """Faithful simulation of the reference's JS hash
+    (partitioner/index.js:17-23): ``hash << 5`` coerces through ToInt32
+    (only the shifted term wraps, to SIGNED int32); the accumulator stays
+    unwrapped; Math.abs at the end. Exact in doubles below 2^53 — the model
+    uses Python ints, which agree exactly in that range."""
+    h = 5381
+    for ch in s:
+        shifted = ((h & 0xFFFFFFFF) * 32) & 0xFFFFFFFF
+        if shifted >= 2**31:
+            shifted -= 2**32
+        h = shifted + h + ord(ch)
+    return abs(h)
+
+
 def py_rolling(s: str) -> int:
     h = 0
     for ch in s or "\0":
@@ -49,6 +64,24 @@ def test_djb2_matches_model(s):
             f"SELECT {hashing.djb2('s', 'duck')} FROM t"
         ).fetchone()
         assert got == py_djb2(s), s
+    finally:
+        con.close()
+
+
+@settings(max_examples=200, deadline=None)
+@given(_text)
+def test_djb2_js_matches_reference_semantics(s):
+    """The route-compatibility property ADVICE r1 flagged: the emitted
+    partition label must equal ``Math.abs(jsHash(key)) % N`` for the
+    reference's exact JS arithmetic, not merely a same-distribution fold."""
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t(s VARCHAR)")
+        con.execute("INSERT INTO t VALUES (?)", [s])
+        (got,) = con.execute(
+            f"SELECT {hashing.djb2_js('s', 'duck')} FROM t"
+        ).fetchone()
+        assert got == py_djb2_js(s), s
     finally:
         con.close()
 

@@ -77,3 +77,50 @@ def test_invariants_2_3_4_key_rotation(spark):
     for i in range(len(keys) - n + 1):
         window = keys[i : i + n]
         assert len(set(window)) == n, f"key reuse within window at {i}"
+
+
+def test_sharded_rings_disjoint_and_complete(spark):
+    """O4 at scale: with G rings, every key belongs to exactly one ring
+    (no key can ever be used by two assignment lines — the lock-free
+    replacement for FOR UPDATE SKIP LOCKED), every ring only hands out its
+    own keys, rotation within each ring is still round-robin over the
+    ring's key subset, and no record is lost in the sharding."""
+    from aws_localstack_stream_processing_spark.catalog import load_table
+    from aws_localstack_stream_processing_spark.plans.streaming_surface import (
+        _to_memory,
+    )
+    from aws_localstack_stream_processing_spark.streaming.keyring import (
+        lru_keyring_assign,
+        ring_of_key,
+    )
+    from aws_localstack_stream_processing_spark.streaming.source import events_stream
+
+    G = 4
+    key_ids = sorted(
+        r.s_suppkey
+        for r in load_table(spark, SF_DIR, "supplier").select("s_suppkey").collect()
+    )
+    ev = events_stream(spark, SF_DIR)
+    sunk = _to_memory(
+        lru_keyring_assign(ev, key_ids, batch_size=BATCH, n_rings=G), "append"
+    )
+    rows = [(r.ring_id, r.batch_id, r.key_id, r.n_records) for r in sunk.collect()]
+
+    # disjointness: a key only ever appears in its owning ring
+    used_in = {}
+    for ring_id, _, key_id, _ in rows:
+        used_in.setdefault(key_id, set()).add(ring_id)
+    assert all(len(rings) == 1 for rings in used_in.values())
+    assert all(
+        rings == {ring_of_key(k, G)} for k, rings in used_in.items()
+    )
+
+    # completeness: the sharding loses no records
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert sum(n for _, _, _, n in rows) == n_events
+
+    # per-ring rotation is round-robin over the ring's own keys
+    for g in range(G):
+        ring_keys = [k for k in key_ids if ring_of_key(k, G) == g]
+        seq = [k for ring_id, b, k, _ in sorted(rows) if ring_id == g]
+        assert seq == [ring_keys[i % len(ring_keys)] for i in range(len(seq))]

@@ -72,8 +72,6 @@ def test_keyring_multibatch_rotation(spark):
     maxFilesPerTrigger splitting... the single test file arrives as one
     batch, so split logically: feed two sequential availableNow runs through
     the same checkpoint and check batch ids continue."""
-    import pandas as pd
-
     from aws_localstack_stream_processing_spark.streaming.keyring import (
         _assign_batches,
     )
@@ -82,9 +80,8 @@ def test_keyring_multibatch_rotation(spark):
     key_ids = [0, 1, 2]
     st = {"ring": [[k, i] for i, k in enumerate(key_ids)], "clock": 0, "batches": 0}
     out = []
-    for mb in range(4):  # 4 micro-batches of 250 rows, batch_size 100
-        pdf = pd.DataFrame({"event_id": range(mb * 250, (mb + 1) * 250)})
-        out += _assign_batches(pdf, st, key_ids, 100)
+    for _mb in range(4):  # 4 micro-batches of 250 rows, batch_size 100
+        out += _assign_batches(250, st, 100)
     batch_ids = [b for b, _, _ in out]
     keys = [k for _, k, _ in out]
     sizes = [n for _, _, n in out]
