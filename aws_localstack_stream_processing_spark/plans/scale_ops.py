@@ -35,27 +35,30 @@ GROUP BY event_type
 def scale_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation for hot grouping keys: phase 1 groups by
     (key, salt) so a dominant key spreads over N_SALTS reducers; phase 2
-    merges the partials. COUNT(DISTINCT user_id) stays exact by carrying the
-    per-salt distinct sets through `collect_set` and unioning in phase 2
-    (sets stay small because user cardinality per key is bounded). Identical
-    result to the plain GROUP BY oracle."""
+    merges the partials. COUNT(DISTINCT user_id) stays exact via a
+    two-level aggregation — level 1 groups by (key, user_id), so a hot key
+    spreads across reducers by user_id and NO per-group set is ever
+    materialized (every aggregation state is a counter); level 2 counts the
+    surviving distinct pairs per key. Unbounded per-key user cardinality
+    costs rows, never executor memory. Identical result to the plain
+    GROUP BY oracle."""
     ev = views(spark, sf_dir, "events")["events"]
     salted = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(_N_SALTS)))
     phase1 = salted.groupBy("event_type", "salt").agg(
         F.count("*").alias("pn"),
         F.sum(F.col("value").cast("decimal(28,6)")).alias("psum"),
-        F.collect_set("user_id").alias("pusers"),
     )
-    return (
-        phase1.groupBy("event_type")
-        .agg(
-            F.sum("pn").cast("bigint").alias("n_events"),
-            F.sum("psum").cast("double").alias("sum_value"),
-            F.size(F.array_distinct(F.flatten(F.collect_list("pusers"))))
-            .cast("bigint")
-            .alias("n_users"),
-        )
+    sums = phase1.groupBy("event_type").agg(
+        F.sum("pn").cast("bigint").alias("n_events"),
+        F.sum("psum").cast("double").alias("sum_value"),
     )
+    distinct_users = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.lit(1))
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+    return sums.join(distinct_users, "event_type")
 
 
 def _skew_join_sql(d: str) -> str:

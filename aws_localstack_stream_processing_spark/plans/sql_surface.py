@@ -110,11 +110,15 @@ FROM assigned
 
 
 def _sign_series(tx_hash: pd.Series, key_id: pd.Series) -> pd.Series:
-    """Vectorized signing stand-in (U2): HMAC-ish sha256(tx_hash | privkey).
-    Real ECDSA (ethers.js signTransaction, signer/index.js:292-295) swaps in
-    here — the Arrow-batched plumbing is the operator. Key derivation is
-    memoized per batch: the ring is ~100 keys, so each Arrow batch derives
-    each key once, not once per row."""
+    """Vectorized signing (U2): keyed sha256(tx_hash | privkey) — the
+    construction the DuckDB oracle can replicate byte-for-byte (DuckDB 1.0
+    sha256 hashes VARCHAR only, so RFC-2104's binary inner digest is not
+    oracle-renderable; see functions/crypto.py). The REAL crypto paths are
+    :func:`ref_sign_ecdsa` (secp256k1 sign+verify round-trip, oracle-checked
+    via verification counts) and the JVM HMAC expression
+    ``crypto.hmac_sha256_hex`` (stdlib-hmac-verified in tests). Key
+    derivation is memoized per batch: the ring is ~100 keys, so each Arrow
+    batch derives each key once, not once per row."""
     import hashlib
 
     privs = {
@@ -146,6 +150,98 @@ def ref_sign_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "to_addr",
         "value_wei",
         sign_udf(F.col("tx_hash"), F.col("key_id")).alias("signature"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real ECDSA signing — secp256k1 with RFC-6979 deterministic nonces
+# (signer/index.js:292-295 signs via ethers.js ECDSA). The oracle checks the
+# per-key verification counts: the hash-match is green only if every
+# signature the engine produced round-trips through public-key verification.
+# ---------------------------------------------------------------------------
+
+_ECDSA_STRIDE = 20  # sign every 20th tx — bounds per-row crypto cost
+
+_ECDSA_ORACLE = f"""
+WITH assigned AS ({_sign_tx_sql('duck')})
+SELECT key_id,
+       CAST(COUNT(*) AS BIGINT) AS n_txs,
+       CAST(COUNT(*) AS BIGINT) AS n_valid
+FROM assigned WHERE nonce % {_ECDSA_STRIDE} = 0
+GROUP BY key_id
+"""
+
+
+@query("ref_sign_ecdsa", oracle=_ECDSA_ORACLE, tags=("reference", "udf", "crypto"))
+def ref_sign_ecdsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real asymmetric signing: per-key secp256k1 private keys (derived
+    deterministically from the key ring id), RFC-6979 deterministic ECDSA
+    over each transaction hash, then public-key verification of every
+    signature — all inside one Arrow-batched ``mapInPandas``. The result
+    aggregates (n_txs, n_valid) per key; the oracle asserts n_valid ==
+    n_txs, so a forged/garbage signature anywhere breaks the hash match.
+
+    Reference: signer/index.js:292-295 (ECDSA via ethers.js),
+    scripts/seed-keys.ts:16-30 (keypair seeding). Import-gated: raises
+    NotImplementedError if the ``cryptography`` package is unavailable.
+    """
+    views(spark, sf_dir, "orders")
+    assigned = spark.sql(_sign_tx_sql("spark")).filter(
+        F.col("nonce") % _ECDSA_STRIDE == 0
+    )
+
+    def sign_verify(batches):
+        try:
+            from cryptography.hazmat.primitives import hashes
+            from cryptography.hazmat.primitives.asymmetric import ec
+        except ImportError as exc:  # pragma: no cover - present in CI image
+            raise NotImplementedError(
+                "ref_sign_ecdsa requires the 'cryptography' package"
+            ) from exc
+        import hashlib
+
+        from cryptography.exceptions import InvalidSignature
+
+        n_order = int(
+            "FFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFE"
+            "BAAEDCE6AF48A03BBFD25E8CD0364141",
+            16,
+        )
+        sign_algo = ec.ECDSA(hashes.SHA256(), deterministic_signing=True)
+        verify_algo = ec.ECDSA(hashes.SHA256())
+        keys: dict[int, tuple] = {}
+
+        def keypair(kid: int):
+            if kid not in keys:
+                scalar = (
+                    int.from_bytes(
+                        hashlib.sha256(f"key_{kid}".encode()).digest(), "big"
+                    )
+                    % (n_order - 1)
+                    + 1
+                )
+                priv = ec.derive_private_key(scalar, ec.SECP256K1())
+                keys[kid] = (priv, priv.public_key())
+            return keys[kid]
+
+        for pdf in batches:
+            valids = []
+            for h, kid in zip(pdf["tx_hash"], pdf["key_id"]):
+                priv, pub = keypair(int(kid))
+                sig = priv.sign(h.encode(), sign_algo)
+                try:
+                    pub.verify(sig, h.encode(), verify_algo)
+                    valids.append(True)
+                except InvalidSignature:
+                    valids.append(False)
+            yield pd.DataFrame({"key_id": pdf["key_id"], "valid": valids})
+
+    per_row = assigned.select("tx_hash", "key_id").mapInPandas(
+        sign_verify, "key_id bigint, valid boolean"
+    )
+    return per_row.groupBy("key_id").agg(
+        F.count("*").cast("bigint").alias("n_txs"),
+        F.sum(F.col("valid").cast("int")).cast("bigint").alias("n_valid"),
     )
 
 

@@ -78,15 +78,22 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
+    # median of N warm trials per query: single-trial numbers on this VM
+    # vary up to 10x run-to-run, which would drown any real regression
+    # signal between rounds
+    n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = qs[name].fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
-        # queries that materialize intermediates (persist) pay for them
-        # inside their own timing; drop the cache so queries stay isolated
-        spark.catalog.clearCache()
+        trials: list[float] = []
+        for _ in range(n_trials):
+            t0 = time.perf_counter()
+            df = qs[name].fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            trials.append(time.perf_counter() - t0)
+            # queries that materialize intermediates (persist) pay for them
+            # inside their own timing; drop the cache so trials stay isolated
+            spark.catalog.clearCache()
+        times[name] = round(sorted(trials)[len(trials) // 2], 3)
 
     total = round(sum(times.values()), 3)
     try:
@@ -101,6 +108,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "trials_per_query": n_trials,
+                "stat": "median",
             }
         )
     )

@@ -102,6 +102,17 @@ def test_context_pack_single_shuffle(spark):
     assert executed.count("Exchange hashpartitioning") == 1
 
 
+def test_salted_hot_key_agg_no_set_state(spark):
+    """Exact COUNT(DISTINCT) via two-level aggregation: every aggregation
+    state in the plan must be a scalar (counter/sum) — no collect_set /
+    collect_list, whose per-group state grows with key heat and OOMs on
+    exactly the hot keys the salting is there to survive."""
+    plan, executed = _plan(spark, "scale_salted_hot_key_agg")
+    assert "collect_set" not in executed and "collect_list" not in executed
+    # distinct leg: partial agg on (event_type, user_id) then count
+    assert executed.count("HashAggregate") >= 4  # two two-phase aggs
+
+
 def test_q11_scans_prune_to_referenced_columns(spark):
     """Both passes over lineitem (group-by and global-sum subquery) read
     only the 3 referenced columns."""

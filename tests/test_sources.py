@@ -96,3 +96,52 @@ def test_kinesis_stream_unavailable_raises(spark):
         pytest.skip("a Kinesis connector is present on this classpath")
     with pytest.raises(RuntimeError, match="file-backed equivalent"):
         kinesis_stream(spark, "tx-stream")
+
+
+def test_jdbc_option_factory():
+    from aws_localstack_stream_processing_spark.sources.jdbc import (
+        jdbc_options,
+        jdbc_subquery,
+    )
+
+    # remote-side pushdown: projection + predicate live in the subquery
+    sq = jdbc_subquery(
+        "keys", columns=["key_id", "last_used_at"], where="active = true"
+    )
+    assert sq == (
+        "(SELECT key_id, last_used_at FROM keys WHERE active = true)"
+        " AS slsp_pushdown"
+    )
+
+    opts = jdbc_options(
+        "jdbc:postgresql://db:5432/signer",
+        "keys",
+        user="svc",
+        password="pw",
+        partition_column="key_id",
+        lower_bound=0,
+        upper_bound=100_000,
+        num_partitions=16,
+    )
+    assert opts["partitionColumn"] == "key_id"
+    assert opts["numPartitions"] == "16"
+    assert opts["dbtable"].startswith("(SELECT * FROM keys)")
+
+    with pytest.raises(ValueError, match="not a JDBC url"):
+        jdbc_options("postgresql://db/signer", "keys")
+    with pytest.raises(ValueError, match="ALL of"):
+        jdbc_options("jdbc:postgresql://db/x", "keys", partition_column="k")
+    with pytest.raises(ValueError, match="table is required"):
+        jdbc_subquery("")
+
+
+def test_jdbc_keyring_unavailable_raises(spark):
+    from aws_localstack_stream_processing_spark.sources.jdbc import (
+        jdbc_driver_available,
+        read_keyring_jdbc,
+    )
+
+    if jdbc_driver_available(spark, "org.postgresql.Driver"):
+        pytest.skip("a postgres driver is present on this classpath")
+    with pytest.raises(RuntimeError, match="state-store-backed ring"):
+        read_keyring_jdbc(spark, "jdbc:postgresql://db:5432/signer")
