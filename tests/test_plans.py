@@ -113,6 +113,32 @@ def test_salted_hot_key_agg_no_set_state(spark):
     assert executed.count("HashAggregate") >= 4  # two two-phase aggs
 
 
+def test_chunking_is_narrow_codegen_map(spark):
+    """RAG chunking must be scan-parallel: one Generate (explode), zero
+    exchanges, zero Python — chunking cost scales with input splits."""
+    _, executed = _plan(spark, "doc_chunk_overlap")
+    assert "Exchange" not in executed
+    assert "EvalPython" not in executed
+    assert executed.count("Generate") == 1
+
+
+def test_funnel_single_fact_shuffle(spark):
+    """All three funnel stages (window MINs over the same user_id
+    partitioning) plus the per-user rollup must share ONE hash exchange;
+    the only other exchange is the 1-row global count."""
+    _, executed = _plan(spark, "funnel_conversion")
+    assert executed.count("Exchange hashpartitioning") == 1
+    assert executed.count("Exchange") == 2
+
+
+def test_arrow_stats_is_narrow_arrow_map(spark):
+    """mapInArrow rides the zero-copy Arrow path (no pandas conversion
+    node) and stays a narrow map."""
+    _, executed = _plan(spark, "mm_arrow_stats")
+    assert "Exchange" not in executed
+    assert "MapInArrow" in executed
+
+
 def test_q11_scans_prune_to_referenced_columns(spark):
     """Both passes over lineitem (group-by and global-sum subquery) read
     only the 3 referenced columns."""
