@@ -1362,3 +1362,151 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic rank: ties broken lexicographically."""
     views(spark, sf_dir, "documents")
     return spark.sql(_ngram_topk_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental (batch-vs-corpus) near-dup detection — the ingest-time dedup
+# gate: a small incoming batch is checked against the standing corpus WITHOUT
+# ever reshuffling the corpus for the join (the incoming band index
+# broadcasts). This is the production shape at 100 TB: the corpus band index
+# is a standing table; each ingest batch only pays for its own signatures
+# plus a broadcast probe.
+# ---------------------------------------------------------------------------
+
+
+def _inc_corpus(d: str) -> str:
+    docs = tbl("documents", d)
+    return f"SELECT doc_id, text FROM {docs} WHERE doc_id % 5 <> 0"
+
+
+def _inc_incoming(d: str) -> str:
+    docs = tbl("documents", d)
+    return f"""
+  SELECT doc_id + 4000000 AS doc_id, text FROM {docs} WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, concat('near dup marker ', text) AS text
+  FROM {docs} WHERE doc_id % 20 = 1
+"""
+
+
+def _inc_shingle_sql(src: str, d: str) -> str:
+    return f"""
+  SELECT doc_id, {arr_distinct(text.shingles('w', 3, d), d)} AS sh
+  FROM (SELECT doc_id, {text.words('text', d)} AS w FROM ({src}) t) tw
+  WHERE {arr_len('w', d)} >= 3
+"""
+
+
+def _dedup_incremental_sql(d: str) -> str:
+    sig_cols = ", ".join(
+        f"{hashing.minhash_sig('sh', i, d)} AS m{i}" for i in range(_N_SEEDS)
+    )
+
+    def bands(src_cte: str) -> str:
+        return "\n  UNION ALL\n".join(
+            f"  SELECT doc_id, {b} AS band, md5(concat(m{2 * b}, m{2 * b + 1})) AS bv"
+            f" FROM {src_cte}"
+            for b in range(_N_SEEDS // _BAND_ROWS)
+        )
+
+    return f"""
+WITH cshing AS ({_inc_shingle_sql(_inc_corpus(d), d)}),
+ishing AS ({_inc_shingle_sql(_inc_incoming(d), d)}),
+csig AS (SELECT doc_id, {sig_cols} FROM cshing),
+isig AS (SELECT doc_id, {sig_cols} FROM ishing),
+cbands AS (
+{bands('csig')}
+),
+ibands AS (
+{bands('isig')}
+),
+cand AS (
+  SELECT DISTINCT i.doc_id AS in_doc, c.doc_id AS corpus_doc
+  FROM ibands i JOIN cbands c ON i.band = c.band AND i.bv = c.bv
+),
+verified AS (
+  SELECT cand.in_doc, cand.corpus_doc,
+         CAST({arr_intersect_len('si.sh', 'sc.sh', d)} AS DOUBLE)
+           / {arr_union_len('si.sh', 'sc.sh', d)} AS jaccard
+  FROM cand
+  JOIN ishing si ON si.doc_id = cand.in_doc
+  JOIN cshing sc ON sc.doc_id = cand.corpus_doc
+)
+SELECT in_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       MIN(corpus_doc) AS first_match_doc,
+       round(MAX(jaccard), 6) AS best_jaccard
+FROM verified WHERE jaccard >= {_JACCARD_THRESHOLD}
+GROUP BY in_doc
+"""
+
+
+@query("dedup_incremental_lsh", oracle=_dedup_incremental_sql("duck"), tags=("llm", "dedup", "incremental"))
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time near-dup gate: the incoming batch's MinHash band index is
+    BROADCAST against the standing corpus band index, so the corpus never
+    reshuffles for an ingest batch (plan-asserted: the band join is a
+    BroadcastHashJoin with the incoming side as the build side). Candidates
+    verify with exact Jaccard against the corpus shingle table. Incoming =
+    the held-out 20% of documents plus planted near-dups of corpus docs;
+    matches are exactly the planted ones plus any natural dups."""
+    views(spark, sf_dir, "documents")
+    corpus = spark.sql(_inc_corpus("spark"))
+    incoming = spark.sql(f"SELECT * FROM ({_inc_incoming('spark')}) t")
+
+    def shingled(df: DataFrame) -> DataFrame:
+        toks = df.select("doc_id", F.split("text", " ").alias("w"))
+        return toks.filter(F.expr("size(w) >= 3")).select(
+            "doc_id",
+            F.expr(f"array_distinct({text.shingles('w', 3, 'spark')})").alias("sh"),
+        )
+
+    def banded(shing: DataFrame) -> DataFrame:
+        sig = shing.select(
+            "doc_id",
+            *[
+                F.expr(hashing.minhash_sig("sh", i, "spark")).alias(f"m{i}")
+                for i in range(_N_SEEDS)
+            ],
+        )
+        band_arr = F.array(
+            *[
+                F.md5(F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")))
+                for b in range(_N_SEEDS // _BAND_ROWS)
+            ]
+        )
+        return sig.select("doc_id", F.posexplode(band_arr).alias("band", "bv"))
+
+    cshing = shingled(corpus).persist()
+    ishing = shingled(incoming).persist()
+    cand = (
+        banded(cshing)
+        .withColumnRenamed("doc_id", "corpus_doc")
+        .join(
+            F.broadcast(
+                banded(ishing).withColumnRenamed("doc_id", "in_doc")
+            ),
+            ["band", "bv"],
+        )
+        .select("in_doc", "corpus_doc")
+        .dropDuplicates(["in_doc", "corpus_doc"])
+    )
+    si = ishing.select(F.col("doc_id").alias("in_doc"), F.col("sh").alias("si"))
+    sc = cshing.select(
+        F.col("doc_id").alias("corpus_doc"), F.col("sh").alias("sc")
+    )
+    jac = F.expr(
+        "CAST(size(array_intersect(si, sc)) AS DOUBLE) / size(array_union(si, sc))"
+    )
+    return (
+        cand.join(F.broadcast(si), "in_doc")
+        .join(sc, "corpus_doc")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .groupBy("in_doc")
+        .agg(
+            F.count("*").cast("bigint").alias("n_matches"),
+            F.min("corpus_doc").alias("first_match_doc"),
+            F.round(F.max("jaccard"), 6).alias("best_jaccard"),
+        )
+    )

@@ -736,3 +736,89 @@ def sql_array_fn_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs DuckDB 1-based)."""
     views(spark, sf_dir, "documents")
     return spark.sql(_array_fn_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension history — gaps-and-islands collapse of per-day snapshots
+# into validity ranges (the batch MERGE pattern for slowly-changing
+# dimensions at lake scale: recompute ranges from the event log instead of
+# row-level upserts).
+# ---------------------------------------------------------------------------
+
+
+def _scd2_sql(d: str) -> str:
+    return f"""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, MAX(event_type) AS attr
+  FROM {tbl('events', d)} GROUP BY user_id, date_trunc('day', ts)
+), seq AS (
+  SELECT user_id, day, attr,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+         - ROW_NUMBER() OVER (PARTITION BY user_id, attr ORDER BY day) AS grp
+  FROM daily
+)
+SELECT user_id, attr,
+       {ts_str('MIN(day)', d)} AS valid_from,
+       {ts_str('MAX(day)', d)} AS valid_to,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM seq GROUP BY user_id, attr, grp
+"""
+
+
+@query("sql_scd2_ranges", oracle=_scd2_sql("duck"), tags=("sql", "window", "scd2"))
+def sql_scd2_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history: per-user daily attribute
+    snapshots collapsed into [valid_from, valid_to] ranges via the
+    gaps-and-islands double-row_number trick. Both window layers and the
+    final rollup partition on user_id — one fact shuffle. At lake scale
+    this recompute-from-log pattern replaces row-level MERGE upserts."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_scd2_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Null semantics surface — three-valued logic, null-safe equality, null
+# ordering, and aggregate null handling probed in one query (NULL handling
+# is where engines silently diverge; this pins the contract).
+# ---------------------------------------------------------------------------
+
+
+def _null_semantics_sql(d: str) -> str:
+    nse = (
+        "(st <=> pst)" if d == "spark" else "(st IS NOT DISTINCT FROM pst)"
+    )
+    return f"""
+WITH base AS (
+  SELECT o_orderkey,
+         NULLIF(o_custkey % 7, 0) AS k7,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS st
+  FROM {tbl('orders', d)}
+), seq AS (
+  SELECT o_orderkey, k7, st,
+         LAG(st) OVER (ORDER BY o_orderkey) AS pst,
+         FIRST_VALUE(o_orderkey) OVER (
+           ORDER BY k7 ASC NULLS FIRST, o_orderkey
+         ) AS first_null_key
+  FROM base
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(k7) AS BIGINT) AS n_k7_nonnull,
+       CAST(SUM(CASE WHEN k7 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_k7_null,
+       CAST(COUNT(DISTINCT st) AS BIGINT) AS n_st_distinct,
+       CAST(SUM(CASE WHEN {nse} THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_same_as_prev,
+       CAST(MIN(first_null_key) AS BIGINT) AS first_null_key,
+       CAST(COALESCE(MIN(k7), -1) AS BIGINT) AS min_k7
+FROM seq
+"""
+
+
+@query("sql_null_semantics", oracle=_null_semantics_sql("duck"), tags=("sql", "nulls"))
+def sql_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic contract in one row: COUNT(*) vs COUNT(col) vs
+    COUNT(DISTINCT col) under injected nulls, null-safe equality against
+    the previous row (Spark ``<=>`` ≡ DuckDB ``IS NOT DISTINCT FROM`` —
+    true when both sides are NULL), NULLS FIRST window ordering, NULLIF /
+    COALESCE round-trips. A semantics probe, not a scale pattern (the
+    global-order window runs single-partition by construction)."""
+    views(spark, sf_dir, "orders")
+    return spark.sql(_null_semantics_sql("spark"))

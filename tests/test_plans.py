@@ -139,6 +139,17 @@ def test_arrow_stats_is_narrow_arrow_map(spark):
     assert "MapInArrow" in executed
 
 
+def test_incremental_dedup_corpus_never_shuffles_for_join(spark):
+    """The ingest-time dedup gate must probe the corpus with a broadcast of
+    the (small) incoming band index: every join is a BroadcastHashJoin,
+    and the only hash exchanges carry candidate pairs (dedup + final
+    rollup), never the corpus tables."""
+    _, executed = _plan(spark, "dedup_incremental_lsh")
+    assert "SortMergeJoin" not in executed
+    assert executed.count("BroadcastHashJoin") >= 3
+    assert executed.count("Exchange hashpartitioning") <= 2
+
+
 def test_q11_scans_prune_to_referenced_columns(spark):
     """Both passes over lineitem (group-by and global-sum subquery) read
     only the 3 referenced columns."""
