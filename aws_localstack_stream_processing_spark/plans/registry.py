@@ -75,6 +75,7 @@ def all_queries() -> dict[str, QueryDef]:
     least-driver-checked first (ties keep registration order)."""
     from . import (  # noqa: F401
         llm_ops,
+        quality_ops,
         rag_ops,
         reference_ops,
         scale_ops,

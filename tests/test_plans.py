@@ -158,3 +158,37 @@ def test_q11_scans_prune_to_referenced_columns(spark):
         line = rs.splitlines()[0]
         if "l_suppkey" in line:
             assert "l_shipdate" not in line and "l_orderkey" not in line
+
+
+def test_gopher_rules_is_narrow_codegen_map(spark):
+    """All five quality gates fuse into one codegen projection: no
+    shuffle, no Python, one scan of documents."""
+    _, executed = _plan(spark, "text_gopher_rules")
+    assert "Exchange" not in executed
+    assert "Python" not in executed and "ArrowEval" not in executed
+    assert executed.count("FileScan parquet") == 1
+
+
+def test_profiler_single_scan(spark):
+    """The vertical reshape rides a lateral inline over the 1-row
+    aggregate — orders is scanned once, not once per profiled column."""
+    _, executed = _plan(spark, "profile_table_stats")
+    assert executed.count("FileScan parquet") == 1
+    assert "Expand" in executed  # exact multi-distinct path
+
+
+def test_edit_distance_bucketed_not_cartesian(spark):
+    """Candidate generation is an equi-join on (lang, band): Levenshtein
+    runs only as a post-join verify predicate, never as a cross-product
+    filter."""
+    plan, _ = _plan(spark, "dedup_edit_distance")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ewma_single_window_exchange(spark):
+    """All eight weighted lags share one window spec: a single hash
+    exchange on user_id, one sort, one Window operator."""
+    _, executed = _plan(spark, "ts_ewma")
+    assert executed.count("Exchange hashpartitioning") == 1
+    assert executed.count("Window") == 1
