@@ -1,0 +1,126 @@
+"""Iterative graph analytics beyond connected components
+(``dedup_cc_clusters``): fixed-point PageRank over the customer ↔
+supplier bipartite graph implied by orders × lineitem.
+
+Determinism: ranks are carried as BIGINT micro-units (1 rank = 10^12
+units) and every division is truncating integer division, so the
+numbers are bit-identical in any engine — no float accumulation, no
+decimal-division scale rules. The documented tradeoff is a ≤ outdeg
+unit truncation loss per node per iteration (bounded by nodes·iters ≈
+10^-9 of total mass), which is part of the operator's contract.
+
+Scale notes: the edge list is built once and reused across iterations
+(persist + localCheckpoint on the Spark side — at cluster scale each
+iteration is one shuffle on dst; lineage is cut so iteration N does not
+replay iterations 1..N-1). The rank vector is |V| rows, never
+collected to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dialect import tbl, views
+from .registry import query
+
+_SCALE = 1_000_000_000_000  # 1.0 rank in integer units
+_DAMP_NUM, _DAMP_DEN = 85, 100
+_ITERS = 3
+_SUPP_OFFSET = 1_000_000
+_TOP = 30
+
+
+def _pagerank_oracle() -> str:
+    d = "duck"
+    edges = f"""
+  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + {_SUPP_OFFSET} AS dst
+  FROM {tbl('orders', d)} o JOIN {tbl('lineitem', d)} l
+    ON o.o_orderkey = l.l_orderkey
+"""
+    sql = f"""
+WITH fwd AS ({edges}),
+edges AS (
+  SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd
+),
+deg AS (
+  SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src
+),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (
+  SELECT node, outdeg, ({_SCALE} // (SELECT n FROM nn)) AS rank_u FROM deg
+)
+"""
+    prev = "r0"
+    for i in range(1, _ITERS + 1):
+        sql += f""",
+c{i} AS (
+  SELECT e.dst AS node, SUM(r.rank_u // r.outdeg) AS inflow
+  FROM edges e JOIN {prev} r ON e.src = r.node
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT d.node, d.outdeg,
+         (({_SCALE} * (100 - {_DAMP_NUM}) // {_DAMP_DEN}) // (SELECT n FROM nn))
+         + ({_DAMP_NUM} * COALESCE(c{i}.inflow, 0) // {_DAMP_DEN}) AS rank_u
+  FROM deg d LEFT JOIN c{i} ON d.node = c{i}.node
+)
+"""
+        prev = f"r{i}"
+    sql += f"""
+SELECT node, rank_u
+FROM {prev}
+ORDER BY rank_u DESC, node
+LIMIT {_TOP}
+"""
+    return sql
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle(), tags=("graph", "iterative"))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (damping 0.85, 3 iterations) over the
+    undirected customer↔supplier purchase graph. The Spark side runs the
+    iteration as a DataFrame loop with the edge list persisted once and
+    the rank vector localCheckpoint-ed per step (cuts lineage so step N
+    is one shuffle, not a replay of the whole history); the oracle is
+    the same recurrence unrolled as CTEs. Integer micro-unit arithmetic
+    makes both bit-identical."""
+    t = views(spark, sf_dir, "orders", "lineitem")
+    fwd = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).withColumnRenamed("src", "node")
+    n_nodes = deg.count()  # one scalar to the driver — sizes the teleport term
+
+    base = (_SCALE * (100 - _DAMP_NUM) // _DAMP_DEN) // n_nodes
+    ranks = deg.select("node", "outdeg", F.lit(_SCALE // n_nodes).alias("rank_u"))
+    for _ in range(_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            # integer DIV, never float `/`: a double quotient can round up
+            # across the floor boundary and desync from the oracle
+            .select(edges.dst.alias("node"), F.expr("rank_u DIV outdeg").alias("share"))
+            .groupBy("node")
+            .agg(F.sum("share").alias("inflow"))
+        )
+        ranks = (
+            deg.join(contrib, "node", "left")
+            .select(
+                "node",
+                "outdeg",
+                F.expr(
+                    f"{base}L + (({_DAMP_NUM} * coalesce(inflow, 0L)) DIV {_DAMP_DEN})"
+                ).alias("rank_u"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = ranks.select("node", "rank_u").orderBy(F.desc("rank_u"), "node").limit(_TOP)
+    return out

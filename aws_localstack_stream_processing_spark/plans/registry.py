@@ -74,10 +74,13 @@ def all_queries() -> dict[str, QueryDef]:
     """Import every query module and return the populated registry, ordered
     least-driver-checked first (ties keep registration order)."""
     from . import (  # noqa: F401
+        graph_ops,
+        lakehouse_ops,
         llm_ops,
         quality_ops,
         rag_ops,
         reference_ops,
+        runtime_filter_ops,
         scale_ops,
         sql_surface,
         streaming_surface,

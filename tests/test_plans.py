@@ -192,3 +192,48 @@ def test_ewma_single_window_exchange(spark):
     _, executed = _plan(spark, "ts_ewma")
     assert executed.count("Exchange hashpartitioning") == 1
     assert executed.count("Window") == 1
+
+
+def test_bloom_runtime_filter_hash_existence_joins(spark):
+    """The bloom probes must plan as broadcast-hash ExistenceJoins on the
+    once-projected position columns — never a nested-loop join with the
+    hash recomputed inside the join condition (the null-aware `IN`
+    projection trap), and never a shuffle of the fact side."""
+    plan, executed = _plan(spark, "scale_bloom_runtime_filter")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") == 4  # 3 bloom probes + exact verify
+    # the fact table is scanned exactly once and never hash-shuffles for a
+    # join; dim/occupied tables come from the persisted build (InMemory),
+    # not from re-inlined scans
+    assert executed.count("lineitem.parquet") == 1
+    assert "InMemoryTableScan" in executed
+
+
+def test_bloom_one_sided_error(spark):
+    """A bloom filter can false-positive but never false-negative: every
+    exact hit must pass the gate, so no 4th outcome class exists."""
+    from aws_localstack_stream_processing_spark.plans import all_queries
+
+    df = all_queries()["scale_bloom_runtime_filter"].fn(spark, SF_DIR)
+    outcomes = {r["outcome"] for r in df.collect()}
+    assert outcomes <= {"pruned", "hit", "false_positive"}
+    assert "hit" in outcomes
+
+
+def test_mv_refresh_merge_side_is_state_sized(spark):
+    """The merged MV consumes the persisted base partials (InMemory state),
+    not a recompute of the full history — the only live parquet read is
+    the delta partition's."""
+    _, executed = _plan(spark, "mv_incremental_refresh")
+    assert "InMemoryTableScan" in executed
+
+
+def test_expectations_one_scan_per_table_metrics(spark):
+    """The constraint suite computes its metric rows in single scans —
+    4 orders constraints share one metrics row via the lateral-inline
+    reshape, so each table is scanned exactly twice (metrics pass +
+    referential-integrity join), never once per constraint."""
+    _, executed = _plan(spark, "profile_expectations")
+    assert executed.count("orders.parquet") == 2
+    assert executed.count("lineitem.parquet") == 2
