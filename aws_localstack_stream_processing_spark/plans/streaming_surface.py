@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..streaming.keyring import lru_keyring_assign
 from ..streaming.source import events_stream
-from .dialect import tbl, ts_str
+from .dialect import tbl, ts_str, ts_str_us
 from .reference_ops import (
     _alarm_sql,
     _ingest_sql,
@@ -347,3 +347,51 @@ def stream_ingest_partition_assign(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("cnt").cast("bigint").alias("n_records"),
         F.count("*").cast("bigint").alias("n_keys"),
     )
+
+
+def _ss_join_sql(d: str) -> str:
+    ival = "INTERVAL 10 MINUTES" if d == "spark" else "INTERVAL 10 MINUTE"
+    return f"""
+SELECT c.user_id, {ts_str_us('c.ts', d)} AS click_ts,
+       {ts_str_us('p.ts', d)} AS purchase_ts
+FROM {tbl('events', d)} c JOIN {tbl('events', d)} p
+  ON c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + {ival}
+"""
+
+
+@query("stream_stream_join", oracle=_ss_join_sql("duck"), tags=("streaming", "join"))
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (SURVEY §2.6 family): click events joined to
+    purchase events of the same user within a 10-minute window, both sides
+    watermarked 30 minutes so the join state is bounded — Spark buffers each
+    side only until the watermark passes the time-range condition, the
+    mechanism that keeps a 100 TB/day dual-stream join's state finite. The
+    bounded test stream makes the append-mode output deterministic and equal
+    to the batch self-join oracle."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter("event_type = 'click'")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter("event_type = 'purchase'")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + interval 10 minutes"
+        ),
+    )
+    out = joined.select(
+        F.col("c_user").alias("user_id"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+    )
+    return _to_memory(out, "append")
