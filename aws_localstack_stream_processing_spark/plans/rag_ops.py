@@ -279,3 +279,71 @@ def mm_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blobs.mapInArrow(
         fn, "doc_id bigint, byte_len bigint, n_spaces bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check (shingle containment).
+# ---------------------------------------------------------------------------
+
+_CONTAM_DF_CAP = 50  # drop shingles occurring in more than this many docs
+_CONTAM_THRESHOLD = 0.8
+
+
+def _contamination_sql(d: str) -> str:
+    from ..functions import text as textfn
+    from .llm_ops import _doc_corpus
+    from .dialect import arr_distinct, arr_len, unnest_fn
+
+    return f"""
+WITH corpus AS ({_doc_corpus(d)}),
+toks AS (SELECT doc_id, {textfn.words('text', d)} AS w FROM corpus),
+sh AS (
+  SELECT doc_id, {arr_distinct(textfn.shingles('w', 3, d), d)} AS s
+  FROM toks WHERE {arr_len('w', d)} >= 3
+),
+bx AS (
+  SELECT doc_id AS bench_id, {unnest_fn(d)}(s) AS g FROM sh
+  WHERE doc_id < 1000000 AND doc_id % 25 = 0
+),
+tx AS (
+  SELECT doc_id AS train_id, {unnest_fn(d)}(s) AS g FROM sh
+  WHERE doc_id >= 1000000 OR doc_id % 25 <> 0
+),
+doc_freq AS (
+  SELECT g, COUNT(*) AS df FROM (
+    SELECT bench_id AS doc_id, g FROM bx UNION ALL SELECT train_id, g FROM tx
+  ) u GROUP BY g
+),
+keep AS (SELECT g FROM doc_freq WHERE df <= {_CONTAM_DF_CAP}),
+pairs AS (
+  SELECT bx.bench_id, tx.train_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM bx JOIN keep ON bx.g = keep.g JOIN tx ON tx.g = bx.g
+  GROUP BY bx.bench_id, tx.train_id
+),
+sizes AS (
+  SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_bench FROM bx GROUP BY bench_id
+)
+SELECT p.bench_id, p.train_id, p.n_shared, z.n_bench,
+       round(CAST(p.n_shared AS DOUBLE) / z.n_bench, 6) AS containment
+FROM pairs p JOIN sizes z ON z.bench_id = p.bench_id
+WHERE CAST(p.n_shared AS DOUBLE) / z.n_bench >= {_CONTAM_THRESHOLD}
+"""
+
+
+@query(
+    "text_contamination_check",
+    oracle=_contamination_sql("duck"),
+    tags=("llm", "text", "contamination"),
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: flag training documents that
+    contain ≥80% of a benchmark document's word-3-gram shingles (containment
+    |bench ∩ train| / |bench| — the asymmetric measure used for test-set
+    decontamination, distinct from Jaccard). Candidate generation is an
+    inverted-index equi-join on the shingle key, with shingles occurring in
+    more than 50 documents dropped first — the stopword-shingle guard that
+    both matches decontamination practice and removes the hot-key skew a
+    common trigram would inject into the shuffle. The corpus reuses the
+    injected exact/near duplicates, so flagged pairs exist at every SF."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_contamination_sql("spark"))
