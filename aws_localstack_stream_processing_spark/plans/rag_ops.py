@@ -347,3 +347,59 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     injected exact/near duplicates, so flagged pairs exist at every SF."""
     views(spark, sf_dir, "documents")
     return spark.sql(_contamination_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF surface (SURVEY §2.7 U3 — real @udtf, not just mapInPandas).
+# ---------------------------------------------------------------------------
+
+
+def _udtf_sql(d: str) -> str:
+    """Oracle: the same sentence split as pure SQL (1-indexed DuckDB list
+    enumerated explicitly so order matches the UDTF's yield order)."""
+    docs = tbl("documents", d)
+    if d == "spark":
+        # rendered only for documentation; the Spark path runs the UDTF
+        return f"""
+SELECT doc_id, posexplode(split(text, '\\\\. ')) AS (sent_idx, sentence)
+FROM {docs} WHERE doc_id % 20 = 0
+"""
+    return f"""
+WITH parts AS (
+  SELECT doc_id, string_split(text, '. ') AS p FROM {docs} WHERE doc_id % 20 = 0
+)
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS sent_idx, p[i] AS sentence
+FROM parts, (SELECT unnest(generate_series(1, 10000)) AS i) idx
+WHERE i <= len(p)
+"""
+
+
+@query("sql_python_udtf", oracle=_udtf_sql("duck"), tags=("sql", "udf", "udtf"))
+def sql_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Python UDTF (Spark 4 ``@udtf``): a sentence splitter invoked as
+    a LATERAL table function, one input row fanning out to N output rows —
+    the genuine UDTF execution path (per-partition Python worker streaming
+    Arrow batches), not a mapInPandas approximation. The oracle replays the
+    split relationally. UDTFs are the slow path by design — this is API
+    surface; the built-in ``posexplode(split())`` form in the oracle's Spark
+    rendering is the production rewrite when semantics fit a builtin."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx: int, sentence: string")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, piece in enumerate(text.split(". ")):
+                yield i, piece
+
+    spark.udtf.register("slsp_sentence_split", SentenceSplit)
+    views(spark, sf_dir, "documents")
+    return spark.sql(
+        f"""
+SELECT d.doc_id, s.sent_idx, s.sentence
+FROM {tbl('documents', 'spark')} d
+JOIN LATERAL slsp_sentence_split(d.text) s
+WHERE d.doc_id % 20 = 0
+"""
+    )

@@ -395,3 +395,34 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
     )
     return _to_memory(out, "append")
+
+
+def _enrich_sql(d: str) -> str:
+    return f"""
+SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM {tbl('events', d)} e JOIN {tbl('customer', d)} c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("stream_static_enrich", oracle=_enrich_sql("duck"), tags=("streaming", "join"))
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream broadcast-joins the static
+    customer dimension every micro-batch (the dimension is re-resolvable per
+    batch, so slowly-changing dims pick up updates without restarting the
+    query), then aggregates per market segment. The static side never
+    shuffles the stream — at 100 TB/day the fact stream flows map-side
+    through the broadcast hash join into the windowless running aggregate."""
+    from .dialect import views as _views
+
+    ev = events_stream(spark, sf_dir)
+    cust = _views(spark, sf_dir, "customer")["customer"]
+    enriched = ev.join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey, "inner"
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+    )
+    return _to_memory(agg, "complete")
