@@ -115,7 +115,10 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "trials_per_query": n_trials,
-                "stat": "median",
+                "stat": "min",
+                "noise_med_over_min": round(
+                    sorted(noise)[len(noise) // 2], 3
+                ) if noise else None,
             }
         )
     )
