@@ -822,3 +822,61 @@ def sql_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     global-order window runs single-partition by construction)."""
     views(spark, sf_dir, "orders")
     return spark.sql(_null_semantics_sql("spark"))
+
+
+def _map_fn_sql(d: str) -> str:
+    """Map-typed collection surface. Maps never leave the query (engines
+    render map literals differently); every output is a scalar or sorted
+    array derived from them."""
+    if d == "spark":
+        mk = "map(lit_status, o_orderstatus, lit_prio, o_orderpriority)"
+        build = f"SELECT o_orderkey, 'status' AS lit_status, 'priority' AS lit_prio, o_orderstatus, o_orderpriority, {mk} AS m"
+        get_status = "m['status']"
+        n_entries = "CAST(cardinality(m) AS BIGINT)"
+        keys_sorted = "array_sort(map_keys(m))"
+        vals_sorted = "array_sort(map_values(m))"
+        concat_n = (
+            "CAST(cardinality(map_concat(m, map('extra', CAST(o_orderkey AS STRING)))) AS BIGINT)"
+        )
+        from_entries = (
+            "map_from_entries(array(struct('a', 1), struct('b', 2)))['b']"
+        )
+    else:
+        build = (
+            "SELECT o_orderkey, o_orderstatus, o_orderpriority, "
+            "map(['status','priority'], [o_orderstatus, o_orderpriority]) AS m"
+        )
+        get_status = "m['status'][1]"
+        n_entries = "CAST(cardinality(m) AS BIGINT)"
+        keys_sorted = "list_sort(map_keys(m))"
+        vals_sorted = "list_sort(map_values(m))"
+        concat_n = (
+            "CAST(cardinality(map_concat(m, map(['extra'], [CAST(o_orderkey AS VARCHAR)]))) AS BIGINT)"
+        )
+        from_entries = "map_from_entries([{'k': 'a', 'v': 1}, {'k': 'b', 'v': 2}])['b'][1]"
+    return f"""
+WITH built AS (
+  {build}
+  FROM {tbl('orders', d)} WHERE o_orderkey % 97 = 0
+)
+SELECT o_orderkey,
+       {get_status} AS status_v,
+       {n_entries} AS n_entries,
+       {keys_sorted} AS keys_sorted,
+       {vals_sorted} AS vals_sorted,
+       {concat_n} AS n_after_concat,
+       CAST({from_entries} AS BIGINT) AS entry_b
+FROM built
+"""
+
+
+@query("sql_map_fn_surface", oracle=_map_fn_sql("duck"), tags=("sql", "collections"))
+def sql_map_fn_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed collection functions (§2.8 footprint alongside the scalar
+    and array surfaces): construction from key/value pairs, element access,
+    cardinality, key/value extraction, concat, and map_from_entries — all
+    in one codegen projection, with map values reduced to scalars/sorted
+    arrays so results compare across engines (Spark maps are unordered;
+    DuckDB element access yields single-element lists)."""
+    views(spark, sf_dir, "orders")
+    return spark.sql(_map_fn_sql("spark"))
