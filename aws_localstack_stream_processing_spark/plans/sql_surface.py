@@ -880,3 +880,25 @@ def sql_map_fn_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB element access yields single-element lists)."""
     views(spark, sf_dir, "orders")
     return spark.sql(_map_fn_sql("spark"))
+
+
+@query("sql_approx_percentile", oracle=None, tags=("sql", "agg", "approx"))
+def sql_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna / KLL-style sketch) p50/p90/p99
+    of order totals per priority — the 100 TB quantile operator (mergeable
+    partial sketches, bounded memory; exact percentile needs a full sort or
+    per-group materialization). accuracy=10000 bounds rank error at
+    1/accuracy. No SQL oracle: sketch internals are engine-specific;
+    tests/test_approx.py bounds the rank error vs the exact percentile."""
+    views(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+SELECT o_orderpriority,
+       approx_percentile(o_totalprice, 0.5, 10000) AS p50,
+       approx_percentile(o_totalprice, 0.9, 10000) AS p90,
+       approx_percentile(o_totalprice, 0.99, 10000) AS p99,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM {tbl('orders', 'spark')}
+GROUP BY o_orderpriority
+"""
+    )
