@@ -103,7 +103,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _profile_sql(d: str) -> str:
     epoch = (
         "unix_timestamp(o_orderdate)" if d == "spark"
-        else "CAST(epoch(o_orderdate) AS BIGINT)"
+        else "CAST(floor(epoch(o_orderdate)) AS BIGINT)"
     )
     cols = {
         "o_orderkey": "CAST(o_orderkey AS DOUBLE)",

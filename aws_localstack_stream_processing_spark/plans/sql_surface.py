@@ -459,10 +459,13 @@ def sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _frames_sql(d: str) -> str:
     rows_w = "PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW"
     range_w = "PARTITION BY user_id ORDER BY epoch_s RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW"
+    # floor() before the DuckDB cast: epoch() is DOUBLE and CAST rounds
+    # there (Spark truncates) — an unfloored +1 s shift would move rows
+    # across the RANGE-frame boundary
     epoch = (
         "CAST(unix_timestamp(ts) AS BIGINT)"
         if d == "spark"
-        else "CAST(epoch(ts) AS BIGINT)"
+        else "CAST(floor(epoch(ts)) AS BIGINT)"
     )
     return f"""
 WITH base AS (

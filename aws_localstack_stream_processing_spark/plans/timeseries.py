@@ -187,11 +187,14 @@ FROM (
 
 def _ohlc_sql(d: str) -> str:
     # composite BIGINT tick-order key: second epoch * 1e8 + event_id
-    # (unique, sortable, same arithmetic both engines)
+    # (unique, sortable, same arithmetic both engines; floor() before the
+    # DuckDB cast — epoch() is DOUBLE and CAST rounds there, while Spark's
+    # unix_timestamp truncates, which would shift keys for ticks with
+    # fractional seconds >= .5)
     key = (
         "CAST(unix_timestamp(ts) AS BIGINT) * 100000000 + event_id"
         if d == "spark"
-        else "CAST(epoch(ts) AS BIGINT) * 100000000 + event_id"
+        else "CAST(floor(epoch(ts)) AS BIGINT) * 100000000 + event_id"
     )
     o = f"min_by(value, {key})" if d == "spark" else f"arg_min(value, {key})"
     c = f"max_by(value, {key})" if d == "spark" else f"arg_max(value, {key})"
@@ -262,3 +265,76 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, one sort per series partition."""
     views(spark, sf_dir, "events")
     return spark.sql(_gap_fill_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Large-x-large interval overlap join via bin bucketing.
+# ---------------------------------------------------------------------------
+
+_BIN_W = 3600  # seconds per bin; interval durations are capped at 2h -> <=3 bins
+
+
+def _iv_epoch(d: str) -> str:
+    # floor() on the DuckDB side: epoch(ts) is a DOUBLE with fractional
+    # seconds and CAST(double AS BIGINT) ROUNDS in DuckDB, while Spark's
+    # unix_timestamp truncates to whole seconds
+    if d == "spark":
+        return "CAST(unix_timestamp(ts) AS BIGINT)"
+    return "CAST(floor(epoch(ts)) AS BIGINT)"
+
+
+def _iv_side(d: str, etype: str) -> str:
+    # duration = floor(value * 37) % 7200 seconds: floor() before the BIGINT
+    # cast because Spark CAST(double) truncates while DuckDB rounds
+    return f"""
+  SELECT user_id, event_id, {_iv_epoch(d)} AS s,
+         {_iv_epoch(d)} + (CAST(floor(value * 37) AS BIGINT) % 7200) AS e
+  FROM {tbl('events', d)} WHERE event_type = '{etype}'
+"""
+
+
+def _interval_overlap_oracle(d: str) -> str:
+    """The oracle is the NAIVE inequality join — the binned Spark plan must
+    produce identical semantics."""
+    return f"""
+WITH c AS ({_iv_side(d, 'click')}), p AS ({_iv_side(d, 'purchase')})
+SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+       CAST(SUM(LEAST(c.e, p.e) - GREATEST(c.s, p.s)) AS BIGINT) AS overlap_sec
+FROM c JOIN p ON c.user_id = p.user_id AND c.s <= p.e AND p.s <= c.e
+GROUP BY c.user_id
+"""
+
+
+@query(
+    "ts_interval_overlap_join",
+    oracle=_interval_overlap_oracle("duck"),
+    tags=("timeseries", "join", "scale"),
+)
+def ts_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join where BOTH sides are large (neither
+    broadcastable): click activity windows x purchase activity windows per
+    user. Each interval is replicated to the fixed-width time bins it
+    covers (<=3 bins at the 2 h duration cap), the join is a pure equi-join
+    on (user_id, bin), and a pair is credited only in the bin containing
+    its overlap start — the standard dedup trick that avoids a DISTINCT
+    shuffle over the pair universe. The oracle runs the naive inequality
+    join, proving the binned plan's semantics; the band-join sibling
+    (ts_range_band_join) remains the right plan when one side is tiny."""
+    views(spark, sf_dir, "events")
+    bins = (
+        "LATERAL VIEW explode(sequence(s DIV {w}, e DIV {w})) t AS bin"
+    ).format(w=_BIN_W)
+    return spark.sql(
+        f"""
+WITH c AS ({_iv_side('spark', 'click')}), p AS ({_iv_side('spark', 'purchase')}),
+cb AS (SELECT user_id, s, e, bin FROM c {bins}),
+pb AS (SELECT user_id, s, e, bin FROM p {bins})
+SELECT cb.user_id, CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+       CAST(SUM(LEAST(cb.e, pb.e) - GREATEST(cb.s, pb.s)) AS BIGINT) AS overlap_sec
+FROM cb JOIN pb
+  ON cb.user_id = pb.user_id AND cb.bin = pb.bin
+ AND cb.s <= pb.e AND pb.s <= cb.e
+ AND cb.bin = (GREATEST(cb.s, pb.s) DIV {_BIN_W})
+GROUP BY cb.user_id
+"""
+    )

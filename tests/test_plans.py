@@ -237,3 +237,12 @@ def test_expectations_one_scan_per_table_metrics(spark):
     _, executed = _plan(spark, "profile_expectations")
     assert executed.count("orders.parquet") == 2
     assert executed.count("lineitem.parquet") == 2
+
+
+def test_interval_overlap_join_is_equi_join(spark):
+    """The large-x-large interval join must be a hash equi-join on
+    (user_id, bin) — never an inequality-only nested-loop or cartesian;
+    the inequality predicates run as post-join filters."""
+    plan, _ = _plan(spark, "ts_interval_overlap_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
