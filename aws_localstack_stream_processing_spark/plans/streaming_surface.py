@@ -426,3 +426,42 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
     )
     return _to_memory(agg, "complete")
+
+
+def _stream_mv_sql(d: str) -> str:
+    return f"""
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM {tbl('events', d)}
+GROUP BY event_type
+"""
+
+
+@query("stream_mv_refresh", oracle=_stream_mv_sql("duck"), tags=("streaming", "mv"))
+def stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental MV maintenance: the event stream is split into
+    4 micro-batches (maxFilesPerTrigger=1 over a 4-file copy), each batch
+    lands its per-group partial aggregate under an idempotent
+    ``batch_id=`` subdirectory, and the MV read folds the partials — the
+    streaming form of mv_incremental_refresh, replay-safe because a
+    redelivered batch overwrites its own partial rather than re-merging.
+    Must equal the batch aggregate over the whole stream."""
+    import tempfile
+
+    from ..session import apply_runtime_confs
+    from ..streaming.mv import read_mv, run_mv_stream
+
+    apply_runtime_confs(spark)
+    work = tempfile.mkdtemp(prefix="slsp_mv_")
+    src_dir = f"{work}/src"
+    ev = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    run_mv_stream(spark, stream, f"{work}/mv", f"{work}/ckpt")
+    return read_mv(spark, f"{work}/mv")

@@ -252,3 +252,33 @@ def test_rate_source_processing_time_trigger(spark):
     finally:
         q.stop()
     assert total >= 20
+
+
+def test_mv_stream_replay_idempotent(spark, tmp):
+    """Replaying the whole stream with a fresh checkpoint (worst-case
+    redelivery: every batch re-fires) must leave the folded MV unchanged —
+    partials are keyed and overwritten by batch_id, never re-merged."""
+    from pyspark.sql import functions as F
+
+    from aws_localstack_stream_processing_spark.session import apply_runtime_confs
+    from aws_localstack_stream_processing_spark.streaming.mv import read_mv, run_mv_stream
+
+    apply_runtime_confs(spark)
+    src = f"{tmp}/src"
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        )
+
+    run_mv_stream(spark, stream(), f"{tmp}/mv", f"{tmp}/ckpt1")
+    first = {(r.event_type): (r.sum_value, r.n_events) for r in read_mv(spark, f"{tmp}/mv").collect()}
+    # fresh checkpoint -> all batches replay against the same MV directory
+    run_mv_stream(spark, stream(), f"{tmp}/mv", f"{tmp}/ckpt2")
+    second = {(r.event_type): (r.sum_value, r.n_events) for r in read_mv(spark, f"{tmp}/mv").collect()}
+    assert first == second
