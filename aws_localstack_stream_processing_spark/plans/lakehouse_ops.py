@@ -297,7 +297,11 @@ def _cms_hash(tok: str, row: int, d: str) -> str:
     return f"(CAST(('0x' || substring({h}, 1, 7)) AS BIGINT) % {_CMS_W})"
 
 
-def _cms_sql(d: str) -> str:
+def _cms_sql(d: str, counts_src: str | None = None) -> str:
+    """On the Spark side ``counts_src`` names a pre-materialized token-count
+    view — the counts CTE is referenced by all four sketch rows plus the
+    top-k probe, and CTE inlining would re-tokenize the corpus once per
+    reference."""
     if d == "spark":
         toks = f"SELECT explode(split(text, ' ')) AS tok FROM {tbl('documents', d)}"
     else:
@@ -313,9 +317,14 @@ def _cms_sql(d: str) -> str:
         f"(SELECT c FROM sketch s WHERE s.sk_row = {r} AND s.bucket = t.b{r})"
         for r in range(_CMS_ROWS)
     ) + ")"
+    counts_cte = (
+        f"SELECT tok, n FROM {counts_src}"
+        if counts_src
+        else f"SELECT tok, COUNT(*) AS n FROM ({toks}) x GROUP BY tok"
+    )
     return f"""
 WITH counts AS (
-  SELECT tok, COUNT(*) AS n FROM ({toks}) x GROUP BY tok
+  {counts_cte}
 ), cells AS (
   {cell_rows}
 ), sketch AS (
@@ -343,6 +352,13 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the result exposes both so the bound is visible. The sketch is
     constant-size regardless of corpus scale; only token partial counts
     shuffle. Hash rows use seeded sha256 so both engines bucket
-    identically."""
+    identically. The token-count table is persisted once — it feeds all
+    four sketch rows and the top-k probe, and CTE inlining would otherwise
+    re-tokenize the corpus per reference."""
     views(spark, sf_dir, "documents")
-    return spark.sql(_cms_sql("spark"))
+    counts = spark.sql(
+        f"SELECT tok, COUNT(*) AS n FROM (SELECT explode(split(text, ' ')) AS tok "
+        f"FROM {tbl('documents', 'spark')}) x GROUP BY tok"
+    ).persist()
+    counts.createOrReplaceTempView("slsp_cms_counts")
+    return spark.sql(_cms_sql("spark", counts_src="slsp_cms_counts"))

@@ -289,24 +289,33 @@ _CONTAM_DF_CAP = 50  # drop shingles occurring in more than this many docs
 _CONTAM_THRESHOLD = 0.8
 
 
-def _contamination_sql(d: str) -> str:
+def _contamination_sql(d: str, sh_src: str | None = None) -> str:
+    """On the Spark side ``sh_src`` names a pre-materialized exploded
+    (doc_id, shingle) view — the shingle table feeds bench/train sides,
+    the document-frequency table, and the size table, and CTE inlining
+    would re-shingle the corpus once per reference (15 scans observed)."""
     from ..functions import text as textfn
     from .llm_ops import _doc_corpus
     from .dialect import arr_distinct, arr_len, unnest_fn
 
-    return f"""
+    if sh_src:
+        head = f"WITH shx AS (SELECT doc_id, g FROM {sh_src})"
+    else:
+        head = f"""
 WITH corpus AS ({_doc_corpus(d)}),
 toks AS (SELECT doc_id, {textfn.words('text', d)} AS w FROM corpus),
 sh AS (
   SELECT doc_id, {arr_distinct(textfn.shingles('w', 3, d), d)} AS s
   FROM toks WHERE {arr_len('w', d)} >= 3
 ),
+shx AS (SELECT doc_id, {unnest_fn(d)}(s) AS g FROM sh)"""
+    return f"""{head},
 bx AS (
-  SELECT doc_id AS bench_id, {unnest_fn(d)}(s) AS g FROM sh
+  SELECT doc_id AS bench_id, g FROM shx
   WHERE doc_id < 1000000 AND doc_id % 25 = 0
 ),
 tx AS (
-  SELECT doc_id AS train_id, {unnest_fn(d)}(s) AS g FROM sh
+  SELECT doc_id AS train_id, g FROM shx
   WHERE doc_id >= 1000000 OR doc_id % 25 <> 0
 ),
 doc_freq AS (
@@ -344,9 +353,25 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     more than 50 documents dropped first — the stopword-shingle guard that
     both matches decontamination practice and removes the hot-key skew a
     common trigram would inject into the shuffle. The corpus reuses the
-    injected exact/near duplicates, so flagged pairs exist at every SF."""
+    injected exact/near duplicates, so flagged pairs exist at every SF.
+    The exploded (doc_id, shingle) table is persisted once — it feeds both
+    join sides, the document-frequency guard, and the benchmark sizes."""
+    from ..functions import text as textfn
+    from .llm_ops import _doc_corpus
+    from .dialect import arr_distinct, arr_len
+
     views(spark, sf_dir, "documents")
-    return spark.sql(_contamination_sql("spark"))
+    shx = spark.sql(
+        f"""
+SELECT doc_id, explode(s) AS g FROM (
+  SELECT doc_id, {arr_distinct(textfn.shingles('w', 3, 'spark'), 'spark')} AS s
+  FROM (SELECT doc_id, {textfn.words('text', 'spark')} AS w
+        FROM ({_doc_corpus('spark')}) corpus) toks
+  WHERE {arr_len('w', 'spark')} >= 3
+) sh"""
+    ).persist()
+    shx.createOrReplaceTempView("slsp_contam_shx")
+    return spark.sql(_contamination_sql("spark", sh_src="slsp_contam_shx"))
 
 
 # ---------------------------------------------------------------------------
