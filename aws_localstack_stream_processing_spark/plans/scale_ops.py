@@ -145,3 +145,54 @@ def grouped_map_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("user_id", "event_type").groupBy("user_id").applyInPandas(
         mode_fn, "user_id bigint, top_type string, n bigint"
     )
+
+
+def _trimmed_sql(d: str) -> str:
+    return f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(iv) - MIN(iv) - MAX(iv) AS DOUBLE)
+            / (COUNT(*) - 1 - 1) / 1000000.0 AS DOUBLE) AS trimmed_mean
+FROM (
+  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS iv
+  FROM {tbl('events', d)}
+) t
+GROUP BY event_type
+"""
+
+
+@query("grouped_agg_udaf", oracle=_trimmed_sql("duck"), tags=("scale", "udf", "grouped-agg"))
+def grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas_udf (the vectorized UDAF surface, distinct from
+    applyInPandas grouped-map): per-type trimmed mean — drop one min and one
+    max micro-unit observation, average the rest. Values are integerized to
+    micro-units on both sides so the Python sum is exact int64 and the final
+    double division is the same IEEE operation as the oracle's. Plan: one
+    hash exchange on the group key feeding an Arrow-batched aggregation —
+    same shuffle profile as the SQL form."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    ev = views(spark, sf_dir, "events")["events"]
+
+    # explicit GROUPED_AGG functionType: postponed annotations (PEP 563,
+    # module-wide here) stringify type hints, so signature inference can't
+    # see pd.Series -> float
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean(v):
+        iv = (v * 1_000_000).round().astype("int64")
+        s = int(iv.sum()) - int(iv.min()) - int(iv.max())
+        return float(s) / (len(iv) - 2) / 1_000_000.0
+
+    # Spark disallows mixing group-agg pandas UDFs with non-pandas
+    # aggregates in one Aggregate, so the row count is a pandas agg too
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            n_rows("value").alias("n"),
+            trimmed_mean("value").alias("trimmed_mean"),
+        )
+        .select("event_type", "n", "trimmed_mean")
+    )
