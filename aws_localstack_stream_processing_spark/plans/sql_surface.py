@@ -905,3 +905,55 @@ FROM {tbl('orders', 'spark')}
 GROUP BY o_orderpriority
 """
     )
+
+
+def _hof_sql(d: str) -> str:
+    """Higher-order (lambda) function surface over a real array column.
+    Both folds are LEFT folds (Spark ``aggregate``, DuckDB ``list_reduce``
+    with a prepended seed) so double accumulation happens in the same IEEE
+    order; FLOAT->DOUBLE widening is exact."""
+    if d == "spark":
+        e = "transform(embedding, x -> CAST(x AS DOUBLE))"
+        sum_sq = f"aggregate({e}, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)"
+        n_pos = f"size(filter({e}, x -> x > 0))"
+        has_big = f"exists({e}, x -> x > 0.9)"
+        all_small = f"forall({e}, x -> abs(x) <= 1.0)"
+        rev_dot = (
+            f"aggregate(zip_with({e}, reverse({e}), (x, y) -> x * y), "
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+    else:
+        e = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        sum_sq = (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform({e}, x -> x * x)), (acc, x) -> acc + x)"
+        )
+        n_pos = f"len(list_filter({e}, x -> x > 0))"
+        has_big = f"list_bool_or(list_transform({e}, x -> x > 0.9))"
+        all_small = f"list_bool_and(list_transform({e}, x -> abs(x) <= 1.0))"
+        rev_dot = (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(generate_series(1, 64), "
+            f"i -> ({e})[i] * ({e})[64 - i + 1])), (acc, x) -> acc + x)"
+        )
+    return f"""
+SELECT vec_id,
+       round({sum_sq}, 6) AS sum_sq,
+       CAST({n_pos} AS BIGINT) AS n_pos,
+       {has_big} AS has_big,
+       {all_small} AS all_small,
+       round({rev_dot}, 6) AS rev_dot
+FROM {tbl('embeddings', d)}
+WHERE vec_id % 7 = 0
+"""
+
+
+@query("sql_higher_order_fn_surface", oracle=_hof_sql("duck"), tags=("sql", "collections", "lambda"))
+def sql_higher_order_fn_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order lambda functions over array columns — transform /
+    filter / exists / forall / zip_with / aggregate (fold) — the §2.8
+    collection-lambda footprint. One projection, no shuffle; note these run
+    interpreted (outside whole-stage codegen), which is why hot-path vector
+    math elsewhere (dialect.dot) unrolls to flat codegen arithmetic instead."""
+    views(spark, sf_dir, "embeddings")
+    return spark.sql(_hof_sql("spark"))
