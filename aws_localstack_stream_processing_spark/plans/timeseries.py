@@ -338,3 +338,79 @@ FROM cb JOIN pb
 GROUP BY cb.user_id
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation over the gap-filled spine.
+# ---------------------------------------------------------------------------
+
+
+def _interp_sql(d: str) -> str:
+    if d == "spark":
+        prev_v = "last(v, true)"
+        prev_h = "last(CASE WHEN v IS NOT NULL THEN eh END, true)"
+        next_v = "first(v, true)"
+        next_h = "first(CASE WHEN v IS NOT NULL THEN eh END, true)"
+        spine = """
+  SELECT event_type, explode(sequence(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM bounds"""
+        epoch = "CAST(unix_timestamp(h) AS BIGINT)"
+    else:
+        prev_v = "last_value(v IGNORE NULLS)"
+        prev_h = "last_value(CASE WHEN v IS NOT NULL THEN eh END IGNORE NULLS)"
+        next_v = "first_value(v IGNORE NULLS)"
+        next_h = "first_value(CASE WHEN v IS NOT NULL THEN eh END IGNORE NULLS)"
+        spine = """
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM bounds"""
+        epoch = "CAST(floor(epoch(h)) AS BIGINT)"
+    back = "PARTITION BY event_type ORDER BY eh ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    fwd = "PARTITION BY event_type ORDER BY eh ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+    return f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS v
+  FROM {tbl('events', d)}
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY event_type, date_trunc('hour', ts)
+),
+bounds AS (
+  SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY event_type
+),
+spine AS ({spine}),
+joined AS (
+  SELECT s.event_type, {epoch.replace('(h)', '(s.h)')} AS eh, s.h, hr.v
+  FROM spine s LEFT JOIN hourly hr
+    ON hr.event_type = s.event_type AND hr.h = s.h
+),
+ctx AS (
+  SELECT event_type, eh, h, v,
+         {prev_v} OVER ({back}) AS pv,
+         {prev_h} OVER ({back}) AS ph,
+         {next_v} OVER ({fwd}) AS nv,
+         {next_h} OVER ({fwd}) AS nh
+  FROM joined
+)
+SELECT event_type, {ts_str('h', d)} AS hour,
+       round(CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+           pv + (nv - pv) * (CAST(eh - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+         ELSE COALESCE(pv, nv)
+       END, 6) AS v_interp,
+       CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_gap
+FROM ctx
+"""
+
+
+@query("ts_interpolate_linear", oracle=_interp_sql("duck"), tags=("timeseries", "window"))
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the hourly spine: interior gaps take
+    ``prev + (next - prev) * elapsed/gap_len`` from ignore-nulls running
+    windows in both directions; boundary gaps fall back to the nearest
+    observation. Same shuffle budget as forward fill — one join, one sort
+    per series partition reused by both window directions. The arithmetic
+    is the same double expression over identical decimal-summed inputs in
+    both engines."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_interp_sql("spark"))
