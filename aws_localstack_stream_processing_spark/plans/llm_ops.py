@@ -1510,3 +1510,110 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("jaccard"), 6).alias("best_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (hamming) near-dup over the binary modality: Arrow-batched
+# phash extraction from blobs, then pigeonhole candidate join + bit_count
+# verify — SimHash's machinery applied to the image/audio dedup problem.
+# ---------------------------------------------------------------------------
+
+_PHASH_MAX_HAM = 3
+_PHASH_Q = 4  # 16-bit quarters; hamming <= 3 pairs share >= 1 exact quarter
+
+
+def _phash_sql(d: str, ph_src: str | None = None) -> str:
+    """Candidate join + verify over (doc_id, phash). ``ph_src`` names the
+    Spark-side materialized phash view (computed in Python from the blobs);
+    the oracle recomputes the identical phash relationally — possible
+    because the stub codec's blob is byte-equal to the document text."""
+    if ph_src:
+        ph = f"SELECT doc_id, phash FROM {ph_src}"
+    elif d == "spark":
+        h = "sha2(concat(text, ''), 256)"
+        ph = f"""
+  SELECT doc_id, CAST(conv(substring({h}, 1, 15), 16, 10) AS BIGINT) AS phash
+  FROM {tbl('documents', 'spark')} WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 5000000,
+         CAST(conv(substring({h}, 1, 15), 16, 10) AS BIGINT) ^ shiftleft(1L, CAST(doc_id % 4 AS INT))
+  FROM {tbl('documents', 'spark')} WHERE doc_id % 12 = 0
+"""
+    else:
+        h = "sha256(text)"
+        base = f"CAST(('0x' || substring({h}, 1, 15)) AS BIGINT)"
+        ph = f"""
+  SELECT doc_id, {base} AS phash
+  FROM {tbl('documents', d)} WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 5000000, xor({base}, (1::BIGINT << CAST(doc_id % 4 AS INTEGER)))
+  FROM {tbl('documents', d)} WHERE doc_id % 12 = 0
+"""
+    if d == "spark":
+        quarter = "CAST(shiftrightunsigned(phash, q * 16) & 65535 AS BIGINT)"
+        qgen = "LATERAL VIEW explode(sequence(0, 3)) t AS q"
+        ham = "bit_count(a.phash ^ b.phash)"
+    else:
+        quarter = "CAST((phash >> (q * 16)) & 65535 AS BIGINT)"
+        qgen = ", (SELECT unnest(generate_series(0, 3)) AS q) qt"
+        ham = "bit_count(xor(a.phash, b.phash))"
+    return f"""
+WITH ph AS ({ph}),
+quarters AS (
+  SELECT doc_id, phash, q, {quarter} AS qv FROM ph {qgen}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.phash AS pa, b.doc_id AS doc_b, b.phash AS pb
+  FROM quarters a JOIN quarters b
+    ON a.q = b.q AND a.qv = b.qv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST({ham.replace('a.phash', 'pa').replace('b.phash', 'pb')} AS BIGINT) AS hamming
+FROM cand
+WHERE {ham.replace('a.phash', 'pa').replace('b.phash', 'pb')} <= {_PHASH_MAX_HAM}
+"""
+
+
+@query("mm_phash_near_dup", oracle=_phash_sql("duck"), tags=("llm", "multimodal", "dedup"))
+def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection over the binary modality: a 60-bit
+    perceptual-hash stand-in is computed per blob inside an Arrow-batched
+    ``mapInPandas`` (the phash algorithm is a deterministic sha-prefix of
+    the blob bytes — the real DCT codec slots into the same UDF), plus
+    planted 1-bit-flipped variants; candidates come from a 16-bit
+    pigeonhole quarter join (hamming <= 3 implies one exact quarter), then
+    ``bit_count`` verifies. The oracle recomputes the identical pipeline
+    relationally, byte-equal because the stub blob IS the document text."""
+    from ..catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.filter("doc_id % 3 = 0").select(
+        "doc_id", F.col("text").cast("binary").alias("blob")
+    )
+
+    def phash_batches(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            hashes = [
+                int(hashlib.sha256(b).hexdigest()[:15], 16)
+                for b in pdf["blob"]
+            ]
+            base = pd.DataFrame({"doc_id": ids, "phash": pd.array(hashes, dtype="int64")})
+            dup_mask = ids % 12 == 0
+            dups = pd.DataFrame(
+                {
+                    "doc_id": ids[dup_mask] + 5_000_000,
+                    "phash": [
+                        h ^ (1 << int(i % 4))
+                        for h, i in zip(base["phash"][dup_mask], ids[dup_mask])
+                    ],
+                }
+            )
+            yield pd.concat([base, dups], ignore_index=True)
+
+    ph = blobs.mapInPandas(phash_batches, "doc_id bigint, phash bigint").persist()
+    ph.createOrReplaceTempView("slsp_phash")
+    return spark.sql(_phash_sql("spark", ph_src="slsp_phash"))
