@@ -145,3 +145,26 @@ def test_jdbc_keyring_unavailable_raises(spark):
         pytest.skip("a postgres driver is present on this classpath")
     with pytest.raises(RuntimeError, match="state-store-backed ring"):
         read_keyring_jdbc(spark, "jdbc:postgresql://db:5432/signer")
+
+
+def test_orc_roundtrip_matches_parquet(spark, tmp_path):
+    """Format breadth: the same table written as ORC reads back identical to
+    the parquet original (schema + values), and ORC scans still get
+    predicate pushdown."""
+    src = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    orc_path = str(tmp_path / "orders_orc")
+    src.write.mode("overwrite").orc(orc_path)
+    back = spark.read.orc(orc_path)
+    assert [f.simpleString() for f in back.schema.fields] == [
+        f.simpleString() for f in src.schema.fields
+    ]
+    a = sorted(map(tuple, src.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+    plan = (
+        back.filter("o_totalprice > 100000")
+        ._jdf.queryExecution()
+        .sparkPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:200]
