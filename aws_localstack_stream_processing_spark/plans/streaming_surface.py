@@ -465,3 +465,32 @@ def stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_mv_stream(spark, stream, f"{work}/mv", f"{work}/ckpt")
     return read_mv(spark, f"{work}/mv")
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle=_stream_dedup_oracle("duck"),
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` (Spark 3.5+ operator, distinct from
+    plain watermarked dropDuplicates): state for a key is evictable once the
+    watermark passes its FIRST occurrence plus the delay — the right dedup
+    when duplicates cluster in time but event-time values differ slightly
+    across retries. On the bounded test stream it must produce the same
+    distinct counts as the exactly-once oracle."""
+    ev = events_stream(spark, sf_dir)
+    dup = ev.unionByName(ev.filter(F.col("event_id") % 5 == 0))
+    canon = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("event_type"),
+        F.col("value").cast("string"),
+    )
+    sigs = (
+        dup.withColumn("sig", F.sha2(canon, 256))
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["sig"])
+    )
+    agg = sigs.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n_signed"))
+    return _to_memory(agg, "complete")
