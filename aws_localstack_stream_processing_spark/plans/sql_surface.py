@@ -957,3 +957,39 @@ def sql_higher_order_fn_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     math elsewhere (dialect.dot) unrolls to flat codegen arithmetic instead."""
     views(spark, sf_dir, "embeddings")
     return spark.sql(_hof_sql("spark"))
+
+
+def _variant_sql(d: str) -> str:
+    if d == "spark":
+        k_long = "variant_get(v, '$.k', 'long')"
+        k_str = "variant_get(v, '$.k', 'string')"
+        missing = "variant_get(v, '$.absent', 'string')"
+        pre = f"SELECT event_id, event_type, parse_json(props) AS v FROM {tbl('events', 'spark')}"
+    else:
+        k_long = "CAST(json_extract(v, '$.k') AS BIGINT)"
+        k_str = "json_extract_string(v, '$.k')"
+        missing = "json_extract_string(v, '$.absent')"
+        pre = f"SELECT event_id, event_type, CAST(props AS JSON) AS v FROM {tbl('events', d)}"
+    return f"""
+WITH parsed AS ({pre})
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM({k_long}) AS BIGINT) AS sum_k,
+       CAST(COUNT({missing}) AS BIGINT) AS n_absent_nonnull,
+       MIN({k_str}) AS min_k_str
+FROM parsed
+GROUP BY event_type
+"""
+
+
+@query("sql_variant_shred", oracle=_variant_sql("duck"), tags=("sql", "json", "variant"))
+def sql_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT semi-structured type: ``parse_json`` into the binary
+    variant encoding, then typed ``variant_get`` extraction (long, string,
+    and a missing path yielding NULL) aggregated per event type — the
+    open-schema ingestion path that replaces schema-on-write for evolving
+    JSON payloads; DuckDB's JSON type is the oracle equivalent. At scale the
+    variant column shreds at the parquet layer instead of re-parsing text
+    per query."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_variant_sql("spark"))
