@@ -319,3 +319,75 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall is bounded by the band width (documented tradeoff)."""
     views(spark, sf_dir, "documents")
     return spark.sql(_editdist_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram.
+# ---------------------------------------------------------------------------
+
+_HIST_BUCKETS = 20
+
+
+def _hist_sql(d: str) -> str:
+    div = "DIV" if d == "spark" else "//"
+    # bucket = floor((x - lo) / w) clamped to the last bucket; bounds come
+    # from a 1-row aggregate joined in (single scan for bounds + single
+    # scan for the fill — the two-pass histogram)
+    return f"""
+WITH bounds AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM {tbl('orders', d)}
+),
+bucketed AS (
+  SELECT LEAST(CAST(floor((o_totalprice - b.lo) / ((b.hi - b.lo) / {_HIST_BUCKETS})) AS BIGINT),
+               {_HIST_BUCKETS - 1}) AS bucket,
+         b.lo, b.hi
+  FROM {tbl('orders', d)} o CROSS JOIN bounds b
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(MIN(lo) + bucket * ((MIN(hi) - MIN(lo)) / {_HIST_BUCKETS}), 6) AS bucket_lo
+FROM bucketed
+GROUP BY bucket
+"""
+
+
+@query("profile_histogram", oracle=_hist_sql("duck"), tags=("analytics", "profiling"))
+def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass equi-width histogram: a 1-row min/max aggregate broadcasts
+    into the bucketing projection (classic first-pass-bounds histogram);
+    the bucket arithmetic is the same double expression in both engines and
+    the top bucket absorbs the max value. Cost: two scans, one 20-row
+    shuffle — the shape ANALYZE-style column histograms use at any scale."""
+    views(spark, sf_dir, "orders")
+    return spark.sql(_hist_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Seasonality profile (hour-of-day x day-of-week).
+# ---------------------------------------------------------------------------
+
+
+def _seasonality_sql(d: str) -> str:
+    hod = "hour(ts)" if d == "spark" else "CAST(hour(ts) AS INTEGER)"
+    dow = "dayofweek(ts)" if d == "spark" else "CAST(dayofweek(ts) + 1 AS INTEGER)"
+    return f"""
+SELECT event_type,
+       CAST({hod} AS BIGINT) AS hour_of_day,
+       CAST({dow} AS BIGINT) AS day_of_week,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM {tbl('events', d)}
+GROUP BY 1, 2, 3
+"""
+
+
+@query("ts_seasonality_profile", oracle=_seasonality_sql("duck"), tags=("timeseries", "agg"))
+def ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: event volume and exact-decimal value mass per
+    (series, hour-of-day, day-of-week) cell — the load-shape matrix behind
+    capacity planning and anomaly baselines. One partial+final hash
+    aggregate; the calendar keys are pure codegen projections (DuckDB's
+    dayofweek is 0-based Sunday, Spark's 1-based — normalized in the
+    oracle)."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_seasonality_sql("spark"))
