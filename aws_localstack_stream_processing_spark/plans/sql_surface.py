@@ -993,3 +993,77 @@ def sql_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query."""
     views(spark, sf_dir, "events")
     return spark.sql(_variant_sql("spark"))
+
+
+def _scd2_dim_cte(d: str) -> str:
+    """(user_id, attr, vf, vt) validity ranges — the SCD2 dimension."""
+    return f"""
+daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, MAX(event_type) AS attr
+  FROM {tbl('events', d)} GROUP BY user_id, date_trunc('day', ts)
+), seq AS (
+  SELECT user_id, day, attr,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+         - ROW_NUMBER() OVER (PARTITION BY user_id, attr ORDER BY day) AS grp
+  FROM daily
+), dim AS (
+  SELECT user_id, attr, MIN(day) AS vf, MAX(day) AS vt
+  FROM seq GROUP BY user_id, attr, grp
+), probes AS (
+  SELECT event_id, user_id, date_trunc('day', ts) AS pday
+  FROM {tbl('events', d)} WHERE event_type = 'purchase'
+)"""
+
+
+def _scd2_pit_oracle(d: str) -> str:
+    """Oracle: the naive interval-containment join."""
+    return f"""
+WITH {_scd2_dim_cte(d)}
+SELECT p.event_id, p.user_id, {ts_str('p.pday', d)} AS day, m.attr
+FROM probes p JOIN dim m
+  ON p.user_id = m.user_id AND p.pday >= m.vf AND p.pday <= m.vt
+"""
+
+
+@query("sql_scd2_pit_join", oracle=_scd2_pit_oracle("duck"), tags=("sql", "scd2", "join"))
+def sql_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal dimension) join: each probe event picks the
+    SCD2 validity row active on its day. Scale formulation is the as-of
+    machinery, not an interval join: dimension version-starts and probes
+    union into one stream, one hash shuffle on the entity key, and a
+    running ignore-nulls window carries the current version onto every
+    probe (version rows sort before probes on equal days — inclusive
+    starts); a vt guard drops probes past the last validity day. The
+    oracle is the naive interval-containment join over the same ranges."""
+    views(spark, sf_dir, "events")
+    return spark.sql(
+        f"""
+WITH {_scd2_dim_cte('spark')},
+tagged AS (
+  SELECT user_id, vf AS t, 0 AS is_probe,
+         CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS TIMESTAMP) AS pday,
+         attr, vt
+  FROM dim
+  UNION ALL
+  SELECT user_id, pday AS t, 1,
+         event_id, pday,
+         CAST(NULL AS STRING), CAST(NULL AS TIMESTAMP)
+  FROM probes
+),
+win AS (
+  SELECT user_id, is_probe, event_id, pday,
+         last(attr, true) OVER (
+           PARTITION BY user_id ORDER BY t, is_probe
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS attr,
+         last(vt, true) OVER (
+           PARTITION BY user_id ORDER BY t, is_probe
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cur_vt
+  FROM tagged
+)
+SELECT event_id, user_id, date_format(pday, 'yyyy-MM-dd HH:mm:ss') AS day, attr
+FROM win
+WHERE is_probe = 1 AND attr IS NOT NULL AND pday <= cur_vt
+"""
+    )

@@ -246,3 +246,14 @@ def test_interval_overlap_join_is_equi_join(spark):
     plan, _ = _plan(spark, "ts_interval_overlap_join")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_pit_join_no_interval_join(spark):
+    """The point-in-time join must ride the as-of union+window machinery:
+    no nested-loop/cartesian interval join anywhere in the plan."""
+    plan, executed = _plan(spark, "sql_scd2_pit_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # dim build (2 window layers + rollup) and the probe/union window all
+    # partition on user_id; the only other exchange feeds the daily rollup
+    assert executed.count("Exchange hashpartitioning") <= 3
