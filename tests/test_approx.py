@@ -63,3 +63,39 @@ def test_approx_percentile_rank_error_bound(spark):
             assert lo - tol <= target <= hi + tol, (
                 r.o_orderpriority, q, v, lo, hi, target, n
             )
+
+
+def test_ivf_recall_floor_vs_exact(spark):
+    """ANN evaluation harness: IVF(nprobe=2, 50 cells) recall@5 against the
+    exact brute-force top-5 for the same query set. The pipeline is fully
+    deterministic, so mean recall is a constant at this SF (0.71) — the
+    floor guards against silent candidate-generation regressions while
+    documenting the recall/efficiency trade-off."""
+    import collections
+
+    from aws_localstack_stream_processing_spark.plans import all_queries
+    from aws_localstack_stream_processing_spark.plans.dialect import dot, to_double_arr
+
+    ivf = all_queries()["sim_ann_ivf"].fn(spark, SF_DIR)
+    got = collections.defaultdict(set)
+    for r in ivf.collect():
+        got[r.query_id].add(r.neighbor_id)
+
+    exact = spark.sql(
+        f"""
+WITH base AS (SELECT vec_id, {to_double_arr('embedding', 'spark')} AS emb FROM slsp_embeddings),
+normed AS (SELECT vec_id, emb, sqrt({dot('emb', 'emb', 64, 'spark')}) AS nrm FROM base),
+q AS (SELECT * FROM normed WHERE vec_id % 25 = 0),
+pairs AS (SELECT q.vec_id qid, n.vec_id nid,
+                 {dot('q.emb', 'n.emb', 64, 'spark')} / (q.nrm * n.nrm) cs
+          FROM q JOIN normed n ON q.vec_id <> n.vec_id),
+r AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, nid) rnk FROM pairs)
+SELECT qid, nid FROM r WHERE rnk <= 5
+"""
+    ).collect()
+    ex = collections.defaultdict(set)
+    for r in exact:
+        ex[r.qid].add(r.nid)
+    recalls = [len(got[q] & ex[q]) / len(ex[q]) for q in ex]
+    assert len(recalls) >= 10
+    assert sum(recalls) / len(recalls) >= 0.6
