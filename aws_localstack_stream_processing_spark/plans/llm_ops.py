@@ -1673,3 +1673,108 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector bytes 4x before any index is built."""
     views(spark, sf_dir, "embeddings")
     return spark.sql(_quantize_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-means (Lloyd) — iterative clustering with exact arithmetic:
+# components integerized to micro-units, centroids carried as (sum, count)
+# rationals, distances compared via the integer identity
+# argmin_j dist(x, s_j/c_j) = argmin_j sum_i (c_j*x_i - s_ji)^2 / c_j^2
+# computed in DOUBLE from exact BIGINT terms — bit-identical in any engine.
+# ---------------------------------------------------------------------------
+
+_KM_K_MOD = 50
+_KM_K_LIM = 500  # 10 initial centroids at every SF
+_KM_ITERS = 2
+
+
+def _km_idx(i: int, d: str) -> str:
+    return f"xi[{i}]" if d == "spark" else f"xi[{i + 1}]"
+
+
+def _km_dist(d: str) -> str:
+    """Sum of squared residuals scaled by cnt^2: fixed-order flat sum of 64
+    double terms, each exact (|cnt*x - s| < 2^53)."""
+    terms = []
+    for i in range(DIM):
+        t = f"CAST(c.cnt * v.{_km_idx(i, d)} - c.s{i} AS DOUBLE)"
+        terms.append(f"{t} * {t}")
+    # divide by cnt^2 once at the end: monotone per-centroid scaling must
+    # NOT be dropped — cnt differs per centroid, so the raw sum is not
+    # comparable across centroids
+    return ("(" + " + ".join(terms) + ") / (CAST(c.cnt AS DOUBLE) * CAST(c.cnt AS DOUBLE))")
+
+
+def _kmeans_sql(d: str, ints_src: str | None = None) -> str:
+    e = (
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+        if d == "spark"
+        else "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+    )
+    ints = (
+        f"SELECT vec_id, xi FROM {ints_src}"
+        if ints_src
+        else f"SELECT vec_id, {e} AS xi FROM {tbl('embeddings', d)}"
+    )
+    c0_cols = ", ".join(f"{_km_idx(i, d)} AS s{i}" for i in range(DIM))
+    sql = f"""
+WITH ints AS ({ints}),
+c0 AS (
+  SELECT vec_id AS cid, CAST(1 AS BIGINT) AS cnt, {c0_cols}
+  FROM ints WHERE vec_id % {_KM_K_MOD} = 0 AND vec_id < {_KM_K_LIM}
+)"""
+    for k in range(1, _KM_ITERS + 1):
+        dist = _km_dist(d)
+        if d == "spark":
+            assign = f"""
+  SELECT v.vec_id,
+         min_by(c.cid, named_struct('d', {dist}, 'c', c.cid)) AS cid
+  FROM ints v CROSS JOIN c{k - 1} c
+  GROUP BY v.vec_id"""
+        else:
+            assign = f"""
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {dist}, c.cid) AS rnk
+    FROM ints v CROSS JOIN c{k - 1} c
+  ) z WHERE rnk = 1"""
+        sums = ", ".join(f"SUM(v.{_km_idx(i, d)}) AS s{i}" for i in range(DIM))
+        sql += f""",
+a{k} AS ({assign}),
+c{k} AS (
+  SELECT a.cid, CAST(COUNT(*) AS BIGINT) AS cnt, {sums}
+  FROM a{k} a JOIN ints v ON v.vec_id = a.vec_id
+  GROUP BY a.cid
+)"""
+    norm_terms = " + ".join(
+        f"(CAST(s{i} AS DOUBLE) / cnt) * (CAST(s{i} AS DOUBLE) / cnt)"
+        for i in range(DIM)
+    )
+    sql += f"""
+SELECT cid, cnt AS n_members,
+       round(sqrt({norm_terms}) / 1000000.0, 6) AS centroid_norm
+FROM c{_KM_ITERS}
+"""
+    return sql
+
+
+@query("emb_kmeans_lloyd", oracle=_kmeans_sql("duck"), tags=("llm", "clustering", "iterative"))
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k-means (k=10, deterministic data-point
+    init): components integerized to micro-units so centroid state is the
+    exact rational (sum, count); the assignment argmin compares
+    sum_i (cnt*x_i - s_i)^2 / cnt^2 — every term an exact BIGINT widened to
+    DOUBLE, so both engines pick identical centroids (ties break to the
+    lowest centroid id: min_by-struct on Spark, ROW_NUMBER in the oracle).
+    Assignment is a broadcast of the 10-row centroid table against the
+    vector scan with a map-side-combinable argmin aggregate — no window
+    sort over the N*K product; the update is one 64-column exact-sum
+    aggregation. The integerized vector table is persisted once across
+    both iterations."""
+    views(spark, sf_dir, "embeddings")
+    e = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+    ints = spark.sql(
+        f"SELECT vec_id, {e} AS xi FROM {tbl('embeddings', 'spark')}"
+    ).persist()
+    ints.createOrReplaceTempView("slsp_km_ints")
+    return spark.sql(_kmeans_sql("spark", ints_src="slsp_km_ints"))
