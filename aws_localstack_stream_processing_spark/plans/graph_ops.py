@@ -231,3 +231,95 @@ JOIN slsp_tri_deg dv ON dv.node = p.v"""
     return spark.sql(
         _triangle_sql("spark", pairs_src="slsp_tri_pairs", or_src="slsp_tri_oriented")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (fixed-k, bounded rounds).
+# ---------------------------------------------------------------------------
+
+_KCORE_ROUNDS = 3
+_KCORE_Q = 0.1  # k = floor(10th-percentile initial degree)
+_KCORE_TOP = 30
+
+
+def _kcore_oracle() -> str:
+    li = tbl("lineitem", "duck")
+    sql = f"""
+WITH pairs AS (
+  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+  FROM {li} l1 JOIN {li} l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+), e0 AS (SELECT u AS s, v AS d FROM pairs UNION ALL SELECT v AS s, u AS d FROM pairs),
+deg0 AS (SELECT s AS node, COUNT(*) AS dg FROM e0 GROUP BY s),
+kt AS (SELECT CAST(floor(quantile_cont(dg, {_KCORE_Q})) AS BIGINT) AS kv FROM deg0)
+"""
+    prev = "e0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        sql += f""",
+deg{r} AS (SELECT s AS node, COUNT(*) AS dg FROM {prev} GROUP BY s),
+keep{r} AS (SELECT node FROM deg{r}, kt WHERE dg >= kt.kv),
+e{r} AS (
+  SELECT e.s, e.d FROM {prev} e
+  JOIN keep{r} k1 ON e.s = k1.node JOIN keep{r} k2 ON e.d = k2.node
+)"""
+        prev = f"e{r}"
+    sql += f"""
+SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM {prev} GROUP BY s
+ORDER BY core_degree DESC, node
+LIMIT {_KCORE_TOP}
+"""
+    return sql
+
+
+@query("graph_kcore_peel", oracle=_kcore_oracle(), tags=("graph", "iterative"))
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling over the co-purchase graph: k is the floor of
+    the 10th-percentile initial degree (Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the interpolation definition), then three
+    peel rounds drop nodes whose degree fell below k and their incident
+    edges. The Spark side runs the loop as DataFrames with the edge set
+    persisted per round (a CTE chain would recompute the distinct
+    self-join 2^rounds times); survivors report their in-core degree.
+    Per round: one degree aggregation + two semi-joins against the
+    (shrinking, broadcastable) keep-list — never a rebuild of the base
+    edge list."""
+    t = views(spark, sf_dir, "lineitem")
+    li = t["lineitem"]
+    l2 = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pk2")
+    )
+    pairs = (
+        li.join(l2, (li.l_orderkey == l2.ok2) & (li.l_partkey < l2.pk2))
+        .select(F.col("l_partkey").alias("u"), F.col("pk2").alias("v"))
+        .distinct()
+    )
+    edges = pairs.selectExpr("u AS s", "v AS d").unionAll(
+        pairs.selectExpr("v AS s", "u AS d")
+    ).persist()
+    deg0 = edges.groupBy("s").agg(F.count("*").alias("dg"))
+    kv = int(
+        deg0.selectExpr(
+            f"CAST(floor(percentile(dg, {_KCORE_Q})) AS BIGINT) AS kv"
+        ).first()["kv"]
+    )  # one scalar to the driver — the fixed peel threshold
+    cur = edges
+    for _ in range(_KCORE_ROUNDS):
+        keep = (
+            cur.groupBy("s")
+            .agg(F.count("*").alias("dg"))
+            .filter(F.col("dg") >= kv)
+            .select(F.col("s").alias("node"))
+        )
+        cur = (
+            cur.join(keep, cur.s == keep.node, "left_semi")
+            .join(keep.withColumnRenamed("node", "node2"), F.col("d") == F.col("node2"), "left_semi")
+            .persist()
+        )
+    return (
+        cur.groupBy("s")
+        .agg(F.count("*").cast("bigint").alias("core_degree"))
+        .select(F.col("s").alias("node"), "core_degree")
+        .orderBy(F.desc("core_degree"), "node")
+        .limit(_KCORE_TOP)
+    )
