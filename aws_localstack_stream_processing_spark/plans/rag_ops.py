@@ -428,3 +428,55 @@ JOIN LATERAL slsp_sentence_split(d.text) s
 WHERE d.doc_id % 20 = 0
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Preference-pair construction (RLHF / DPO data prep).
+# ---------------------------------------------------------------------------
+
+
+def _pref_pairs_sql(d: str) -> str:
+    """Deterministic integer quality score; argmax/argmin by a composite
+    (score, doc_id) key encoded as one BIGINT so DuckDB's scalar-keyed
+    arg_max matches Spark's (both engines order identically)."""
+    if d == "spark":
+        words = "split(text, ' ')"
+        alpha = "size(filter(split(text, ' '), w -> w rlike '[a-z]'))"
+        nw = "size(split(text, ' '))"
+        amax, amin = "max_by", "min_by"
+    else:
+        words = "string_split(text, ' ')"
+        alpha = "len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[a-z]')))"
+        nw = "len(string_split(text, ' '))"
+        amax, amin = "arg_max", "arg_min"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST({alpha} AS BIGINT) * 1000 + CAST({nw} AS BIGINT) AS score
+  FROM {tbl('documents', d)}
+),
+keyed AS (
+  SELECT doc_id, lang, score, score * 10000000 + doc_id AS k FROM scored
+)
+SELECT lang,
+       {amax}(doc_id, k) AS chosen_id,
+       {amax}(score, k) AS chosen_score,
+       {amin}(doc_id, k) AS rejected_id,
+       {amin}(score, k) AS rejected_score,
+       {amax}(score, k) - {amin}(score, k) AS score_gap,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates
+FROM keyed
+GROUP BY lang
+"""
+
+
+@query("llm_preference_pairs", oracle=_pref_pairs_sql("duck"), tags=("llm", "rlhf", "agg"))
+def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for RLHF/DPO: per language, the
+    highest- and lowest-scoring documents under a deterministic integer
+    quality score become the (chosen, rejected) pair, with the score gap
+    as the pair's margin. The argmax/argmin ride one composite BIGINT key
+    (score then doc_id) so ties break identically in both engines — one
+    partial+final aggregate, no window, no sort."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_pref_pairs_sql("spark"))
