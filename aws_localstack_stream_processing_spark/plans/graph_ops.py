@@ -68,11 +68,14 @@ r{i} AS (
 """
         prev = f"r{i}"
     sql += f"""
-SELECT node, rank_u
+SELECT node, CAST(rank_u AS BIGINT) AS rank_u
 FROM {prev}
 ORDER BY rank_u DESC, node
 LIMIT {_TOP}
 """
+    # CAST matters: DuckDB SUM(BIGINT) widens to HUGEINT, which pandas
+    # renders as float64 — identical values, different hash. Spark keeps
+    # BIGINT throughout, so pin the oracle to BIGINT at the boundary.
     return sql
 
 

@@ -65,8 +65,21 @@ def _correctness_counts() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         if isinstance(data, dict):
-            for name in data:
-                counts[name] = counts.get(name, 0) + 1
+            for name, row in data.items():
+                # Count only rows the driver actually verified green (or
+                # skipped as no_oracle by design). A failed/errored row
+                # leaves the count at 0, so the query re-queues at the
+                # front of the next round's sweep automatically.
+                ok = isinstance(row, dict) and (
+                    row.get("err") == "no_oracle"
+                    or (
+                        row.get("rows_match")
+                        and row.get("schema_match")
+                        and row.get("hash_match") is not False
+                    )
+                )
+                if ok:
+                    counts[name] = counts.get(name, 0) + 1
     return counts
 
 

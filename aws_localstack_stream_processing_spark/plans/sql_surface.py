@@ -829,15 +829,16 @@ def sql_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _map_fn_sql(d: str) -> str:
     """Map-typed collection surface. Maps never leave the query (engines
-    render map literals differently); every output is a scalar or sorted
-    array derived from them."""
+    render map literals differently); every output is a scalar — sorted
+    key/value lists are comma-joined to strings so the cross-engine row
+    canonicalizer (which sorts on every column) never sees an array cell."""
     if d == "spark":
         mk = "map(lit_status, o_orderstatus, lit_prio, o_orderpriority)"
         build = f"SELECT o_orderkey, 'status' AS lit_status, 'priority' AS lit_prio, o_orderstatus, o_orderpriority, {mk} AS m"
         get_status = "m['status']"
         n_entries = "CAST(cardinality(m) AS BIGINT)"
-        keys_sorted = "array_sort(map_keys(m))"
-        vals_sorted = "array_sort(map_values(m))"
+        keys_sorted = "array_join(array_sort(map_keys(m)), ',')"
+        vals_sorted = "array_join(array_sort(map_values(m)), ',')"
         concat_n = (
             "CAST(cardinality(map_concat(m, map('extra', CAST(o_orderkey AS STRING)))) AS BIGINT)"
         )
@@ -851,8 +852,8 @@ def _map_fn_sql(d: str) -> str:
         )
         get_status = "m['status'][1]"
         n_entries = "CAST(cardinality(m) AS BIGINT)"
-        keys_sorted = "list_sort(map_keys(m))"
-        vals_sorted = "list_sort(map_values(m))"
+        keys_sorted = "array_to_string(list_sort(map_keys(m)), ',')"
+        vals_sorted = "array_to_string(list_sort(map_values(m)), ',')"
         concat_n = (
             "CAST(cardinality(map_concat(m, map(['extra'], [CAST(o_orderkey AS VARCHAR)]))) AS BIGINT)"
         )

@@ -41,3 +41,23 @@ def test_rows_only_runs(name, spark):
     sdf = qd.fn(spark, SF_DIR)
     assert sdf.count() >= 0
     assert len(sdf.schema.fields) > 0
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_schema_atomic(name, spark):
+    """The verification driver canonicalizes results with pandas
+    ``sort_values`` over every column; an array/map/struct cell arrives as
+    a numpy ndarray and raises ``unhashable type`` inside the sorter (the
+    exact failure CORRECTNESS_r02 recorded for sql_map_fn_surface). So an
+    oracle-checked query's contract is atomic output columns only —
+    reduce collections to joined strings or scalars before returning."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    qd = QUERIES[name]
+    sdf = qd.fn(spark, SF_DIR)
+    bad = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, f"{name}: non-atomic oracle output columns {bad}"
