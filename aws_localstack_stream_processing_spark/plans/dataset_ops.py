@@ -1,0 +1,459 @@
+"""Dataset-curation, lake-maintenance and behavioral-analytics operators
+(round-3 breadth). Every query is declared once as a two-dialect SQL
+template (see :mod:`dialect`) so the DuckDB oracle is the same text modulo
+function spellings.
+
+Text curation (documents table):
+
+- ``text_repetition_stats`` — per-document repetition ratios in the style
+  of the Gopher repetition filters (Rae et al. 2021, public): duplicate
+  word fraction and top-bigram share, each an exact ratio of counts.
+- ``text_vocab_oov``        — two-phase vocabulary build: global top-V
+  token table, then per-document out-of-vocabulary rate against it.
+  The V-row vocab broadcasts; the corpus is never re-shuffled.
+
+Lake maintenance (orders / lineitem as the keyed lake tables):
+
+- ``lake_snapshot_diff``    — snapshot-to-snapshot diff (added / removed /
+  changed) via one full-outer join on the table key. At 100 TB both
+  sides hash-partition on the key and the join is the only shuffle; the
+  row comparison here is direct column equality (a production diff would
+  compare a per-row content hash computed in the same scan).
+- ``lake_compaction_plan``  — small-file compaction planner: greedy
+  bin-packing of file fragments into fixed-size output files via a
+  prefix-sum window, the standard OPTIMIZE/rewrite planning step. The
+  pack-size divisor is a power of two so ``floor(cum / target)`` is
+  bit-exact in IEEE double in both engines.
+- ``lake_zonemap_prune``    — data-skipping statistics: per-zone min/max
+  column ranges plus the scan/skip decision a predicate induces — the
+  planning half of parquet row-group pruning, as a query.
+
+Behavioral analytics (events table):
+
+- ``cohort_retention``      — weekly signup-cohort retention matrix: one
+  shuffle to find each user's first week, one to count (cohort, offset)
+  cells.
+- ``seq_pattern_match``     — MATCH_RECOGNIZE-style sequence detection
+  (view -> click -> purchase, each hop within 30 minutes) expressed as
+  two layered carry-forward windows over the same (user, time) order —
+  both window layers reuse one exchange.
+
+Time-series (events table):
+
+- ``ts_m4_downsample``      — M4 downsampling (Jugel et al., VLDB 2014,
+  public): per (series, hour) keep the first/last/min/max points — the
+  lossless-for-plotting reduction. One shuffle; the four orderings are
+  window sorts over the same partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .dialect import tbl, ts_str, views
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# text_repetition_stats
+# ---------------------------------------------------------------------------
+
+
+def _tok_cte(d: str) -> str:
+    """doc_id, pos (1-based), word — the tokenized corpus."""
+    if d == "spark":
+        return f"""
+tok AS (
+  SELECT doc_id, pos + 1 AS pos, word
+  FROM (SELECT doc_id, posexplode(split(text, ' ')) AS (pos, word)
+        FROM {tbl('documents', d)})
+)"""
+    return f"""
+tok AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS word
+  FROM {tbl('documents', d)}
+)"""
+
+
+def _repetition_sql(d: str) -> str:
+    return f"""
+WITH {_tok_cte(d)},
+big AS (
+  SELECT doc_id,
+         word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY pos)
+           AS bigram
+  FROM tok
+),
+wc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct_words
+  FROM tok GROUP BY doc_id
+),
+wtop AS (
+  SELECT doc_id, CAST(MAX(n) AS BIGINT) AS top_word_n
+  FROM (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id, word)
+  GROUP BY doc_id
+),
+btop AS (
+  SELECT doc_id,
+         CAST(SUM(n) AS BIGINT) AS n_bigrams,
+         CAST(MAX(n) AS BIGINT) AS top_bigram_n
+  FROM (SELECT doc_id, COUNT(*) AS n FROM big
+        WHERE bigram IS NOT NULL GROUP BY doc_id, bigram)
+  GROUP BY doc_id
+)
+SELECT wc.doc_id, n_words, n_distinct_words, top_word_n,
+       n_bigrams, top_bigram_n,
+       round(CAST(n_words - n_distinct_words AS DOUBLE)
+             / NULLIF(n_words, 0), 6) AS dup_word_frac,
+       round(CAST(top_word_n AS DOUBLE) / NULLIF(n_words, 0), 6)
+         AS top_word_share,
+       round(CAST(top_bigram_n AS DOUBLE) / NULLIF(n_bigrams, 0), 6)
+         AS top_bigram_share
+FROM wc
+JOIN wtop ON wtop.doc_id = wc.doc_id
+JOIN btop ON btop.doc_id = wc.doc_id
+ORDER BY wc.doc_id
+"""
+
+
+@query(
+    "text_repetition_stats",
+    oracle=_repetition_sql("duck"),
+    tags=("llm", "text", "quality"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-word fraction, top-word
+    share and top-bigram share per document — the signals that catch
+    boilerplate and degenerate repetition in a pretraining corpus. The
+    tokenize/explode is a narrow map; the per-(doc, gram) counts
+    hash-partition on doc_id, so every aggregation and the final joins
+    share one partitioning. All ratios are ratios of exact counts."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_repetition_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# text_vocab_oov
+# ---------------------------------------------------------------------------
+
+_VOCAB_V = 200
+
+
+def _vocab_oov_sql(d: str) -> str:
+    return f"""
+WITH {_tok_cte(d)},
+counts AS (
+  SELECT word, COUNT(*) AS n FROM tok GROUP BY word
+),
+vocab AS (
+  SELECT word FROM counts ORDER BY n DESC, word LIMIT {_VOCAB_V}
+)
+SELECT tok.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(CAST(SUM(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS oov_rate
+FROM tok LEFT JOIN vocab ON tok.word = vocab.word
+GROUP BY tok.doc_id
+ORDER BY tok.doc_id
+"""
+
+
+@query("text_vocab_oov", oracle=_vocab_oov_sql("duck"), tags=("llm", "text"))
+def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: build the global top-V token table (ties
+    broken lexicographically, so the vocab is deterministic), then score
+    every document's out-of-vocabulary rate against it. The vocab is V
+    rows — Spark broadcasts it, so the corpus-side explode never
+    re-shuffles for the join; the only wide ops are the two counts."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_vocab_oov_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# lake_snapshot_diff
+# ---------------------------------------------------------------------------
+
+
+def _snapshot_diff_sql(d: str) -> str:
+    # Two synthetic snapshots of the keyed ``orders`` table, derived
+    # deterministically so both engines build identical inputs:
+    #   A (old): every key except multiples of 10
+    #   B (new): every key except multiples of 11; price bumped on
+    #            multiples of 7 (the "updated" rows)
+    return f"""
+WITH snap_a AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(o_totalprice AS DECIMAL(18, 2)) AS price
+  FROM {tbl('orders', d)} WHERE o_orderkey % 10 <> 0
+),
+snap_b AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CASE WHEN o_orderkey % 7 = 0
+              THEN CAST(o_totalprice AS DECIMAL(18, 2)) + 1
+              ELSE CAST(o_totalprice AS DECIMAL(18, 2)) END AS price
+  FROM {tbl('orders', d)} WHERE o_orderkey % 11 <> 0
+)
+SELECT COALESCE(a.k, b.k) AS o_orderkey,
+       CASE WHEN a.k IS NULL THEN 'added'
+            WHEN b.k IS NULL THEN 'removed'
+            ELSE 'changed' END AS change,
+       a.price AS old_price, b.price AS new_price
+FROM snap_a a FULL OUTER JOIN snap_b b ON a.k = b.k
+WHERE a.k IS NULL OR b.k IS NULL
+   OR a.price <> b.price OR a.status <> b.status
+ORDER BY o_orderkey
+"""
+
+
+@query("lake_snapshot_diff", oracle=_snapshot_diff_sql("duck"), tags=("lakehouse",))
+def lake_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot table diff (the read side of CDC): classify
+    every key as added / removed / changed with one full-outer join.
+    Both snapshots hash-partition on the key, so the join is the only
+    shuffle regardless of table size; at 100 TB the row comparison
+    becomes a per-row content hash computed in the same scan (see
+    ``cdc_merge_upsert`` for the write side)."""
+    views(spark, sf_dir, "orders")
+    return spark.sql(_snapshot_diff_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# lake_compaction_plan
+# ---------------------------------------------------------------------------
+
+# 2^18 bytes — a power of two so cum/target is exact in IEEE double.
+_PACK_TARGET = 262144
+
+
+def _compaction_sql(d: str) -> str:
+    return f"""
+WITH files AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS part_year,
+         l_orderkey % 50 AS file_id,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) * 64 AS BIGINT) AS est_bytes
+  FROM {tbl('lineitem', d)}
+  GROUP BY year(l_shipdate), l_orderkey % 50
+)
+SELECT part_year, file_id, n_rows, est_bytes,
+       CAST(floor(
+         (SUM(est_bytes) OVER (PARTITION BY part_year ORDER BY file_id
+                               ROWS UNBOUNDED PRECEDING) - est_bytes)
+         / {_PACK_TARGET}.0) AS BIGINT) AS out_file
+FROM files
+ORDER BY part_year, file_id
+"""
+
+
+@query("lake_compaction_plan", oracle=_compaction_sql("duck"), tags=("lakehouse",))
+def lake_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (the planning step of OPTIMIZE /
+    rewrite-data-files): fragments are greedily packed into ~256 KiB
+    output files per partition by assigning each fragment the bin its
+    cumulative prefix size falls into. The manifest aggregation is one
+    shuffle; the prefix sum is a window over the same partitioning. The
+    plan — unlike the rewrite — is tiny, which is why planners run as
+    queries even on 100 TB tables."""
+    views(spark, sf_dir, "lineitem")
+    return spark.sql(_compaction_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# lake_zonemap_prune
+# ---------------------------------------------------------------------------
+
+
+def _zonemap_sql(d: str) -> str:
+    # 2048 = 2^11: zone id is an exact double floor in both engines.
+    return f"""
+WITH zones AS (
+  SELECT CAST(floor(l_orderkey / 2048.0) AS BIGINT) AS zone_id,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MIN(l_shipdate) AS mn, MAX(l_shipdate) AS mx
+  FROM {tbl('lineitem', d)}
+  GROUP BY floor(l_orderkey / 2048.0)
+)
+SELECT zone_id, n_rows,
+       {ts_str('mn', d)} AS min_shipdate,
+       {ts_str('mx', d)} AS max_shipdate,
+       (mx >= TIMESTAMP '1994-01-01 00:00:00'
+        AND mn < TIMESTAMP '1995-01-01 00:00:00') AS must_scan
+FROM zones
+ORDER BY zone_id
+"""
+
+
+@query(
+    "lake_zonemap_prune",
+    oracle=_zonemap_sql("duck"),
+    tags=("lakehouse", "scale"),
+)
+def lake_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping statistics: per-zone min/max ranges for the sort
+    key plus the scan/skip decision a range predicate induces — the
+    planning half of parquet row-group pruning, surfaced as a query.
+    Zones follow the key order (floor(key / 2^11)), so a clustered
+    predicate skips almost everything; a single scan + small agg
+    produces the zone map at any scale."""
+    views(spark, sf_dir, "lineitem")
+    return spark.sql(_zonemap_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# cohort_retention
+# ---------------------------------------------------------------------------
+
+
+def _daydiff(a: str, b: str, d: str) -> str:
+    """Whole days from b to a (both date_trunc'd, so always integral)."""
+    if d == "spark":
+        return f"datediff({a}, {b})"
+    return f"date_diff('day', {b}, {a})"
+
+
+def _cohort_sql(d: str) -> str:
+    dd = _daydiff("act_week", "cohort_week", d)
+    return f"""
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM {tbl('events', d)} GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+  FROM {tbl('events', d)}
+)
+SELECT {ts_str('cohort_week', d)} AS cohort_week,
+       CAST({dd} / 7 AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM active JOIN first_seen USING (user_id)
+GROUP BY cohort_week, {dd} / 7
+ORDER BY cohort_week, week_offset
+"""
+
+
+@query("cohort_retention", oracle=_cohort_sql("duck"), tags=("analytics",))
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: each user's cohort is the week of
+    their first event; each (cohort, week-offset) cell counts users still
+    active that many weeks later. Two aggregations and one join, all
+    hash-partitioned on user_id — the join reuses the partitioning of
+    the first-seen aggregation, and the final cell count is the only
+    re-shuffle (to the tiny cohort x offset grid)."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_cohort_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# seq_pattern_match
+# ---------------------------------------------------------------------------
+
+_HOP_SECONDS = 1800
+
+
+def _epoch_sec(d: str) -> str:
+    # Same idiom as timeseries.py: UTC session + naive oracle timestamps.
+    if d == "spark":
+        return "CAST(unix_timestamp(ts) AS BIGINT)"
+    return "CAST(floor(epoch(ts)) AS BIGINT)"
+
+
+def _seq_match_sql(d: str) -> str:
+    w = (
+        "PARTITION BY user_id ORDER BY sec, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    )
+    return f"""
+WITH base AS (
+  SELECT user_id, event_id, event_type, ts, {_epoch_sec(d)} AS sec
+  FROM {tbl('events', d)}
+),
+l1 AS (
+  SELECT *,
+         MAX(CASE WHEN event_type = 'view' THEN sec END) OVER ({w})
+           AS last_view_sec
+  FROM base
+),
+l2 AS (
+  SELECT *,
+         MAX(CASE WHEN event_type = 'click'
+                   AND last_view_sec IS NOT NULL
+                   AND sec - last_view_sec <= {_HOP_SECONDS}
+              THEN sec END) OVER ({w}) AS chain_click_sec
+  FROM l1
+)
+SELECT user_id, event_id, {ts_str('ts', d)} AS purchase_ts,
+       (chain_click_sec IS NOT NULL
+        AND sec - chain_click_sec <= {_HOP_SECONDS}) AS converted
+FROM l2
+WHERE event_type = 'purchase'
+ORDER BY user_id, event_id
+"""
+
+
+@query("seq_pattern_match", oracle=_seq_match_sql("duck"), tags=("analytics", "window"))
+def seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence detection without the operator:
+    a purchase "converts" when a click preceded it within 30 minutes
+    and a view preceded *that click* within 30 minutes. Two layered
+    carry-forward windows (last qualifying view, then last qualifying
+    click) express the chain; both layers share the same (user, time)
+    partitioning and ordering, so the whole pattern costs one exchange
+    and two frame-local sorts — no self-joins, no state explosion."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_seq_match_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ts_m4_downsample
+# ---------------------------------------------------------------------------
+
+
+def _m4_sql(d: str) -> str:
+    w = "PARTITION BY event_type, bucket"
+    return f"""
+WITH base AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         event_id, value, {_epoch_sec(d)} AS sec
+  FROM {tbl('events', d)}
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER ({w} ORDER BY sec, event_id)        AS rn_first,
+         row_number() OVER ({w} ORDER BY sec DESC, event_id DESC) AS rn_last,
+         row_number() OVER ({w} ORDER BY value, event_id)      AS rn_min,
+         row_number() OVER ({w} ORDER BY value DESC, event_id) AS rn_max
+  FROM base
+)
+SELECT event_type, {ts_str('bucket', d)} AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MAX(CASE WHEN rn_first = 1 THEN event_id END) AS BIGINT)
+         AS first_id,
+       CAST(MAX(CASE WHEN rn_last = 1 THEN event_id END) AS BIGINT)
+         AS last_id,
+       CAST(MAX(CASE WHEN rn_min = 1 THEN event_id END) AS BIGINT)
+         AS min_id,
+       CAST(MAX(CASE WHEN rn_max = 1 THEN event_id END) AS BIGINT)
+         AS max_id,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM ranked
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+
+@query("ts_m4_downsample", oracle=_m4_sql("duck"), tags=("timeseries", "window"))
+def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (first/last/min/max per pixel-bucket — the
+    reduction that preserves line-chart rendering exactly): per
+    (series, hour) emit the ids of the four extreme points plus the
+    value envelope. The four rankings are window sorts over ONE
+    hash-partitioning, then the group-by collapses in place — a single
+    exchange end to end, which is what makes M4 viable as a
+    display-resolution reduction over 100 TB of raw points."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_m4_sql("spark"))

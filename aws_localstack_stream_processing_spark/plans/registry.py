@@ -87,6 +87,7 @@ def all_queries() -> dict[str, QueryDef]:
     """Import every query module and return the populated registry, ordered
     least-driver-checked first (ties keep registration order)."""
     from . import (  # noqa: F401
+        dataset_ops,
         graph_ops,
         lakehouse_ops,
         llm_ops,

@@ -461,8 +461,9 @@ def stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     )
+    if dict(ev.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     run_mv_stream(spark, stream, f"{work}/mv", f"{work}/ckpt")
     return read_mv(spark, f"{work}/mv")
 

@@ -26,14 +26,25 @@ def events_stream(
     """The ``events`` table as an unbounded file stream (SURVEY §1.1 #1)."""
     apply_runtime_confs(spark)
     base = sf_dir.rstrip("/")
-    schema = spark.read.parquet(f"{base}/events.parquet").schema  # ts = nanos LongType
+    batch = spark.read.parquet(f"{base}/events.parquet")
     # the file source requires a directory; pathGlobFilter selects the table
     # (the prefix filter of the reference's S3 notification, app.ts:437)
-    reader = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
+    reader = spark.readStream.schema(batch.schema).option(
+        "pathGlobFilter", "events.parquet"
+    )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(base)
-    return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    # ts arrives as a raw nanosecond LongType, TIMESTAMP_NTZ, or TIMESTAMP
+    # depending on the writer. Watermarks require TIMESTAMP (not NTZ), so
+    # normalize; the session timezone is pinned to UTC, which makes the
+    # NTZ -> TIMESTAMP reinterpretation deterministic.
+    ts_type = dict(batch.dtypes)["ts"]
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif ts_type != "timestamp":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def lake_stream(spark: SparkSession, lake_dir: str, schema) -> DataFrame:
