@@ -457,3 +457,240 @@ def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     display-resolution reduction over 100 TB of raw points."""
     views(spark, sf_dir, "events")
     return spark.sql(_m4_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# rag_bm25_topk
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "stream")
+_BM25_TOPN = 20
+
+
+def _bm25_sql(d: str) -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    # k1 = 1.2, b = 0.75, idf in the log-free rational form
+    # (n - df + 0.5) / (df + 0.5). Multiplying idf and the tf-norm out to
+    # a single integer numerator over a single integer denominator leaves
+    # exactly ONE double division per (doc, term):
+    #   idf      = (2n - 2df + 1) / (2df + 1)
+    #   tf_norm  = 2.2 tf / (tf + 0.3 + 0.9 dl n / sum_dl)
+    #            = 22 tf sum_dl / (10 tf sum_dl + 3 sum_dl + 9 dl n)
+    # so both engines produce bit-identical doubles (decimal-literal
+    # arithmetic never enters) and the top-k order is stable. The int64
+    # products stay < 1e16 at every test SF; a 100 TB corpus would cast
+    # the numerator/denominator to DOUBLE first, same shape.
+    score = (
+        "(CAST((2 * n_docs - 2 * df + 1) * 22 * tf * sum_dl AS DOUBLE)"
+        " / CAST((2 * df + 1)"
+        "        * (10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs)"
+        "        AS DOUBLE))"
+    )
+    per_term = ", ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN score END) AS s{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    total = " + ".join(
+        f"COALESCE(s{i}, CAST(0 AS DOUBLE))" for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH {_tok_cte(d)},
+dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(SUM(dl) AS BIGINT) AS sum_dl, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, word AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE word IN ({terms}) GROUP BY doc_id, word
+),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, {score} AS score
+  FROM tf
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN df ON df.term = tf.term
+  CROSS JOIN stats
+),
+pivoted AS (
+  SELECT doc_id, {per_term} FROM scored GROUP BY doc_id
+)
+SELECT doc_id, round({total}, 6) AS bm25
+FROM pivoted
+ORDER BY {total} DESC, doc_id
+LIMIT {_BM25_TOPN}
+"""
+
+
+@query("rag_bm25_topk", oracle=_bm25_sql("duck"), tags=("llm", "rag", "text"))
+def rag_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed query against
+    the corpus — the lexical half of hybrid RAG retrieval. The only
+    corpus-sized shuffles are the doc-length and term-frequency counts,
+    both partitioned on doc_id; df is |query|-row and the corpus stats
+    are a scalar, so Spark broadcasts both into the scoring join. The
+    idf is the log-free rational form and the per-doc total is a
+    fixed-order sum, keeping the ranking bit-stable across engines."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_bm25_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# mm_modality_router
+# ---------------------------------------------------------------------------
+
+
+def _modality_blob(d: str) -> str:
+    """Synthesize a binary column with a real magic-byte header chosen by
+    doc_id % 4 — PNG / JPEG / WAV / raw text (same synthesis discipline as
+    the other mm_* operators: deterministic fake payload, real plumbing)."""
+    if d == "spark":
+        body = "CAST(text AS BINARY)"
+        png, jpg, wav = "X'89504E47'", "X'FFD8FFE0'", "X'52494646'"
+        cat = "concat({h}, " + body + ")"
+    else:
+        body = "encode(text)"
+        png, jpg, wav = r"'\x89\x50\x4E\x47'::BLOB", r"'\xFF\xD8\xFF\xE0'::BLOB", r"'\x52\x49\x46\x46'::BLOB"
+        cat = "({h} || " + body + ")"
+    return f"""
+  CASE doc_id % 4
+    WHEN 0 THEN {cat.format(h=png)}
+    WHEN 1 THEN {cat.format(h=jpg)}
+    WHEN 2 THEN {cat.format(h=wav)}
+    ELSE {body}
+  END"""
+
+
+def _router_sql(d: str) -> str:
+    return f"""
+WITH blobs AS (
+  SELECT doc_id, {_modality_blob(d)} AS blob FROM {tbl('documents', d)}
+),
+routed AS (
+  SELECT doc_id, blob,
+         CASE WHEN left(hex(blob), 8) = '89504E47' THEN 'image/png'
+              WHEN left(hex(blob), 6) = 'FFD8FF'   THEN 'image/jpeg'
+              WHEN left(hex(blob), 8) = '52494646' THEN 'audio/wav'
+              ELSE 'text/plain' END AS modality
+  FROM blobs
+)
+SELECT modality,
+       CAST(COUNT(*) AS BIGINT) AS n_blobs,
+       CAST(SUM(octet_length(blob)) AS BIGINT) AS total_bytes,
+       CAST(MIN(octet_length(blob)) AS BIGINT) AS min_bytes,
+       CAST(MAX(octet_length(blob)) AS BIGINT) AS max_bytes
+FROM routed
+GROUP BY modality
+ORDER BY modality
+"""
+
+
+@query("mm_modality_router", oracle=_router_sql("duck"), tags=("multimodal",))
+def mm_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-sniffing router for mixed-modality lakes: detect each
+    blob's type from its magic bytes (PNG/JPEG/RIFF headers) and route to
+    the per-modality pipeline — here surfaced as per-modality routing
+    stats. Unlike the decode operators this needs NO Python at all: the
+    header probe is hex(blob) prefix comparison inside whole-stage
+    codegen, so routing 100 TB of blobs costs exactly one scan."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_router_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# scale_token_bucket_admit
+# ---------------------------------------------------------------------------
+
+# Integer micro-units: 60 units = 1 token. Refill 1 unit/second
+# (= 1 token per minute), capacity 300 units (= 5 tokens), admission
+# costs 60 units. Integer arithmetic end to end — bit-exact everywhere.
+_TB_CAP = 300
+_TB_COST = 60
+
+
+def _token_bucket_oracle() -> str:
+    # Sequential per-key recurrence — the textbook case SQL can only
+    # express as a recursive fixpoint. Depth = max events per user (<100
+    # at every test SF), one hash join per step.
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                                     event_id) AS rn
+  FROM events
+),
+tb AS (
+  SELECT user_id, event_id, sec, rn,
+         CAST({_TB_CAP - _TB_COST} AS BIGINT) AS units_after,
+         TRUE AS admitted
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.event_id, e.sec, e.rn,
+         CAST(LEAST({_TB_CAP}, tb.units_after + (e.sec - tb.sec))
+              - CASE WHEN LEAST({_TB_CAP}, tb.units_after + (e.sec - tb.sec))
+                          >= {_TB_COST}
+                     THEN {_TB_COST} ELSE 0 END AS BIGINT),
+         LEAST({_TB_CAP}, tb.units_after + (e.sec - tb.sec)) >= {_TB_COST}
+  FROM ev e JOIN tb ON e.user_id = tb.user_id AND e.rn = tb.rn + 1
+)
+SELECT user_id, event_id, admitted, units_after
+FROM tb ORDER BY user_id, rn
+"""
+
+
+@query(
+    "scale_token_bucket_admit",
+    oracle=_token_bucket_oracle(),
+    tags=("scale", "stateful", "udf"),
+)
+def scale_token_bucket_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key token-bucket admission control (capacity 5 tokens, refill
+    1/minute, 1 token per event) — deterministic rate limiting over an
+    event log. The recurrence is inherently sequential PER KEY but
+    embarrassingly parallel ACROSS keys, so the Spark plan is one hash
+    partition on user_id + an Arrow-batched ``applyInPandas`` that walks
+    each user's timeline with integer arithmetic (60 units = 1 token; no
+    floats, no clock). This is the grouped-map pattern for any per-entity
+    state machine the built-in window functions can't express; the
+    DuckDB oracle is the same recurrence as a recursive CTE."""
+    import pandas as pd
+
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "event_id",
+        "CAST(unix_timestamp(ts) AS BIGINT) AS sec",
+    )
+
+    def admit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["sec", "event_id"]).reset_index(drop=True)
+        units, prev_sec = _TB_CAP, None
+        out_admit, out_units = [], []
+        for sec in pdf["sec"]:
+            if prev_sec is not None:
+                units = min(_TB_CAP, units + (sec - prev_sec))
+            admitted = units >= _TB_COST
+            if admitted:
+                units -= _TB_COST
+            out_admit.append(admitted)
+            out_units.append(units)
+            prev_sec = sec
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "admitted": out_admit,
+                "units_after": out_units,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        admit, "user_id bigint, event_id bigint, admitted boolean, units_after bigint"
+    )

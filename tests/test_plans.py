@@ -257,3 +257,54 @@ def test_scd2_pit_join_no_interval_join(spark):
     # dim build (2 window layers + rollup) and the probe/union window all
     # partition on user_id; the only other exchange feeds the daily rollup
     assert executed.count("Exchange hashpartitioning") <= 3
+
+
+def test_seq_pattern_match_layered_windows_one_exchange(spark):
+    plan, executed = _plan(spark, "seq_pattern_match")
+    # both carry-forward window layers share the (user_id) partitioning:
+    # one hash exchange feeds two Window operators, no join anywhere
+    assert "Join" not in plan
+    assert plan.count("Window") >= 2
+    assert executed.count("Exchange hashpartitioning") == 1
+
+
+def test_m4_downsample_single_exchange(spark):
+    plan, executed = _plan(spark, "ts_m4_downsample")
+    # four rankings + the final group-by all run on one (event_type,
+    # bucket) hash partitioning — the group-by collapses in place
+    assert executed.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_vocab_oov_broadcasts_vocabulary(spark):
+    plan, _ = _plan(spark, "text_vocab_oov")
+    # the V-row vocab side broadcasts; the exploded corpus never
+    # re-shuffles for the join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_modality_router_no_python(spark):
+    plan, executed = _plan(spark, "mm_modality_router")
+    # magic-byte sniffing is pure codegen: no Python/Arrow eval, no join,
+    # and the only exchange is the tiny per-modality aggregation
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"):
+        assert marker not in plan
+    assert "Join" not in plan
+    assert executed.count("Exchange hashpartitioning") == 1
+
+
+def test_token_bucket_one_exchange_grouped_map(spark):
+    plan, executed = _plan(spark, "scale_token_bucket_admit")
+    # per-key state machine: one hash partition on user_id feeding the
+    # Arrow grouped-map operator — sequential per key, parallel across keys
+    assert "FlatMapGroupsInArrow" in plan or "FlatMapGroupsInPandas" in plan
+    assert executed.count("Exchange hashpartitioning") == 1
+
+
+def test_snapshot_diff_single_join_key_partitioned(spark):
+    plan, executed = _plan(spark, "lake_snapshot_diff")
+    # one full-outer join on the table key; both snapshot scans shuffle
+    # once each onto that key and nothing else moves
+    assert plan.count("FullOuter") == 1
+    assert "CartesianProduct" not in plan
