@@ -694,3 +694,92 @@ def scale_token_bucket_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         admit, "user_id bigint, event_id bigint, admitted boolean, units_after bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# rag_rrf_fusion
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOPN = 20
+
+
+def _rrf_sql(d: str) -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    score = (
+        "(CAST((2 * n_docs - 2 * df + 1) * 22 * tf * sum_dl AS DOUBLE)"
+        " / CAST((2 * df + 1)"
+        "        * (10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs)"
+        "        AS DOUBLE))"
+    )
+    per_term = ", ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN score END) AS s{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    total = " + ".join(
+        f"COALESCE(s{i}, CAST(0 AS DOUBLE))" for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH {_tok_cte(d)},
+dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(SUM(dl) AS BIGINT) AS sum_dl, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, word AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE word IN ({terms}) GROUP BY doc_id, word
+),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, {score} AS score
+  FROM tf
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN df ON df.term = tf.term
+  CROSS JOIN stats
+),
+pivoted AS (
+  SELECT s.doc_id,
+         {total.replace('s0', 'p.s0').replace('s1', 'p.s1').replace('s2', 'p.s2')} AS bm25,
+         CAST(COUNT(*) AS BIGINT) AS coverage,
+         MAX(dl.dl) AS dl
+  FROM scored s
+  JOIN dl ON dl.doc_id = s.doc_id
+  JOIN (SELECT doc_id, {per_term} FROM scored GROUP BY doc_id) p
+    ON p.doc_id = s.doc_id
+  GROUP BY s.doc_id, {total.replace('s0', 'p.s0').replace('s1', 'p.s1').replace('s2', 'p.s2')}
+),
+ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank_bm25,
+         ROW_NUMBER() OVER (ORDER BY coverage DESC, dl, doc_id) AS rank_cov
+  FROM pivoted
+)
+SELECT doc_id,
+       CAST(rank_bm25 AS BIGINT) AS rank_bm25,
+       CAST(rank_cov AS BIGINT) AS rank_cov,
+       round(CAST(1 AS DOUBLE) / ({_RRF_K} + rank_bm25)
+             + CAST(1 AS DOUBLE) / ({_RRF_K} + rank_cov), 6) AS rrf
+FROM ranked
+ORDER BY CAST(1 AS DOUBLE) / ({_RRF_K} + rank_bm25)
+         + CAST(1 AS DOUBLE) / ({_RRF_K} + rank_cov) DESC, doc_id
+LIMIT {_RRF_TOPN}
+"""
+
+
+@query("rag_rrf_fusion", oracle=_rrf_sql("duck"), tags=("llm", "rag"))
+def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k=60) of two retrieval rankings — the
+    standard hybrid-RAG merge. Ranker A is the BM25 score; ranker B is a
+    coverage ranker (distinct query terms matched, shorter docs first) —
+    in production B is the ANN ranking from ``sim_ann_lsh``/``sim_ann_ivf``,
+    which returns (doc_id, rank) in exactly this shape. Only docs
+    matching ≥1 query term enter the candidate set, so the global rank
+    windows sort candidates, not the corpus; the fused score is a
+    fixed-order sum of two integer-denominator divisions — bit-stable."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_rrf_sql("spark"))

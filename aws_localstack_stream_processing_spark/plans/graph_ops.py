@@ -326,3 +326,94 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("core_degree"), "node")
         .limit(_KCORE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS — frontier expansion over the purchase graph.
+# ---------------------------------------------------------------------------
+
+_BFS_DEPTH = 3
+_BFS_SEED_MOD = 100
+
+
+def _bfs_oracle() -> str:
+    d = "duck"
+    sql = f"""
+WITH fwd AS (
+  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + {_SUPP_OFFSET} AS dst
+  FROM {tbl('orders', d)} o JOIN {tbl('lineitem', d)} l
+    ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+  SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+d0 AS (
+  SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes
+  WHERE node % {_BFS_SEED_MOD} = 1
+),
+v0 AS (SELECT node, dist FROM d0)"""
+    for i in range(1, _BFS_DEPTH + 1):
+        sql += f""",
+f{i} AS (
+  SELECT DISTINCT e.dst AS node FROM edges e
+  JOIN d{i - 1} ON e.src = d{i - 1}.node
+),
+d{i} AS (
+  SELECT f.node, CAST({i} AS BIGINT) AS dist FROM f{i} f
+  WHERE NOT EXISTS (SELECT 1 FROM v{i - 1} v WHERE v.node = f.node)
+),
+v{i} AS (
+  SELECT node, dist FROM v{i - 1} UNION ALL SELECT node, dist FROM d{i}
+)"""
+    sql += f"""
+SELECT node, dist FROM v{_BFS_DEPTH} ORDER BY dist, node
+"""
+    return sql
+
+
+@query("graph_bfs_frontier", oracle=_bfs_oracle(), tags=("graph", "iterative"))
+def graph_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (depth 3) from seed nodes over the undirected
+    purchase graph — min-hop distance labeling, the Pregel frontier
+    pattern as DataFrame rounds. Each round is ONE shuffle: frontier ⋈
+    edges, dedup, anti-join against the visited set; the edge list is
+    persisted once and the visited set is localCheckpoint-ed per round
+    so round N never replays rounds 1..N-1. The oracle is the same
+    expansion unrolled level-by-level (exactly-min-hop by construction
+    in both engines — a node enters at the first level that reaches
+    it). Frontier sizes, not |V|, bound each round's work, which is why
+    BFS over a 100 TB edge list stays feasible when the frontier is a
+    small fraction of the graph."""
+    t = views(spark, sf_dir, "orders", "lineitem")
+    fwd = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    visited = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(F.col("node") % _BFS_SEED_MOD == 1)
+        .withColumn("dist", F.lit(0).cast("bigint"))
+    )
+    frontier = visited.select("node")
+    for depth in range(1, _BFS_DEPTH + 1):
+        reached = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(edges.dst.alias("node"))
+            .distinct()
+        )
+        fresh = reached.join(visited, "node", "left_anti").withColumn(
+            "dist", F.lit(depth).cast("bigint")
+        )
+        visited = visited.unionAll(fresh).localCheckpoint(eager=False)
+        frontier = fresh.select("node")
+    return visited.orderBy("dist", "node")

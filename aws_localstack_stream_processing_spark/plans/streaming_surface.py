@@ -495,3 +495,44 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     agg = sigs.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n_signed"))
     return _to_memory(agg, "complete")
+
+
+def _topk_leaderboard_oracle(d: str) -> str:
+    return f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28, 6))) AS DOUBLE) AS sum_value
+FROM {tbl('events', d)}
+GROUP BY event_type
+ORDER BY n_events DESC, event_type
+LIMIT 3
+"""
+
+
+@query(
+    "stream_topk_leaderboard",
+    oracle=_topk_leaderboard_oracle("duck"),
+    tags=("streaming", "agg", "sort"),
+)
+def stream_topk_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k leaderboard: complete-output-mode aggregation with
+    ORDER BY + LIMIT — the live 'top event types' dashboard query.
+    Sorting a streaming result is only legal in complete mode (the full
+    result table is re-emitted per trigger), which is exactly the right
+    tool when k is small and the aggregate state (one row per group) is
+    bounded; on the bounded verification stream the final trigger must
+    equal the batch oracle. Decimal-summed values keep the totals
+    order-independent."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy(F.desc("n_events"), "event_type")
+        .limit(3)
+    )
+    return _to_memory(agg, "complete")
