@@ -783,3 +783,85 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-order sum of two integer-denominator divisions — bit-stable."""
     views(spark, sf_dir, "documents")
     return spark.sql(_rrf_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# sketch_kmv_distinct
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_HASH_SPACE = 4294967296  # 2^32
+
+
+def _kmv_hash(d: str) -> str:
+    """user_id -> uniform 32-bit integer via the first 8 md5 hex digits,
+    folded with positional arithmetic (no engine-specific hex-to-int
+    builtin). Deterministic in both engines, so the sketch contents are
+    identical."""
+    from ..functions import hashing
+
+    to_str = "CAST(user_id AS STRING)" if d == "spark" else "CAST(user_id AS VARCHAR)"
+    hx = f"md5({to_str})"
+    digits = " + ".join(
+        f"CAST({hashing.hexdigit_val(f'substr({hx}, {i + 1}, 1)', d)} AS BIGINT)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"CAST({digits} AS BIGINT)"
+
+
+def _kmv_sql(d: str) -> str:
+    h = _kmv_hash(d)
+    est = (
+        f"CASE WHEN n_kept < {_KMV_K} THEN CAST(n_kept AS DOUBLE)"
+        f" ELSE CAST({_KMV_K - 1} AS DOUBLE) * {_HASH_SPACE} / kth END"
+    )
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type, {h} AS h FROM {tbl('events', d)}
+),
+keyed AS (
+  SELECT event_type, h FROM hashes
+  UNION ALL
+  SELECT '__all__' AS event_type, h FROM (SELECT DISTINCT h FROM hashes)
+),
+ranked AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rnk
+  FROM keyed
+),
+sketch AS (
+  SELECT event_type,
+         CAST(MAX(h) AS BIGINT) AS kth,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM ranked WHERE rnk <= {_KMV_K}
+  GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM hashes
+  GROUP BY event_type
+  UNION ALL
+  SELECT '__all__', CAST(COUNT(DISTINCT h) AS BIGINT) FROM hashes
+)
+SELECT s.event_type, s.n_kept, s.kth,
+       round({est}, 2) AS kmv_estimate,
+       e.exact_distinct
+FROM sketch s JOIN exact e ON e.event_type = s.event_type
+ORDER BY s.event_type
+"""
+
+
+@query("sketch_kmv_distinct", oracle=_kmv_sql("duck"), tags=("sketch", "scale"))
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, k=64: keep the k
+    smallest 32-bit hashes per group; estimate = (k-1) * 2^32 / kth-min
+    (Bar-Yossef et al. 2002, public). Unlike HLL the sketch content is a
+    deterministic function of the data — same hashes in any engine, any
+    partitioning — so it gets a full value oracle, not just a bound
+    test. Sketches MERGE by taking the min-k of a union (the '__all__'
+    row is exactly that), which is what makes KMV the right distinct
+    counter for re-aggregatable 100 TB rollup layers: per-partition
+    sketches are k rows each, the merge is associative, and the exact
+    distinct column here exhibits the estimate quality."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_kmv_sql("spark"))
