@@ -99,3 +99,22 @@ SELECT qid, nid FROM r WHERE rnk <= 5
     recalls = [len(got[q] & ex[q]) / len(ex[q]) for q in ex]
     assert len(recalls) >= 10
     assert sum(recalls) / len(recalls) >= 0.6
+
+
+def test_kmv_estimate_within_bound(spark):
+    """KMV with k=64 has relative standard error ~1/sqrt(k-2) ≈ 12.7%;
+    assert every group's estimate is within 4 standard errors (plus the
+    exact-below-k case, which must be exactly right)."""
+    from aws_localstack_stream_processing_spark.plans import all_queries
+
+    from .conftest import SF_DIR
+
+    df = all_queries()["sketch_kmv_distinct"].fn(spark, SF_DIR)
+    rows = {r["event_type"]: r for r in df.collect()}
+    assert "__all__" in rows
+    for et, r in rows.items():
+        if r["n_kept"] < 64:
+            assert r["kmv_estimate"] == float(r["exact_distinct"]), et
+        else:
+            rel = abs(r["kmv_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
+            assert rel < 4 / (64 - 2) ** 0.5, (et, rel)

@@ -308,3 +308,18 @@ def test_snapshot_diff_single_join_key_partitioned(spark):
     # once each onto that key and nothing else moves
     assert plan.count("FullOuter") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_rrf_rank_windows_sort_candidates_only(spark):
+    plan, _ = _plan(spark, "rag_rrf_fusion")
+    # corpus stats and df broadcast into the scoring join; the global
+    # rank windows sort the candidate set, never the corpus explode
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmv_sketch_bounded_state(spark):
+    plan, _ = _plan(spark, "sketch_kmv_distinct")
+    # the sketch is a rank-filter + agg — no joins against the raw table
+    # after hashing, no Python anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
