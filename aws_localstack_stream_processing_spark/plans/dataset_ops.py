@@ -865,3 +865,165 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct column here exhibits the estimate quality."""
     views(spark, sf_dir, "events")
     return spark.sql(_kmv_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# text_chunk_dedup — C4-style sub-document dedup accounting.
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 10
+
+
+def _chunk_dedup_sql(d: str) -> str:
+    if d == "spark":
+        chunks = f"""
+chunks AS (
+  SELECT doc_id, chunk
+  FROM (
+    SELECT doc_id,
+           posexplode(transform(
+             sequence(0, (size(w) DIV {_CHUNK_W}) - 1),
+             i -> array_join(slice(w, i * {_CHUNK_W} + 1, {_CHUNK_W}), ' ')
+           )) AS (cpos, chunk)
+    FROM (SELECT doc_id, split(text, ' ') AS w FROM {tbl('documents', d)})
+    WHERE size(w) >= {_CHUNK_W}
+  )
+)"""
+    else:
+        chunks = f"""
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, len(w) // {_CHUNK_W}),
+           i -> array_to_string(
+                  list_slice(w, i * {_CHUNK_W} + 1, i * {_CHUNK_W} + {_CHUNK_W}),
+                  ' ')
+         )) AS chunk
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {tbl('documents', d)})
+  WHERE len(w) >= {_CHUNK_W}
+)"""
+    return f"""
+WITH {chunks},
+freq AS (
+  SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n_occ FROM chunks GROUP BY chunk
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       round(CAST(SUM(CASE WHEN f.n_occ > 1 THEN 0 ELSE 1 END) AS DOUBLE)
+             / COUNT(*), 6) AS retained_frac
+FROM chunks c JOIN freq f ON f.chunk = c.chunk
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+
+@query(
+    "text_chunk_dedup",
+    oracle=_chunk_dedup_sql("duck"),
+    tags=("llm", "text", "dedup"),
+)
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (chunk-level) dedup accounting in the C4 style
+    (Raffel et al. 2020, public — C4 dropped duplicate three-sentence
+    spans across the corpus): cut each document into fixed 10-word
+    chunks, count corpus-wide chunk occurrences, and report the
+    per-document retained fraction after removing every chunk that
+    appears more than once. The chunking is a narrow codegen map; the
+    only shuffles are the chunk-frequency count and the re-join, both
+    partitioned on the chunk hash — cost scales with chunk count, never
+    |corpus|². Document-level dedup misses this entirely (boilerplate
+    rides inside otherwise-unique pages), which is why chunk-level
+    accounting is a first-class curation signal."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_chunk_dedup_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ts_holt_linear — double-exponential smoothing as a grouped state machine.
+# ---------------------------------------------------------------------------
+
+
+def _holt_oracle() -> str:
+    # alpha = beta = 1/2: every recurrence step is adds plus a divide-by-2
+    # (an IEEE exponent shift), so the pandas loop and this recursive CTE
+    # produce bit-identical doubles at every step.
+    l_new = "(e.value + (tb.l + tb.b)) / 2"
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                                     event_id) AS rn
+  FROM events
+),
+tb AS (
+  SELECT user_id, event_id, rn,
+         CAST(value AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.event_id, e.rn,
+         {l_new},
+         (({l_new} - tb.l) + tb.b) / 2
+  FROM ev e JOIN tb ON e.user_id = tb.user_id AND e.rn = tb.rn + 1
+)
+SELECT user_id, event_id, l AS level, b AS trend
+FROM tb ORDER BY user_id, rn
+"""
+
+
+@query(
+    "ts_holt_linear",
+    oracle=_holt_oracle(),
+    tags=("timeseries", "stateful", "udf"),
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing, alpha = beta = 1/2,
+    per user series — level + trend state carried through a sequential
+    recurrence that window functions cannot express (the trend feeds
+    back into the next level). Same shape as the token-bucket operator:
+    one hash partition on the series key, an Arrow-batched grouped-map
+    walking each series in order — sequential per key, parallel across
+    keys. Halving is an exponent shift, so the Python loop and the
+    recursive-CTE oracle agree bit-for-bit."""
+    import pandas as pd
+
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "event_id",
+        "CAST(unix_timestamp(ts) AS BIGINT) AS sec",
+        "CAST(value AS DOUBLE) AS value",
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["sec", "event_id"]).reset_index(drop=True)
+        levels, trends = [], []
+        l = b = None
+        for y in pdf["value"]:
+            if l is None:
+                l, b = float(y), 0.0
+            else:
+                l_prev = l
+                l = (float(y) + (l + b)) / 2
+                b = ((l - l_prev) + b) / 2
+            levels.append(l)
+            trends.append(b)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "level": levels,
+                "trend": trends,
+            }
+        )
+
+    # raw doubles out, NO rounding anywhere: halving yields dyadic
+    # rationals that sit exactly on .5 decimal boundaries, where the two
+    # engines' round() disagree — but the unrounded doubles are
+    # bit-identical, which is the stronger contract.
+    return ev.groupBy("user_id").applyInPandas(
+        smooth, "user_id bigint, event_id bigint, level double, trend double"
+    )
