@@ -1027,3 +1027,102 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         smooth, "user_id bigint, event_id bigint, level double, trend double"
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_cusum_drift — sequential change detection per series.
+# ---------------------------------------------------------------------------
+
+# CUSUM parameters: target mean 50, slack 5, alarm threshold 200 — all
+# integers so only the data values contribute float bits.
+_CUSUM_TARGET = 50
+_CUSUM_SLACK = 5
+_CUSUM_H = 200
+
+
+def _cusum_oracle() -> str:
+    up = f"GREATEST(CAST(0 AS DOUBLE), tb.s_hi + (e.value - {_CUSUM_TARGET + _CUSUM_SLACK}))"
+    dn = f"GREATEST(CAST(0 AS DOUBLE), tb.s_lo + ({_CUSUM_TARGET - _CUSUM_SLACK} - e.value))"
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT event_type, user_id, event_id, CAST(value AS DOUBLE) AS value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                            ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                                     event_id) AS rn
+  FROM events
+),
+tb AS (
+  SELECT event_type, user_id, event_id, rn,
+         GREATEST(CAST(0 AS DOUBLE), value - {_CUSUM_TARGET + _CUSUM_SLACK}) AS s_hi,
+         GREATEST(CAST(0 AS DOUBLE), {_CUSUM_TARGET - _CUSUM_SLACK} - value) AS s_lo
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.event_type, e.user_id, e.event_id, e.rn, {up}, {dn}
+  FROM ev e JOIN tb ON e.event_type = tb.event_type
+                   AND e.user_id = tb.user_id AND e.rn = tb.rn + 1
+)
+SELECT event_type, user_id, event_id, s_hi, s_lo,
+       (s_hi > {_CUSUM_H} OR s_lo > {_CUSUM_H}) AS drift_alarm
+FROM tb ORDER BY event_type, user_id, rn
+"""
+
+
+@query(
+    "ts_cusum_drift",
+    oracle=_cusum_oracle(),
+    tags=("timeseries", "stateful", "udf"),
+)
+def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change detection (Page 1954, public) per series:
+    upper/lower cumulative sums that reset at zero and alarm past a
+    threshold — the standard drift monitor for data-quality pipelines.
+    Series key is (event_type, user_id): hundreds of short independent
+    series rather than a handful of long ones, so the grouped map scales
+    out and the oracle's recursion depth stays bounded by the per-user
+    history, not the table.
+    The running max(0, s + deviation) recurrence is sequential per
+    series (a reset depends on everything before it), so it rides the
+    same one-exchange grouped-map shape as ``ts_holt_linear``; adds and
+    max against 0.0 are bit-exact in IEEE double, so the raw state
+    values hash-match the recursive-CTE oracle with no rounding."""
+    import pandas as pd
+
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "user_id",
+        "event_id",
+        "CAST(unix_timestamp(ts) AS BIGINT) AS sec",
+        "CAST(value AS DOUBLE) AS value",
+    )
+    hi_ref = float(_CUSUM_TARGET + _CUSUM_SLACK)
+    lo_ref = float(_CUSUM_TARGET - _CUSUM_SLACK)
+
+    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["sec", "event_id"]).reset_index(drop=True)
+        s_hi = s_lo = 0.0
+        his, los, alarms = [], [], []
+        for y in pdf["value"]:
+            y = float(y)
+            s_hi = max(0.0, s_hi + (y - hi_ref))
+            s_lo = max(0.0, s_lo + (lo_ref - y))
+            his.append(s_hi)
+            los.append(s_lo)
+            alarms.append(s_hi > _CUSUM_H or s_lo > _CUSUM_H)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "s_hi": his,
+                "s_lo": los,
+                "drift_alarm": alarms,
+            }
+        )
+
+    return ev.groupBy("event_type", "user_id").applyInPandas(
+        cusum,
+        "event_type string, user_id bigint, event_id bigint,"
+        " s_hi double, s_lo double, drift_alarm boolean",
+    )

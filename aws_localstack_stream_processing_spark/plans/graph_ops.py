@@ -417,3 +417,120 @@ def graph_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionAll(fresh).localCheckpoint(eager=False)
         frontier = fresh.select("node")
     return visited.orderBy("dist", "node")
+
+
+# ---------------------------------------------------------------------------
+# Label propagation — community detection by neighbor-majority vote.
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+_LPA_TOP = 40
+
+
+def _lpa_round_sql(prev: str, i: int) -> str:
+    """One synchronized LPA round: each node takes the most frequent label
+    among its neighbors (ties -> smallest label). Deterministic by the
+    (count DESC, label ASC) total order."""
+    return f"""
+votes{i} AS (
+  SELECT e.dst AS node, p.label, COUNT(*) AS n
+  FROM edges e JOIN {prev} p ON e.src = p.node
+  GROUP BY e.dst, p.label
+),
+l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY n DESC, label) AS rnk
+    FROM votes{i}
+  ) r WHERE rnk = 1
+)"""
+
+
+def _lpa_oracle() -> str:
+    d = "duck"
+    sql = f"""
+WITH fwd AS (
+  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + {_SUPP_OFFSET} AS dst
+  FROM {tbl('orders', d)} o JOIN {tbl('lineitem', d)} l
+    ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+  SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+    prev = "l0"
+    for i in range(1, _LPA_ROUNDS + 1):
+        sql += "," + _lpa_round_sql(prev, i)
+        prev = f"l{i}"
+    sql += f"""
+SELECT CAST(label AS BIGINT) AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(node) AS BIGINT) AS min_node,
+       CAST(MAX(node) AS BIGINT) AS max_node
+FROM {prev}
+GROUP BY label
+ORDER BY n_members DESC, community
+LIMIT {_LPA_TOP}
+"""
+    return sql
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle(), tags=("graph", "iterative"))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (3 rounds) — community detection by
+    neighbor-majority vote with a deterministic (count DESC, label ASC)
+    tie-break, so the result is engine-independent (classic LPA's random
+    tie-breaking is deliberately replaced). Each round is two shuffles
+    (vote count on (node, label), then the per-node argmax window on the
+    same partitioning); labels are localCheckpoint-ed per round. Unlike
+    min-label propagation (connected components) the majority vote finds
+    dense substructures, not just reachability."""
+    t = views(spark, sf_dir, "orders", "lineitem")
+    fwd = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("node").orderBy(F.desc("n"), "label")
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            edges.join(labels, edges.src == labels.node)
+            .select(edges.dst.alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("n"))
+        )
+        labels = (
+            votes.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.min("node").cast("bigint").alias("min_node"),
+            F.max("node").cast("bigint").alias("max_node"),
+        )
+        .select(
+            F.col("label").cast("bigint").alias("community"),
+            "n_members",
+            "min_node",
+            "max_node",
+        )
+        .orderBy(F.desc("n_members"), "community")
+        .limit(_LPA_TOP)
+    )
