@@ -1126,3 +1126,60 @@ def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, user_id bigint, event_id bigint,"
         " s_hi double, s_lo double, drift_alarm boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# profile_drift_chi2 — distribution drift between two time periods.
+# ---------------------------------------------------------------------------
+
+_DRIFT_BINS = 10
+_DRIFT_SPLIT = "2024-01-15 00:00:00"
+
+
+def _drift_sql(d: str) -> str:
+    # Fixed [0, 100) value range binned into 10 equal widths (bin 9 takes
+    # the tail): integer bin ids, integer counts — the chi-square-style
+    # statistic is a ratio of exact integers, so exact in both engines.
+    return f"""
+WITH binned AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN 0 ELSE 1 END AS period,
+         LEAST({_DRIFT_BINS - 1},
+               GREATEST(0, CAST(floor(value / {100 // _DRIFT_BINS})
+                                AS BIGINT))) AS bin
+  FROM {tbl('events', d)}
+),
+cells AS (
+  SELECT event_type, bin,
+         CAST(SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM binned GROUP BY event_type, bin
+),
+totals AS (
+  SELECT event_type,
+         CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
+  FROM cells GROUP BY event_type
+)
+SELECT c.event_type, c.bin, c.na, c.nb,
+       round(CAST((c.na * t.tb - c.nb * t.ta)
+                  * (c.na * t.tb - c.nb * t.ta) AS DOUBLE)
+             / (CAST(t.ta AS DOUBLE) * t.tb * (c.na + c.nb)), 6)
+         AS chi2_term
+FROM cells c JOIN totals t ON t.event_type = c.event_type
+ORDER BY c.event_type, c.bin
+"""
+
+
+@query("profile_drift_chi2", oracle=_drift_sql("duck"), tags=("quality", "profiling"))
+def profile_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: split the stream at a calendar
+    boundary, histogram each series' values into fixed bins, and emit
+    the per-cell chi-square contribution comparing the two periods —
+    the data-quality check that catches upstream schema/meaning changes
+    before they poison training data. (PSI, the other standard drift
+    score, needs ln(); the chi-square form is log-free, so the numbers
+    are exact integer ratios.) One scan, one shuffle to the (series,
+    bin) grid, and a broadcast-sized totals join — drift monitoring at
+    100 TB costs the same as counting."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_drift_sql("spark"))

@@ -1778,3 +1778,73 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     ints.createOrReplaceTempView("slsp_km_ints")
     return spark.sql(_kmeans_sql("spark", ints_src="slsp_km_ints"))
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup — the composed embedding-space pipeline: hyperplane-LSH
+# candidates -> exact cosine verify -> connected components -> keep the
+# canonical member per cluster.
+# ---------------------------------------------------------------------------
+
+
+def _semantic_cc_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_ann_lsh_sql('duck')}),
+edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b
+),
+comp AS (
+  SELECT node AS vec_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY cluster_id
+)
+SELECT c.vec_id, c.cluster_id, s.cluster_size,
+       (c.vec_id = c.cluster_id) AS keep
+FROM comp c JOIN sizes s ON s.cluster_id = c.cluster_id
+ORDER BY c.cluster_id, c.vec_id
+"""
+
+
+@query(
+    "emb_semantic_dedup_cc",
+    oracle=_semantic_cc_oracle(),
+    tags=("llm", "dedup", "similarity", "iterative"),
+)
+def emb_semantic_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup, end to end: hyperplane-LSH
+    bucketing generates candidates, exact cosine >= 0.9 verifies them,
+    connected components glue overlapping pairs into clusters, and the
+    minimum vec_id in each cluster is kept as the canonical member —
+    the production near-dup pass for embedding-indexed corpora (the
+    text-space siblings are ``dedup_minhash_lsh`` + ``dedup_cc_clusters``).
+    Every stage is bucketed or frontier-bounded: candidates scale with
+    bucket collisions (never |corpus|²) and the component loop is one
+    join + one agg per round. The oracle runs the identical pair
+    predicate through a recursive-CTE fixpoint."""
+    pairs = sim_ann_lsh(spark, sf_dir)
+    from ..operators.graph import connected_components
+
+    comp = connected_components(pairs, src="vec_a", dst="vec_b")
+    sizes = comp.groupBy("comp").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return (
+        comp.join(sizes, "comp")
+        .select(
+            F.col("node").alias("vec_id"),
+            F.col("comp").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("comp")).alias("keep"),
+        )
+        .orderBy("cluster_id", "vec_id")
+    )
