@@ -101,6 +101,28 @@ def main() -> None:
         med = sorted(trials)[len(trials) // 2]
         noise.append(med / max(min(trials), 1e-9))
 
+    # round-3 extension showcase: timed the same way but kept OUT of the
+    # headline total so `value` stays comparable round over round
+    ext_names = [
+        "rag_bm25_topk",
+        "rag_rrf_fusion",
+        "text_repetition_stats",
+        "text_chunk_dedup",
+        "sketch_kmv_distinct",
+        "ts_m4_downsample",
+        "seq_pattern_match",
+        "lake_snapshot_diff",
+    ]
+    ext_times: dict[str, float] = {}
+    for name in ext_names:
+        trials = []
+        for _ in range(n_trials):
+            t0 = time.perf_counter()
+            qs[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            trials.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        ext_times[name] = round(min(trials), 3)
+
     total = round(sum(times.values()), 3)
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
@@ -113,6 +135,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_ext": ext_times,
                 "sf": sf,
                 "trials_per_query": n_trials,
                 "stat": "min",
