@@ -1183,3 +1183,98 @@ def profile_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB costs the same as counting."""
     views(spark, sf_dir, "events")
     return spark.sql(_drift_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# sql_listagg_ordered — deterministic ordered string aggregation.
+# ---------------------------------------------------------------------------
+
+
+def _listagg_sql(d: str) -> str:
+    if d == "spark":
+        agg = "listagg(o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderstatus)"
+    else:
+        agg = "string_agg(o_orderstatus, ',' ORDER BY o_orderstatus)"
+    return f"""
+WITH uniq AS (
+  SELECT DISTINCT o_orderpriority, o_orderstatus FROM {tbl('orders', d)}
+)
+SELECT o_orderpriority,
+       {agg} AS statuses,
+       CAST(COUNT(*) AS BIGINT) AS n_statuses
+FROM uniq
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("sql_listagg_ordered", oracle=_listagg_sql("duck"), tags=("sql", "agg"))
+def sql_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (Spark 4 ``listagg ... WITHIN GROUP``,
+    DuckDB ``string_agg(... ORDER BY)``): the list is deterministic only
+    because an explicit ORDER BY pins the concatenation order — unordered
+    listagg is partition-order-dependent and would never hash-match.
+    Pre-distincting keeps the aggregation state bounded by the domain."""
+    views(spark, sf_dir, "orders")
+    return spark.sql(_listagg_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# sql_try_arithmetic — error-safe expression surface under ANSI mode.
+# ---------------------------------------------------------------------------
+
+_I64_MAX = 9223372036854775807
+
+
+def _try_arith_sql(d: str) -> str:
+    if d == "spark":
+        # ANSI mode: plain /, CAST and * THROW on bad input; the try_
+        # variants return NULL instead — the row-level error-isolation
+        # contract (reference semantics: per-record failure isolation,
+        # partitioner/index.js catch-per-record).
+        div = "try_divide(l_extendedprice, l_quantity - 25)"
+        cst = ("try_cast(CASE WHEN l_orderkey % 3 = 0 THEN 'x' "
+               "ELSE CAST(l_orderkey AS STRING) END AS BIGINT)")
+        mul = f"try_multiply(l_orderkey, {_I64_MAX})"
+    else:
+        div = ("CASE WHEN l_quantity - 25 = 0 THEN NULL "
+               "ELSE l_extendedprice / (l_quantity - 25) END")
+        cst = ("TRY_CAST(CASE WHEN l_orderkey % 3 = 0 THEN 'x' "
+               "ELSE CAST(l_orderkey AS VARCHAR) END AS BIGINT)")
+        mul = f"CASE WHEN l_orderkey > 1 THEN NULL ELSE l_orderkey * {_I64_MAX} END"
+    return f"""
+WITH probed AS (
+  SELECT l_returnflag,
+         {div} AS safe_div,
+         {cst} AS safe_cast,
+         {mul} AS safe_mul
+  FROM {tbl('lineitem', d)}
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN safe_div IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_div_by_zero,
+       CAST(SUM(CASE WHEN safe_cast IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bad_casts,
+       CAST(SUM(CASE WHEN safe_mul IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overflows,
+       round(MIN(safe_div), 6) AS min_div,
+       round(MAX(safe_div), 6) AS max_div
+FROM probed
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("sql_try_arithmetic", oracle=_try_arith_sql("duck"), tags=("sql", "scalar"))
+def sql_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic under ANSI mode: ``try_divide`` /
+    ``try_cast`` / ``try_multiply`` convert row-level failures (divide by
+    zero, malformed cast, int64 overflow) into NULLs instead of killing
+    the job — Spark's row-granular analogue of the reference's
+    per-record failure isolation. At 100 TB one poisoned row must never
+    abort a stage; the NULL counts per group are exactly the DLQ volume
+    a strict pipeline would route. The oracle spells the same semantics
+    with guarded CASE expressions."""
+    views(spark, sf_dir, "lineitem")
+    return spark.sql(_try_arith_sql("spark"))
