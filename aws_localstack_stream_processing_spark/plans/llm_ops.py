@@ -1848,3 +1848,72 @@ def emb_semantic_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id", "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation — recall@k of the LSH index vs the exact ranking,
+# as a driver-checked query (the IVF variant is covered by the recall-floor
+# test in tests/; this surfaces the metric itself).
+# ---------------------------------------------------------------------------
+
+_RECALL_K = 10
+
+
+def _ann_recall_sql(d: str) -> str:
+    bucket_bits = ", ".join(
+        f"(CASE WHEN {dot_const('emb', _hyperplane_signs(p), d)} >= 0 THEN '1' ELSE '0' END)"
+        for p in range(_N_PLANES)
+    )
+    return f"""
+WITH corpus AS ({_emb_corpus(d)}),
+normed AS (
+  SELECT vec_id, emb, sqrt({dot('emb', 'emb', DIM, d)}) AS nrm,
+         concat({bucket_bits}) AS bucket
+  FROM corpus
+),
+q AS (SELECT * FROM normed WHERE vec_id < 5),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {dot('q.emb', 'n.emb', DIM, d)} / (q.nrm * n.nrm) DESC,
+                      n.vec_id
+           ) AS rnk
+    FROM q JOIN normed n ON q.vec_id <> n.vec_id
+  ) r WHERE rnk <= {_RECALL_K}
+),
+approx AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
+  FROM q JOIN normed n
+    ON q.bucket = n.bucket AND q.vec_id <> n.vec_id
+)
+SELECT e.query_id,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+       CAST({_RECALL_K} AS BIGINT) AS k,
+       round(CAST(COUNT(a.neighbor_id) AS DOUBLE) / {_RECALL_K}, 6)
+         AS recall_at_k
+FROM exact e
+LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
+@query(
+    "sim_ann_recall_eval",
+    oracle=_ann_recall_sql("duck"),
+    tags=("llm", "similarity", "evaluation"),
+)
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the hyperplane-LSH index against the exact cosine
+    ranking, per query — an ANN index you haven't measured is an ANN
+    index you can't trust, so the evaluation is itself a first-class
+    query. The exact side reuses the brute-force plan (broadcast query
+    rows, single corpus pass); the approximate side is the bucket
+    equi-join; recall is the intersection count over k. On a 100 TB
+    corpus the same query runs over a sampled query set — the shape
+    (two rankings + anti-joinable overlap) is unchanged."""
+    views(spark, sf_dir, "embeddings")
+    return spark.sql(_ann_recall_sql("spark"))
