@@ -1155,18 +1155,17 @@ cells AS (
          CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
   FROM binned GROUP BY event_type, bin
 ),
-totals AS (
-  SELECT event_type,
-         CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
-  FROM cells GROUP BY event_type
+with_totals AS (
+  SELECT event_type, bin, na, nb,
+         CAST(SUM(na) OVER (PARTITION BY event_type) AS BIGINT) AS ta,
+         CAST(SUM(nb) OVER (PARTITION BY event_type) AS BIGINT) AS tb
+  FROM cells
 )
-SELECT c.event_type, c.bin, c.na, c.nb,
-       round(CAST((c.na * t.tb - c.nb * t.ta)
-                  * (c.na * t.tb - c.nb * t.ta) AS DOUBLE)
-             / (CAST(t.ta AS DOUBLE) * t.tb * (c.na + c.nb)), 6)
-         AS chi2_term
-FROM cells c JOIN totals t ON t.event_type = c.event_type
-ORDER BY c.event_type, c.bin
+SELECT event_type, bin, na, nb,
+       round(CAST((na * tb - nb * ta) * (na * tb - nb * ta) AS DOUBLE)
+             / (CAST(ta AS DOUBLE) * tb * (na + nb)), 6) AS chi2_term
+FROM with_totals
+ORDER BY event_type, bin
 """
 
 
@@ -1179,8 +1178,9 @@ def profile_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     before they poison training data. (PSI, the other standard drift
     score, needs ln(); the chi-square form is log-free, so the numbers
     are exact integer ratios.) One scan, one shuffle to the (series,
-    bin) grid, and a broadcast-sized totals join — drift monitoring at
-    100 TB costs the same as counting."""
+    bin) grid, and the per-series totals as a window over that SAME
+    partitioning (a totals self-join would re-scan the table — CTEs
+    inline) — drift monitoring at 100 TB costs the same as counting."""
     views(spark, sf_dir, "events")
     return spark.sql(_drift_sql("spark"))
 

@@ -323,3 +323,25 @@ def test_kmv_sketch_bounded_state(spark):
     # the sketch is a rank-filter + agg — no joins against the raw table
     # after hashing, no Python anywhere
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stateful_recurrences_one_exchange_each(spark):
+    # holt and cusum: per-series grouped map — exactly one hash exchange
+    # feeding the Arrow grouped-map operator, nothing else wide
+    for name in ("ts_holt_linear", "ts_cusum_drift"):
+        plan, executed = _plan(spark, name)
+        assert "FlatMapGroupsInArrow" in plan or "FlatMapGroupsInPandas" in plan
+        assert executed.count("Exchange hashpartitioning") == 1, name
+
+
+def test_drift_chi2_single_scan_no_python(spark):
+    plan, executed = _plan(spark, "profile_drift_chi2")
+    assert executed.count("FileScan parquet") == 1
+    assert "EvalPython" not in executed
+    assert "CartesianProduct" not in plan
+
+
+def test_label_propagation_no_cartesian_no_python(spark):
+    plan, _ = _plan(spark, "graph_label_propagation")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
