@@ -193,9 +193,10 @@ WITH snap_a AS (
 ),
 snap_b AS (
   SELECT o_orderkey AS k, o_orderstatus AS status,
-         CASE WHEN o_orderkey % 7 = 0
-              THEN CAST(o_totalprice AS DECIMAL(18, 2)) + 1
-              ELSE CAST(o_totalprice AS DECIMAL(18, 2)) END AS price
+         CAST(CASE WHEN o_orderkey % 7 = 0
+                   THEN CAST(o_totalprice AS DECIMAL(18, 2)) + 1
+                   ELSE CAST(o_totalprice AS DECIMAL(18, 2)) END
+              AS DECIMAL(18, 2)) AS price
   FROM {tbl('orders', d)} WHERE o_orderkey % 11 <> 0
 )
 SELECT COALESCE(a.k, b.k) AS o_orderkey,
