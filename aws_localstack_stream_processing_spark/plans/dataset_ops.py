@@ -1163,7 +1163,8 @@ with_totals AS (
   FROM cells
 )
 SELECT event_type, bin, na, nb,
-       round(CAST((na * tb - nb * ta) * (na * tb - nb * ta) AS DOUBLE)
+       round((CAST(na AS DOUBLE) * tb - CAST(nb AS DOUBLE) * ta)
+             * (CAST(na AS DOUBLE) * tb - CAST(nb AS DOUBLE) * ta)
              / (CAST(ta AS DOUBLE) * tb * (na + nb)), 6) AS chi2_term
 FROM with_totals
 ORDER BY event_type, bin
@@ -1177,8 +1178,11 @@ def profile_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-cell chi-square contribution comparing the two periods —
     the data-quality check that catches upstream schema/meaning changes
     before they poison training data. (PSI, the other standard drift
-    score, needs ln(); the chi-square form is log-free, so the numbers
-    are exact integer ratios.) One scan, one shuffle to the (series,
+    score, needs ln(); the chi-square form is log-free.) The na*tb
+    cross-products are computed in DOUBLE — identical parenthesization
+    in both dialects keeps the engines bit-identical, and unlike BIGINT
+    the products cannot overflow at 100 TB row counts (values beyond
+    2^53 round, but round identically). One scan, one shuffle to the (series,
     bin) grid, and the per-series totals as a window over that SAME
     partitioning (a totals self-join would re-scan the table — CTEs
     inline) — drift monitoring at 100 TB costs the same as counting."""

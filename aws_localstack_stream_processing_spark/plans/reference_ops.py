@@ -307,12 +307,49 @@ def ref_lru_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _chunking_sql(d: str) -> str:
-    rn = "ROW_NUMBER() OVER (ORDER BY event_id) - 1"
+# Bucket width for two-phase global row numbering. Phase 1 computes
+# ROW_NUMBER partitioned by an event_id range bucket (scale-safe: every
+# window has a partition key); phase 2 turns per-bucket counts into
+# global offsets with a tiny inequality self-join over one-row-per-bucket
+# aggregates — no partition-less WindowExec anywhere in the plan. At
+# 100 TB the width is a knob: pick it so bucket_count ~ 10^3..10^4 rows,
+# which keeps the offset join trivially broadcastable.
+_RN_BUCKET = 256
+
+
+def _numbered_cte(d: str) -> str:
+    """CTE chain ending in ``numbered(event_id, rn)`` — the global 0-based
+    rank of event_id — built from partition-local row numbers plus a
+    prefix-sum of per-bucket counts (two narrow passes, no global sort)."""
     return f"""
-WITH numbered AS (
-  SELECT event_id, {rn} AS rn FROM {tbl('events', d)}
-)
+bucketed AS (
+  SELECT event_id, {intdiv('event_id', str(_RN_BUCKET), d)} AS bkt
+  FROM {tbl('events', d)}
+),
+local_rn AS (
+  SELECT event_id, bkt,
+         ROW_NUMBER() OVER (PARTITION BY bkt ORDER BY event_id) - 1 AS lrn
+  FROM bucketed
+),
+bucket_counts AS (
+  SELECT bkt, CAST(COUNT(*) AS BIGINT) AS cnt FROM bucketed GROUP BY bkt
+),
+offsets AS (
+  SELECT a.bkt,
+         CAST(COALESCE(SUM(CASE WHEN b.bkt < a.bkt THEN b.cnt END), 0)
+              AS BIGINT) AS off
+  FROM bucket_counts a LEFT JOIN bucket_counts b ON b.bkt < a.bkt
+  GROUP BY a.bkt
+),
+numbered AS (
+  SELECT l.event_id, CAST(o.off + l.lrn AS BIGINT) AS rn
+  FROM local_rn l JOIN offsets o ON l.bkt = o.bkt
+)"""
+
+
+def _chunking_sql(d: str) -> str:
+    return f"""
+WITH {_numbered_cte(d)}
 SELECT {intdiv('rn', '1000', d)} AS chunk,
        CAST(COUNT(*) AS BIGINT) AS n,
        MIN(event_id) AS min_id,
@@ -326,6 +363,11 @@ GROUP BY 1
 def ref_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size chunking (1000 records/file) — seed-keys.ts:68-81. The
     batch analogue of ``write.option("maxRecordsPerFile", 1000)``.
+
+    Global row numbers come from the two-phase scheme in
+    :func:`_numbered_cte` (bucket-partitioned windows + offset join), so
+    the plan contains no single-partition window and survives a 100×
+    scale-up.
     """
     views(spark, sf_dir, "events")
     return spark.sql(_chunking_sql("spark"))
@@ -363,17 +405,19 @@ def ref_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lru_rotation_sql(d: str) -> str:
-    rn = "ROW_NUMBER() OVER (ORDER BY event_id) - 1"
     return f"""
-WITH numbered AS (
-  SELECT event_id, {intdiv(f'({rn})', '100', d)} AS batch_id FROM {tbl('events', d)}
+WITH {_numbered_cte(d)},
+batched AS (
+  SELECT event_id, {intdiv('rn', '100', d)} AS batch_id FROM numbered
 ), keys AS (
-  SELECT s_suppkey AS key_id,
-         ROW_NUMBER() OVER (ORDER BY s_suppkey) - 1 AS key_rank
-  FROM {tbl('supplier', d)}
+  SELECT a.s_suppkey AS key_id,
+         CAST(COUNT(b.s_suppkey) AS BIGINT) AS key_rank
+  FROM {tbl('supplier', d)} a
+  LEFT JOIN {tbl('supplier', d)} b ON b.s_suppkey < a.s_suppkey
+  GROUP BY a.s_suppkey
 ), n AS (SELECT COUNT(*) AS n_keys FROM {tbl('supplier', d)}),
 batches AS (
-  SELECT batch_id, COUNT(*) AS n_records FROM numbered GROUP BY batch_id
+  SELECT batch_id, COUNT(*) AS n_records FROM batched GROUP BY batch_id
 )
 SELECT b.batch_id, k.key_id, CAST(b.n_records AS BIGINT) AS n_records
 FROM batches b
@@ -389,6 +433,10 @@ def ref_lru_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded at distinct timestamps, true LRU selection degenerates to exactly
     this rotation. (The streaming stateful version lives in
     ``streaming.keyring``.)
+
+    Batch ids derive from :func:`_numbered_cte`'s two-phase numbering and
+    the key ranks from an inequality self-join over the ~G-row key ring,
+    so no window in the plan runs single-partition.
 
     Reference: signer/index.js:151-214; README.md:19 ("one key per batch",
     LRU order).

@@ -793,14 +793,15 @@ def _null_semantics_sql(d: str) -> str:
     return f"""
 WITH base AS (
   SELECT o_orderkey,
+         {intdiv('o_orderkey', '4096', d)} AS bkt,
          NULLIF(o_custkey % 7, 0) AS k7,
          CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS st
   FROM {tbl('orders', d)}
 ), seq AS (
   SELECT o_orderkey, k7, st,
-         LAG(st) OVER (ORDER BY o_orderkey) AS pst,
+         LAG(st) OVER (PARTITION BY bkt ORDER BY o_orderkey) AS pst,
          FIRST_VALUE(o_orderkey) OVER (
-           ORDER BY k7 ASC NULLS FIRST, o_orderkey
+           PARTITION BY bkt ORDER BY k7 ASC NULLS FIRST, o_orderkey
          ) AS first_null_key
   FROM base
 )
@@ -821,8 +822,9 @@ def sql_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT(DISTINCT col) under injected nulls, null-safe equality against
     the previous row (Spark ``<=>`` ≡ DuckDB ``IS NOT DISTINCT FROM`` —
     true when both sides are NULL), NULLS FIRST window ordering, NULLIF /
-    COALESCE round-trips. A semantics probe, not a scale pattern (the
-    global-order window runs single-partition by construction)."""
+    COALESCE round-trips. Both windows partition on a derived o_orderkey
+    range bucket — null-handling semantics are per-row/per-frame, so the
+    probe needs no global order and the plan stays scale-safe."""
     views(spark, sf_dir, "orders")
     return spark.sql(_null_semantics_sql("spark"))
 

@@ -288,10 +288,30 @@ def test_modality_router_no_python(spark):
     plan, executed = _plan(spark, "mm_modality_router")
     # magic-byte sniffing is pure codegen: no Python/Arrow eval, no join,
     # and the only exchange is the tiny per-modality aggregation
-    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"):
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas", "InArrow"):
         assert marker not in plan
     assert "Join" not in plan
     assert executed.count("Exchange hashpartitioning") == 1
+
+
+def _assert_all_windows_partitioned(executed: str, name: str) -> None:
+    """Every WindowExec line prints as ``Window [funcs], [partSpec],
+    [orderSpec]`` — a partition-less window drops the middle group, leaving
+    a single "], [" separator. Requiring two separators per Window line is
+    exactly the "No Partition Defined for Window operation" warning as a
+    plan assertion."""
+    for line in executed.splitlines():
+        if "- Window [" in line:
+            assert line.count("], [") >= 2, f"{name}: global window: {line.strip()}"
+
+
+def test_no_single_partition_windows(spark):
+    """The two-phase global-numbering rewrites (ref_chunking,
+    ref_lru_rotation) and the bucketed null-semantics probe must not fall
+    back to a single-partition window anywhere in their physical plans."""
+    for name in ("ref_chunking", "ref_lru_rotation", "sql_null_semantics"):
+        _, executed = _plan(spark, name)
+        _assert_all_windows_partitioned(executed, name)
 
 
 def test_token_bucket_one_exchange_grouped_map(spark):
