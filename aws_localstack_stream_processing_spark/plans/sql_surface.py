@@ -33,8 +33,11 @@ FROM generate_series(0, {_N_KEYS - 1}) t(key_id)
 def ref_seed_keygen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed key-pair generation: range → mapInPandas (UDTF-like,
     1 row in → 1 keypair out), chunked 1000/file like seed-keys.ts:68-81.
-    Real crypto keygen would swap the sha256 stand-in inside the same
-    plumbing (schema, batching, partitioning are the operator).
+    This driver-checked surface emits deterministic sha256 fingerprints
+    (key material is random by nature, so real keys can't be
+    oracle-hashed); the REAL RSA-2048 generator behind the identical
+    plumbing is :func:`seed_rsa_keypairs`, invariant-tested in
+    tests/test_crypto.py.
 
     Reference: scripts/seed-keys.ts:16-30 (keygen), 68-81 (chunking).
     """
@@ -64,6 +67,83 @@ def ref_seed_keygen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(
             gen,
             "key_id bigint, address string, public_key_fp string, key_file bigint",
+        )
+    )
+
+
+def seed_rsa_keypairs(
+    spark: SparkSession, n_keys: int, partitions: int = 8
+) -> DataFrame:
+    """Real RSA-2048 key-pair generation on executors: the same range →
+    mapInPandas → 1000-per-file plumbing as :func:`ref_seed_keygen`, with
+    the sha256 stand-in swapped for ``cryptography``'s RSA generator
+    (reference scripts/seed-keys.ts:16-30 generates RSA-2048 PEM pairs).
+
+    Emits PKCS8 private / SubjectPublicKeyInfo public PEMs plus a sha256
+    fingerprint of the public DER. Key material is random, so this
+    builder is verified by invariants (PEM parses, fingerprint matches,
+    private signs / public verifies — tests/test_crypto.py) rather than
+    by the driver's value-hash oracle. Keygen is CPU-bound at ~30 ms/key:
+    at N keys the job is embarrassingly parallel across ``partitions``
+    tasks, the shape that matters on a real cluster.
+
+    Raises NotImplementedError if ``cryptography`` is unavailable.
+    """
+    try:
+        from cryptography.hazmat.primitives.asymmetric import rsa  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "seed_rsa_keypairs requires the 'cryptography' package"
+        ) from exc
+
+    def gen(batches):
+        import hashlib
+
+        from cryptography.hazmat.primitives import serialization
+        from cryptography.hazmat.primitives.asymmetric import rsa
+
+        for pdf in batches:
+            cols: dict[str, list] = {
+                "key_id": [],
+                "private_pem": [],
+                "public_pem": [],
+                "public_key_fp": [],
+                "key_file": [],
+            }
+            for i in pdf["id"].astype("int64"):
+                priv = rsa.generate_private_key(
+                    public_exponent=65537, key_size=2048
+                )
+                pub = priv.public_key()
+                pub_der = pub.public_bytes(
+                    serialization.Encoding.DER,
+                    serialization.PublicFormat.SubjectPublicKeyInfo,
+                )
+                cols["key_id"].append(int(i))
+                cols["private_pem"].append(
+                    priv.private_bytes(
+                        serialization.Encoding.PEM,
+                        serialization.PrivateFormat.PKCS8,
+                        serialization.NoEncryption(),
+                    ).decode()
+                )
+                cols["public_pem"].append(
+                    pub.public_bytes(
+                        serialization.Encoding.PEM,
+                        serialization.PublicFormat.SubjectPublicKeyInfo,
+                    ).decode()
+                )
+                cols["public_key_fp"].append(hashlib.sha256(pub_der).hexdigest())
+                cols["key_file"].append(int(i) // 1000)
+            yield pd.DataFrame(cols)
+
+    return (
+        spark.range(n_keys)
+        .repartition(partitions)
+        .mapInPandas(
+            gen,
+            "key_id bigint, private_pem string, public_pem string,"
+            " public_key_fp string, key_file bigint",
         )
     )
 

@@ -110,6 +110,35 @@ def test_ecdsa_rfc6979_signatures_deterministic():
     assert priv.sign(b"m", sign_algo) != priv.sign(b"m2", sign_algo)
 
 
+def test_seed_rsa_keypairs_parse_and_roundtrip(spark):
+    """The real RSA-2048 generator emits working key material: every PEM
+    parses, the fingerprint is the sha256 of the public DER, and each
+    private key signs a message its own public key verifies."""
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import padding
+
+    from aws_localstack_stream_processing_spark.plans.sql_surface import (
+        seed_rsa_keypairs,
+    )
+
+    rows = seed_rsa_keypairs(spark, 6, partitions=3).collect()
+    assert sorted(r.key_id for r in rows) == list(range(6))
+    for r in rows:
+        priv = serialization.load_pem_private_key(
+            r.private_pem.encode(), password=None
+        )
+        pub = serialization.load_pem_public_key(r.public_pem.encode())
+        assert priv.key_size == 2048
+        der = pub.public_bytes(
+            serialization.Encoding.DER,
+            serialization.PublicFormat.SubjectPublicKeyInfo,
+        )
+        assert r.public_key_fp == hashlib.sha256(der).hexdigest()
+        assert r.key_file == r.key_id // 1000 == 0
+        sig = priv.sign(b"tx-hash", padding.PKCS1v15(), hashes.SHA256())
+        pub.verify(sig, b"tx-hash", padding.PKCS1v15(), hashes.SHA256())
+
+
 def test_ref_sign_ecdsa_all_valid(spark):
     """The operator end-to-end at test SF: every signature verifies and the
     per-key counts partition the stride-selected transactions."""
