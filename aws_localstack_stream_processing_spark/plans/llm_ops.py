@@ -1917,3 +1917,125 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (two rankings + anti-joinable overlap) is unchanged."""
     views(spark, sf_dir, "embeddings")
     return spark.sql(_ann_recall_sql("spark"))
+
+
+def _ivf_recall_sql(d: str) -> str:
+    # The IVF pipeline verbatim (same CTEs as _ann_ivf_sql) plus the exact
+    # ranking for the same query set and the per-query overlap count.
+    return f"""
+WITH base AS (SELECT vec_id, {to_double_arr('embedding', d)} AS emb FROM {tbl('embeddings', d)}),
+normed AS (SELECT vec_id, emb, sqrt({dot('emb', 'emb', DIM, d)}) AS nrm FROM base),
+cents AS (
+  SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM normed
+  WHERE vec_id % {_IVF_CENT_MOD} = 0
+),
+assign AS (
+  SELECT vec_id, emb, nrm, cid FROM (
+    SELECT n.vec_id, n.emb, n.nrm, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY {dot('n.emb', 'c.cemb', DIM, d)} / (n.nrm * c.cnrm) DESC, c.cid
+           ) AS crnk
+    FROM normed n CROSS JOIN cents c
+  ) a WHERE crnk = 1
+),
+qprobe AS (
+  SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm, cid FROM (
+    SELECT n.vec_id, n.emb, n.nrm, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY {dot('n.emb', 'c.cemb', DIM, d)} / (n.nrm * c.cnrm) DESC, c.cid
+           ) AS crnk
+    FROM normed n CROSS JOIN cents c
+    WHERE n.vec_id % {_IVF_QUERY_MOD} = 0
+  ) p WHERE crnk <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT q.qid, a.vec_id AS neighbor_id,
+         {dot('q.qemb', 'a.emb', DIM, d)} / (q.qnrm * a.nrm) AS cos_sim
+  FROM qprobe q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.qid
+),
+ivf AS (
+  SELECT qid AS query_id, neighbor_id FROM (
+    SELECT qid, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS rnk
+    FROM cand
+  ) r WHERE rnk <= {_IVF_TOPK}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {dot('q.emb', 'n.emb', DIM, d)} / (q.nrm * n.nrm) DESC,
+                      n.vec_id
+           ) AS rnk
+    FROM normed q JOIN normed n ON q.vec_id <> n.vec_id
+    WHERE q.vec_id % {_IVF_QUERY_MOD} = 0
+  ) r WHERE rnk <= {_IVF_TOPK}
+)
+SELECT e.query_id,
+       CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+       CAST({_IVF_TOPK} AS BIGINT) AS k,
+       round(CAST(COUNT(i.neighbor_id) AS DOUBLE) / {_IVF_TOPK}, 6)
+         AS recall_at_k
+FROM exact e
+LEFT JOIN ivf i
+  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
+@query(
+    "sim_ann_ivf_recall_eval",
+    oracle=_ivf_recall_sql("duck"),
+    tags=("llm", "similarity", "evaluation"),
+)
+def sim_ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index at nprobe=2 against the exact cosine
+    ranking — the quality metric the LSH index already carries
+    (``sim_ann_recall_eval``), now for the FAISS-style coarse quantizer.
+    The approximate side runs the REAL :func:`sim_ann_ivf` operator (not
+    a SQL re-rendering); the exact side broadcasts the query rows and
+    makes a single pass over the corpus; recall is the per-query overlap
+    over k. tests/test_approx.py pins a fixed recall floor, so a
+    centroid/probe regression fails CI, not production."""
+    views(spark, sf_dir, "embeddings")
+    approx = sim_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    normed = spark.sql(
+        f"""
+SELECT vec_id, emb, sqrt({dot('emb', 'emb', DIM, 'spark')}) AS nrm
+FROM (SELECT vec_id, {to_double_arr('embedding', 'spark')} AS emb
+      FROM {tbl('embeddings', 'spark')})
+"""
+    )
+    q = F.broadcast(
+        normed.filter(F.col("vec_id") % _IVF_QUERY_MOD == 0).select(
+            F.col("vec_id").alias("qid"),
+            F.col("emb").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    cos = F.expr(dot("qemb", "emb", DIM, "spark")) / (
+        F.col("qnrm") * F.col("nrm")
+    )
+    we = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    exact = (
+        q.join(normed, F.col("qid") != F.col("vec_id"))
+        .withColumn("cos_sim", cos)
+        .withColumn("rnk", F.row_number().over(we))
+        .filter(F.col("rnk") <= _IVF_TOPK)
+        .select(F.col("qid").alias("query_id"), F.col("vec_id").alias("neighbor_id"))
+    )
+    hits = approx.withColumn("hit", F.lit(1))
+    return (
+        exact.join(hits, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").cast("bigint").alias("n_hits"))
+        .withColumn("k", F.lit(_IVF_TOPK).cast("bigint"))
+        .withColumn(
+            "recall_at_k", F.round(F.col("n_hits") / F.lit(_IVF_TOPK), 6)
+        )
+        .orderBy("query_id")
+    )

@@ -136,6 +136,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "queries_ext": ext_times,
+                "value_ext": round(sum(ext_times.values()), 3),
                 "sf": sf,
                 "trials_per_query": n_trials,
                 "stat": "min",
@@ -145,6 +146,26 @@ def main() -> None:
             }
         )
     )
+    # Regression report vs a prior round (SPARK_GRAFT_BENCH_COMPARE=path to
+    # a BENCH_r*.json): the extension section is held to the same
+    # no-regression bar as the headline set. stderr only — stdout stays one
+    # JSON line for the driver.
+    ref_path = os.environ.get("SPARK_GRAFT_BENCH_COMPARE")
+    if ref_path and os.path.exists(ref_path):
+        with open(ref_path) as f:
+            prev = json.load(f)
+        prev = prev.get("parsed", prev)  # driver BENCH_r*.json wraps the line
+        prev_all = {**prev.get("queries", {}), **prev.get("queries_ext", {})}
+        cur_all = {**times, **ext_times}
+        print(f"-- vs {ref_path} --", file=sys.stderr)
+        for name, cur in cur_all.items():
+            old = prev_all.get(name)
+            if old:
+                flag = "  REGRESSION" if cur / old > 1.25 else ""
+                print(f"{name:35s} {old:7.3f} -> {cur:7.3f}  "
+                      f"x{cur / old:.2f}{flag}", file=sys.stderr)
+            else:
+                print(f"{name:35s}    new -> {cur:7.3f}", file=sys.stderr)
     spark.stop()
 
 

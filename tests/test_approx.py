@@ -101,6 +101,19 @@ SELECT qid, nid FROM r WHERE rnk <= 5
     assert sum(recalls) / len(recalls) >= 0.6
 
 
+def test_ivf_recall_eval_query_floor(spark):
+    """The driver-checked ``sim_ann_ivf_recall_eval`` query reports the
+    same metric as the harness above — per-query recall@5 at nprobe=2 —
+    and its mean must clear the same fixed floor (deterministic pipeline:
+    a drop means candidate generation regressed, not noise)."""
+    from aws_localstack_stream_processing_spark.plans import all_queries
+
+    rows = all_queries()["sim_ann_ivf_recall_eval"].fn(spark, SF_DIR).collect()
+    assert len(rows) >= 10
+    assert all(r.k == 5 and 0.0 <= r.recall_at_k <= 1.0 for r in rows)
+    assert sum(r.recall_at_k for r in rows) / len(rows) >= 0.6
+
+
 def test_kmv_estimate_within_bound(spark):
     """KMV with k=64 has relative standard error ~1/sqrt(k-2) ≈ 12.7%;
     assert every group's estimate is within 4 standard errors (plus the
