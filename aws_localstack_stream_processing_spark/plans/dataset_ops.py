@@ -703,6 +703,14 @@ def scale_token_bucket_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RRF_K = 60
 _RRF_TOPN = 20
+# Hot-term guard (the rag analogue of _CONTAM_DF_CAP): a query term whose
+# document frequency exceeds this absolute cap is dropped from candidate
+# generation, so the global rank windows sort at most
+# |query_terms| * _RRF_DF_CAP rows no matter how stop-wordy a term is.
+# Far above every test-SF df (max ~400 at sf0.1) — the guard only bites
+# at corpus scales where an uncapped term would collapse the window to
+# one giant partition.
+_RRF_DF_CAP = 100_000
 
 
 def _rrf_sql(d: str) -> str:
@@ -735,6 +743,7 @@ tf AS (
 ),
 df AS (
   SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+  HAVING COUNT(*) <= {_RRF_DF_CAP}
 ),
 scored AS (
   SELECT tf.doc_id, tf.term, tf.tf, {score} AS score
@@ -779,8 +788,11 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage ranker (distinct query terms matched, shorter docs first) —
     in production B is the ANN ranking from ``sim_ann_lsh``/``sim_ann_ivf``,
     which returns (doc_id, rank) in exactly this shape. Only docs
-    matching ≥1 query term enter the candidate set, so the global rank
-    windows sort candidates, not the corpus; the fused score is a
+    matching ≥1 query term enter the candidate set, and terms above the
+    ``_RRF_DF_CAP`` document-frequency cap are dropped from candidate
+    generation, so the global rank windows sort at most
+    |query_terms| * cap rows — a stop-word query term can no longer pull
+    the whole corpus into one window partition. The fused score is a
     fixed-order sum of two integer-denominator divisions — bit-stable."""
     views(spark, sf_dir, "documents")
     return spark.sql(_rrf_sql("spark"))
