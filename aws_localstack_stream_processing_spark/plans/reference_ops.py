@@ -155,13 +155,18 @@ def ref_validity_split_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _keyring_join_sql(d: str) -> str:
-    addr = hashing.sha256_hex(f"concat('addr_', {s('s_suppkey', d)})", d)
+    addr = hashing.sha256_hex(f"concat('addr_', {s('a.s_suppkey', d)})", d)
+    # Key ranks via an inequality self-join over the ~G-row ring (same
+    # idiom as _lru_rotation_sql) — no partition-less window anywhere,
+    # and the dim build stays trivially broadcastable.
     return f"""
 WITH keys AS (
-  SELECT s_suppkey AS key_id,
-         ROW_NUMBER() OVER (ORDER BY s_suppkey) - 1 AS key_rank,
+  SELECT a.s_suppkey AS key_id,
+         CAST(COUNT(b.s_suppkey) AS BIGINT) AS key_rank,
          substr({addr}, 1, 40) AS address
-  FROM {tbl('supplier', d)}
+  FROM {tbl('supplier', d)} a
+  LEFT JOIN {tbl('supplier', d)} b ON b.s_suppkey < a.s_suppkey
+  GROUP BY a.s_suppkey
 ), n AS (SELECT COUNT(*) AS n_keys FROM {tbl('supplier', d)})
 SELECT k.key_id, k.address,
        CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -309,7 +309,12 @@ def test_no_single_partition_windows(spark):
     """The two-phase global-numbering rewrites (ref_chunking,
     ref_lru_rotation) and the bucketed null-semantics probe must not fall
     back to a single-partition window anywhere in their physical plans."""
-    for name in ("ref_chunking", "ref_lru_rotation", "sql_null_semantics"):
+    for name in (
+        "ref_chunking",
+        "ref_lru_rotation",
+        "ref_keyring_lookup_join",
+        "sql_null_semantics",
+    ):
         _, executed = _plan(spark, name)
         _assert_all_windows_partitioned(executed, name)
 
