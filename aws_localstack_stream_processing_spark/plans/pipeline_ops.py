@@ -1,0 +1,297 @@
+"""Round-4 pipeline operators: domain-balanced sampling, product
+quantization, skew diagnostics, class-balance profiling, and
+merge-on-read deletes.
+
+These extend the training-data-pipeline surface (SURVEY.md §2
+extensions): each is a named two-dialect query with a DuckDB oracle, and
+each plan is written for the 100 TB shape first — partitioned windows,
+broadcast dimensions, map-side-combinable argmins, decimal addends for
+order-independent sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dialect import dec_sum, intdiv, tbl, to_double_arr, views
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# data_domain_quota — per-source document quotas (domain balancing).
+# ---------------------------------------------------------------------------
+
+_QUOTA_PER_SOURCE = 10
+
+
+def _domain_quota_sql(d: str) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+         ) AS rank_in_source,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_source_docs
+  FROM {tbl('documents', d)}
+)
+SELECT source, doc_id, n_chars,
+       CAST(rank_in_source AS BIGINT) AS rank_in_source,
+       n_source_docs
+FROM ranked
+WHERE rank_in_source <= {_QUOTA_PER_SOURCE}
+ORDER BY source, rank_in_source
+"""
+
+
+@query("data_domain_quota", oracle=_domain_quota_sql("duck"), tags=("llm", "sampling"))
+def data_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-balanced sampling: cap every source (domain) at a fixed
+    per-domain quota, keeping its longest documents — the Common-Crawl
+    rebalancing step that stops a handful of boilerplate-heavy domains
+    from dominating a training mix. One window partitioned on source
+    (the domain key), so the plan is a single hash shuffle regardless of
+    corpus size; a hot domain bounds its partition at the quota scan,
+    not at |corpus|. The deterministic quality proxy (length, doc_id
+    tie-break) stands in for a model score column at scale."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_domain_quota_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# emb_pq_codes — product quantization (the storage half of IVF-PQ).
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_SUB = 16  # dims per subspace (4 x 16 = 64 = DIM)
+_PQ_CENT_MOD = 50  # codebook = subvectors of every 50th vector
+
+
+def _l2sq_range(a: str, b: str, lo: int, n: int, d: str) -> str:
+    """Squared L2 distance over dims [lo, lo+n) of two DOUBLE arrays with
+    a fixed left-to-right summation order (bit-exact across engines).
+    Spark arrays are 0-indexed, DuckDB lists 1-indexed."""
+    if d == "spark":
+        terms = " + ".join(
+            f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
+            for i in range(lo, lo + n)
+        )
+        return f"(CAST(0 AS DOUBLE) + {terms})"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series({lo + 1}, {lo + n}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _pq_oracle() -> str:
+    d = "duck"
+    dists = ",\n         ".join(
+        f"{_l2sq_range('v.emb', 'c.cemb', m * _PQ_SUB, _PQ_SUB, d)} AS d{m}"
+        for m in range(_PQ_M)
+    )
+    arg_ctes = ",\n".join(
+        f"""a{m} AS (
+  SELECT vec_id, cid AS code{m}, d{m} AS e{m} FROM (
+    SELECT vec_id, cid, d{m},
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d{m}, cid) AS rn
+    FROM dists
+  ) r WHERE rn = 1
+)"""
+        for m in range(_PQ_M)
+    )
+    err = " + ".join(f"e{m}" for m in range(_PQ_M))
+    joins = " ".join(f"JOIN a{m} USING (vec_id)" for m in range(1, _PQ_M))
+    codes = ", ".join(f"CAST(code{m} AS BIGINT) AS code{m}" for m in range(_PQ_M))
+    return f"""
+WITH base AS (
+  SELECT vec_id, {to_double_arr('embedding', d)} AS emb FROM {tbl('embeddings', d)}
+),
+cents AS (
+  SELECT vec_id AS cid, emb AS cemb FROM base WHERE vec_id % {_PQ_CENT_MOD} = 0
+),
+dists AS (
+  SELECT v.vec_id, c.cid,
+         {dists}
+  FROM base v CROSS JOIN cents c
+),
+{arg_ctes}
+SELECT vec_id, {codes}, round({err}, 6) AS recon_err
+FROM a0 {joins}
+ORDER BY vec_id
+"""
+
+
+@query("emb_pq_codes", oracle=_pq_oracle(), tags=("llm", "similarity"))
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — the storage half of a billion-scale IVF-PQ
+    index (`emb_quantize_int8` is the scalar sibling): split each vector
+    into M=4 subvectors, assign each to its nearest codebook entry per
+    subspace, and emit the M code ids plus the total reconstruction
+    error. 64 doubles compress to 4 codes.
+
+    Scale shape: the codebook broadcasts (it is ~N/50 rows); each
+    subspace argmin is a map-side-combinable ``min(struct(dist, cid))``
+    aggregation — no window over the (vector x centroid) product, no
+    shuffle of the corpus. The per-subspace L2 distances are fixed-order
+    sums, so code assignment is bit-identical to the oracle's
+    ROW_NUMBER(ORDER BY dist, cid) formulation."""
+    views(spark, sf_dir, "embeddings")
+    base = spark.sql(
+        f"""
+SELECT vec_id, {to_double_arr('embedding', 'spark')} AS emb
+FROM {tbl('embeddings', 'spark')}
+"""
+    )
+    cents = F.broadcast(
+        base.filter(F.col("vec_id") % _PQ_CENT_MOD == 0).select(
+            F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+        )
+    )
+    j = base.join(cents)
+    for m in range(_PQ_M):
+        j = j.withColumn(
+            f"d{m}",
+            F.expr(_l2sq_range("emb", "cemb", m * _PQ_SUB, _PQ_SUB, "spark")),
+        )
+    agg = j.groupBy("vec_id").agg(
+        *[
+            F.min(F.struct(F.col(f"d{m}"), F.col("cid"))).alias(f"b{m}")
+            for m in range(_PQ_M)
+        ]
+    )
+    err = F.col("b0.d0")
+    for m in range(1, _PQ_M):
+        err = err + F.col(f"b{m}.d{m}")
+    return agg.select(
+        "vec_id",
+        *[F.col(f"b{m}.cid").cast("bigint").alias(f"code{m}") for m in range(_PQ_M)],
+        F.round(err, 6).alias("recon_err"),
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# scale_partition_skew_stats — group-size histogram (skew diagnostics).
+# ---------------------------------------------------------------------------
+
+
+def _skew_stats_sql(d: str) -> str:
+    return f"""
+WITH gc AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM {tbl('events', d)} GROUP BY user_id
+)
+SELECT CAST(length(bin(cnt)) AS BIGINT) AS size_bucket_log2,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(cnt) AS BIGINT) AS min_size,
+       CAST(MAX(cnt) AS BIGINT) AS max_size,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows
+FROM gc
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("scale_partition_skew_stats", oracle=_skew_stats_sql("duck"), tags=("scale",))
+def scale_partition_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics: histogram of per-key group sizes in
+    power-of-two buckets (bucket = bit length of the count — ``bin()``
+    string length, no libm log). This is the profile you read BEFORE
+    choosing a salting factor or AQE skew threshold: a heavy tail in the
+    top buckets is the shuffle that OOMs at 100x. Two narrow
+    aggregations — per-key counts (one shuffle on the key, the same one
+    the diagnosed job would do) and a ~60-row histogram rollup."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_skew_stats_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# profile_gini_impurity — class balance without logarithms.
+# ---------------------------------------------------------------------------
+
+
+def _gini_col(col_expr: str, col_name: str, d: str) -> str:
+    # counts are exact; the squared counts accumulate as DECIMAL(38,0)
+    # (order-independent, overflow-free at int64-breaking row counts) and
+    # only the final ratio is a double
+    return f"""
+SELECT '{col_name}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       round(1 - CAST(SUM(CAST(CAST(c AS DECIMAL(19,0)) * c AS DECIMAL(38,0)))
+                      AS DOUBLE)
+                 / (CAST(SUM(c) AS DOUBLE) * SUM(c)), 6) AS gini
+FROM (
+  SELECT {col_expr} AS cls, CAST(COUNT(*) AS BIGINT) AS c
+  FROM {tbl('events', d)} GROUP BY {col_expr}
+) t
+"""
+
+
+def _gini_sql(d: str) -> str:
+    cols = [
+        ("event_type", "event_type"),
+        (f"{intdiv('user_id', '10', d)}", "user_decile"),
+        ("CAST(floor(value / 10) AS BIGINT)", "value_bucket"),
+    ]
+    return "\nUNION ALL\n".join(
+        _gini_col(expr, name, d) for expr, name in cols
+    ) + "\nORDER BY col_name"
+
+
+@query("profile_gini_impurity", oracle=_gini_sql("duck"), tags=("quality", "profiling"))
+def profile_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance profiling via Gini impurity (1 - sum p_i^2) for a
+    set of profiled columns — the log-free alternative to entropy, so
+    the statistic is a ratio of exact integers (squared class counts
+    accumulate as DECIMAL(38,0): order-independent and overflow-free
+    where a BIGINT product would wrap). A collapsed gini (~0) flags a
+    dead column, a too-uniform one (~1-1/k) flags synthetic filler —
+    both are data-quality tripwires for training mixes. Per column: one
+    hash aggregation to class counts (bounded by distinct-class count)
+    and a 1-row rollup; columns union — one scan each, no windows."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_gini_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# lake_mor_delete_read — merge-on-read with positional delete vectors.
+# ---------------------------------------------------------------------------
+
+
+def _mor_sql(d: str) -> str:
+    return f"""
+WITH files AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         o_orderkey % 50 AS file_id,
+         {intdiv('o_orderkey', '50', d)} AS pos
+  FROM {tbl('orders', d)}
+),
+dv AS (
+  SELECT file_id, pos FROM files WHERE o_orderkey % 19 = 3
+)
+SELECT f.o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       {dec_sum('f.o_totalprice')} AS sum_live_price
+FROM files f
+WHERE NOT EXISTS (
+  SELECT 1 FROM dv WHERE dv.file_id = f.file_id AND dv.pos = f.pos
+)
+GROUP BY f.o_orderstatus
+ORDER BY f.o_orderstatus
+"""
+
+
+@query("lake_mor_delete_read", oracle=_mor_sql("duck"), tags=("lakehouse",))
+def lake_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read with positional deletes (Iceberg/Delta deletion
+    vectors): a delete "file" of (file_id, position) pairs is applied at
+    read time as an anti-join on the position key — no rewrite of the
+    base files (that is ``lake_compaction_plan``'s job later). The
+    delete vector is a small fraction of the table, so Spark broadcasts
+    it into the anti-join and the base scan stays one pass; at 100 TB
+    the (file_id) component additionally partition-prunes which delete
+    entries each task even looks at. Deletes here are a deterministic
+    key predicate so both engines build identical vectors."""
+    views(spark, sf_dir, "orders")
+    return spark.sql(_mor_sql("spark"))

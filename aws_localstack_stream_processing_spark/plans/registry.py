@@ -100,10 +100,12 @@ def all_queries() -> dict[str, QueryDef]:
         timeseries,
         tpch,
     )
-    # dataset_ops (round 3) imports last: with the least-checked-first
-    # ordering, ties resolve by registration order, so the driver's
-    # bounded sweep verifies the older backlog before brand-new queries.
+    # dataset_ops (round 3) and pipeline_ops (round 4) import last, in
+    # round order: with the least-checked-first ordering, ties resolve by
+    # registration order, so the driver's bounded sweep verifies the older
+    # backlog before brand-new queries.
     from . import dataset_ops  # noqa: F401
+    from . import pipeline_ops  # noqa: F401
 
     counts = _correctness_counts()
     names = list(QUERIES)

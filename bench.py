@@ -112,6 +112,11 @@ def main() -> None:
         "ts_m4_downsample",
         "seq_pattern_match",
         "lake_snapshot_diff",
+        # round-4 additions
+        "data_domain_quota",
+        "emb_pq_codes",
+        "lake_mor_delete_read",
+        "sim_ann_ivf_recall_eval",
     ]
     ext_times: dict[str, float] = {}
     for name in ext_names:

@@ -296,13 +296,18 @@ def test_modality_router_no_python(spark):
 
 def _assert_all_windows_partitioned(executed: str, name: str) -> None:
     """Every WindowExec line prints as ``Window [funcs], [partSpec],
-    [orderSpec]`` — a partition-less window drops the middle group, leaving
-    a single "], [" separator. Requiring two separators per Window line is
-    exactly the "No Partition Defined for Window operation" warning as a
-    plan assertion."""
+    [orderSpec]`` with empty specs omitted. Two separators = partitioned
+    and ordered. One separator is ambiguous: partition-only (fine — e.g.
+    COUNT(*) OVER (PARTITION BY k)) has no sort directions in its last
+    group, while order-only (the "No Partition Defined" single-partition
+    case) does. Flag exactly the order-only windows."""
     for line in executed.splitlines():
-        if "- Window [" in line:
-            assert line.count("], [") >= 2, f"{name}: global window: {line.strip()}"
+        if "- Window [" not in line or line.count("], [") >= 2:
+            continue
+        tail = line.rsplit("], [", 1)[-1]
+        assert " ASC" not in tail and " DESC" not in tail, (
+            f"{name}: single-partition window: {line.strip()}"
+        )
 
 
 def test_no_single_partition_windows(spark):
@@ -370,3 +375,29 @@ def test_label_propagation_no_cartesian_no_python(spark):
     plan, _ = _plan(spark, "graph_label_propagation")
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_domain_quota_window_partitioned(spark):
+    """The per-domain quota window must partition on source — a hot
+    domain bounds one partition, never the whole corpus."""
+    _, executed = _plan(spark, "data_domain_quota")
+    _assert_all_windows_partitioned(executed, "data_domain_quota")
+
+
+def test_pq_codes_broadcast_codebook_no_window(spark):
+    """PQ assignment: the codebook broadcasts and every subspace argmin
+    is an aggregation — no window or sort over the (vector x centroid)
+    product, no corpus shuffle for the join."""
+    plan, executed = _plan(spark, "emb_pq_codes")
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in executed.replace("WindowGroupLimit", "")
+    assert "BroadcastNestedLoopJoin" in executed or "BroadcastHashJoin" in executed
+
+
+def test_mor_delete_read_broadcast_anti_join(spark):
+    """The delete vector applies as a broadcast anti-join; the base table
+    never shuffles for it."""
+    plan, executed = _plan(spark, "lake_mor_delete_read")
+    assert "LeftAnti" in executed
+    assert "SortMergeJoin" not in plan
+    assert executed.count("Exchange hashpartitioning") <= 1  # final rollup only
