@@ -295,3 +295,182 @@ def lake_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     key predicate so both engines build identical vectors."""
     views(spark, sf_dir, "orders")
     return spark.sql(_mor_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# dedup_lsh_quality_eval — precision/recall of the LSH dedup pipeline
+# against the corpus's injected ground-truth duplicates.
+# ---------------------------------------------------------------------------
+
+
+def _lsh_eval_metric_sql(pred_src: str, d: str) -> str:
+    """Shared metric body: per-class recall of the injected duplicate
+    pairs plus overall precision of the predicted pair set.
+    ``pred_src`` is a relation producing (doc_a, doc_b)."""
+    docs = tbl("documents", d)
+    return f"""
+WITH pred AS ({pred_src}),
+truth AS (
+  SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b, 'near_dup' AS pair_class
+  FROM {docs} WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id AS doc_a, doc_id + 2000000 AS doc_b, 'exact_copy' AS pair_class
+  FROM {docs} WHERE doc_id % 25 = 0
+),
+by_class AS (
+  SELECT t.pair_class,
+         CAST(COUNT(*) AS BIGINT) AS n_base,
+         CAST(COUNT(p.doc_a) AS BIGINT) AS n_hit
+  FROM truth t
+  LEFT JOIN pred p ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
+  GROUP BY t.pair_class
+),
+pred_total AS (
+  SELECT 'predicted_total' AS pair_class,
+         CAST(COUNT(*) AS BIGINT) AS n_base,
+         CAST(COUNT(t.doc_a) AS BIGINT) AS n_hit
+  FROM pred p
+  LEFT JOIN truth t ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+)
+SELECT pair_class, n_base, n_hit,
+       round(CAST(n_hit AS DOUBLE) / n_base, 6) AS ratio
+FROM (SELECT * FROM by_class UNION ALL SELECT * FROM pred_total) u
+ORDER BY pair_class
+"""
+
+
+def _lsh_eval_oracle() -> str:
+    from .llm_ops import _minhash_sql
+
+    return _lsh_eval_metric_sql(_minhash_sql("duck"), "duck")
+
+
+@query(
+    "dedup_lsh_quality_eval",
+    oracle=_lsh_eval_oracle(),
+    tags=("llm", "dedup", "evaluation"),
+)
+def dedup_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup quality as a first-class query: the corpus injects known
+    duplicates (exact copies at doc_id+2M, prefixed near-dups at
+    doc_id+1M — ``llm_ops._doc_corpus``), so MinHash-LSH's output can be
+    scored against ground truth the same way ``sim_ann_recall_eval``
+    scores the ANN index. Emits per-class recall (exact_copy / near_dup
+    rows: how many injected pairs were found) and overall precision
+    (predicted_total row: how many predicted pairs are injected ones —
+    extras are natural collisions, a deterministic count here). The
+    predicted side runs the REAL ``dedup_minhash_lsh`` operator; the
+    truth table is a scan-thin projection, so the eval adds two
+    candidate-sized joins on top of the pipeline under test."""
+    from .llm_ops import dedup_minhash_lsh
+
+    pred = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pred.createOrReplaceTempView("slsp_lsh_pred")
+    return spark.sql(
+        _lsh_eval_metric_sql("SELECT doc_a, doc_b FROM slsp_lsh_pred", "spark")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sql_datetime_fn_surface — calendar/date builtin footprint.
+# ---------------------------------------------------------------------------
+
+
+def _date_str(expr: str, d: str) -> str:
+    if d == "spark":
+        return f"date_format({expr}, 'yyyy-MM-dd')"
+    return f"strftime({expr}, '%Y-%m-%d')"
+
+
+def _datetime_surface_sql(d: str) -> str:
+    dt = "CAST(o_orderdate AS DATE)"
+    if d == "spark":
+        plus_2m = f"add_months({dt}, 2)"
+        dow = f"dayofweek({dt})"
+        days_since = f"datediff({dt}, DATE '2024-01-01')"
+    else:
+        plus_2m = f"({dt} + INTERVAL 2 MONTH)"
+        dow = f"(dayofweek({dt}) + 1)"  # DuckDB Sunday=0; Spark Sunday=1
+        days_since = f"date_diff('day', DATE '2024-01-01', {dt})"
+    return f"""
+SELECT o_orderkey,
+       {_date_str(dt, d)} AS order_date,
+       {_date_str(f"date_trunc('month', {dt})", d)} AS month_start,
+       {_date_str(f'last_day({dt})', d)} AS month_end,
+       {_date_str(plus_2m, d)} AS plus_2_months,
+       CAST({dow} AS BIGINT) AS dow_sun1,
+       CAST(quarter({dt}) AS BIGINT) AS qtr,
+       CAST(weekofyear({dt}) AS BIGINT) AS iso_week,
+       CAST(dayofyear({dt}) AS BIGINT) AS doy,
+       CAST({days_since} AS BIGINT) AS days_since_2024,
+       {_date_str(f'make_date(year({dt}), month({dt}), 1)', d)} AS made_first
+FROM {tbl('orders', d)}
+WHERE o_orderkey % 97 = 0
+ORDER BY o_orderkey
+"""
+
+
+@query("sql_datetime_fn_surface", oracle=_datetime_surface_sql("duck"), tags=("sql",))
+def sql_datetime_fn_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function footprint in one projection: truncation,
+    month-end clamping (last_day, add_months on a month-end date), ISO
+    week numbering, day-of-week origin (Spark Sunday=1 vs DuckDB
+    Sunday=0 — normalized here), day arithmetic, and date construction.
+    These are the functions whose origin/clamping conventions silently
+    differ between engines; the oracle pins one contract. Pure codegen
+    over a pruned scan — no shuffle but the final order."""
+    views(spark, sf_dir, "orders")
+    return spark.sql(_datetime_surface_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# lake_clustering_depth — Z-order/clustering effectiveness metric.
+# ---------------------------------------------------------------------------
+
+
+def _clustering_depth_sql(d: str) -> str:
+    return f"""
+WITH files AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS part_year,
+         l_orderkey % 50 AS file_id,
+         CAST(MIN(l_partkey) AS BIGINT) AS mn,
+         CAST(MAX(l_partkey) AS BIGINT) AS mx
+  FROM {tbl('lineitem', d)}
+  GROUP BY year(l_shipdate), l_orderkey % 50
+),
+bounds AS (
+  SELECT part_year, mn AS pos, 1 AS delta FROM files
+  UNION ALL
+  SELECT part_year, mx AS pos, -1 AS delta FROM files
+),
+swept AS (
+  SELECT part_year,
+         SUM(delta) OVER (
+           PARTITION BY part_year ORDER BY pos, delta DESC
+           ROWS UNBOUNDED PRECEDING
+         ) AS depth
+  FROM bounds
+)
+SELECT f.part_year,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(MAX(s.max_depth) AS BIGINT) AS max_overlap_depth
+FROM files f
+JOIN (SELECT part_year, MAX(depth) AS max_depth FROM swept GROUP BY part_year) s
+  ON s.part_year = f.part_year
+GROUP BY f.part_year
+ORDER BY f.part_year
+"""
+
+
+@query("lake_clustering_depth", oracle=_clustering_depth_sql("duck"), tags=("lakehouse",))
+def lake_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-effectiveness metric (Delta OPTIMIZE's "clustering
+    depth"): treat each file's [min, max] key span as an interval and
+    sweep per partition — +1 at opens, -1 at closes, running-sum max =
+    how many files a point lookup must read. Depth 1 = perfectly
+    clustered (``layout_zorder_cluster`` is the rewrite that gets you
+    there); depth ~ n_files = effectively unclustered. The sweep window
+    partitions on part_year and sorts 2 rows per file — manifest-sized
+    work, like ``lake_compaction_plan``."""
+    views(spark, sf_dir, "lineitem")
+    return spark.sql(_clustering_depth_sql("spark"))
