@@ -84,7 +84,10 @@ def main() -> None:
     # least-interfered observation of the same deterministic work, so it is
     # the comparable number across rounds; the median/min ratio is emitted
     # as a per-run noise indicator.
-    n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+    # 5 trials: this VM shows multi-second CPU-steal windows that can
+    # inflate an entire 3-trial min; two extra warm trials per query are
+    # cheap insurance that at least one lands in a quiet window.
+    n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5"))
     times: dict[str, float] = {}
     noise: list[float] = []
     for name in HEADLINE:
