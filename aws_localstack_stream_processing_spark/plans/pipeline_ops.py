@@ -474,3 +474,118 @@ def lake_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     work, like ``lake_compaction_plan``."""
     views(spark, sf_dir, "lineitem")
     return spark.sql(_clustering_depth_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# graph_jaccard_link_predict — common-neighbor link prediction.
+# ---------------------------------------------------------------------------
+
+_LINK_COHORT_MOD = 20  # query cohort: every 20th customer
+_LINK_TOPN = 50
+
+
+def _link_predict_sql(d: str) -> str:
+    return f"""
+WITH fwd AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+  FROM {tbl('orders', d)} o JOIN {tbl('lineitem', d)} l
+    ON o.o_orderkey = l.l_orderkey
+),
+deg AS (
+  SELECT cust, CAST(COUNT(*) AS BIGINT) AS degree FROM fwd GROUP BY cust
+),
+cohort AS (
+  SELECT cust, supp FROM fwd WHERE cust % {_LINK_COHORT_MOD} = 0
+),
+common AS (
+  SELECT a.cust AS cust_a, b.cust AS cust_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM cohort a JOIN cohort b ON a.supp = b.supp AND a.cust < b.cust
+  GROUP BY a.cust, b.cust
+),
+scored AS (
+  SELECT c.cust_a, c.cust_b, c.n_common,
+         round(CAST(c.n_common AS DOUBLE)
+               / (da.degree + db.degree - c.n_common), 6) AS jaccard
+  FROM common c
+  JOIN deg da ON da.cust = c.cust_a
+  JOIN deg db ON db.cust = c.cust_b
+)
+SELECT cust_a, cust_b, n_common, jaccard
+FROM scored
+ORDER BY jaccard DESC, cust_a, cust_b
+LIMIT {_LINK_TOPN}
+"""
+
+
+@query(
+    "graph_jaccard_link_predict",
+    oracle=_link_predict_sql("duck"),
+    tags=("graph", "similarity"),
+)
+def graph_jaccard_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the customer ↔ supplier
+    bipartite graph (the graph the PageRank/triangle operators share):
+    for a query cohort of customers, score candidate customer pairs by
+    neighbor-set Jaccard — the classic "users like you" recommendation
+    primitive. Candidates come from a wedge join through shared
+    suppliers restricted to the cohort (cost ~ sum of squared
+    per-supplier cohort degrees — the same degree-bounding story as
+    ``graph_triangle_count``; at 100 TB the cohort IS the bounding
+    knob, exactly how production recommenders batch their query users).
+    Scores are ratios of exact counts; top-k is ORDER BY + LIMIT
+    (TakeOrderedAndProject, no global sort)."""
+    views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_link_predict_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# profile_benford_check — first-digit distribution vs Benford's law.
+# ---------------------------------------------------------------------------
+
+# round(1000 * log10(1 + 1/d)) for d = 1..9, precomputed so no libm call
+# ever runs inside either engine.
+_BENFORD_PERMILLE = {1: 301, 2: 176, 3: 125, 4: 97, 5: 79, 6: 67, 7: 58, 8: 51, 9: 46}
+
+
+def _benford_sql(d: str) -> str:
+    exp_case = " ".join(
+        f"WHEN {dig} THEN {pm}" for dig, pm in _BENFORD_PERMILLE.items()
+    )
+    return f"""
+WITH cents AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS c
+  FROM {tbl('events', d)} WHERE value >= 0.01
+),
+digits AS (
+  SELECT CAST(substr(CAST(c AS {'STRING' if d == 'spark' else 'VARCHAR'}), 1, 1)
+              AS BIGINT) AS first_digit
+  FROM cents
+),
+obs AS (
+  SELECT first_digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits
+  GROUP BY first_digit
+),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
+SELECT o.first_digit, o.n_obs,
+       round(CAST(1000 * o.n_obs AS DOUBLE) / t.n, 6) AS obs_permille,
+       CAST(CASE o.first_digit {exp_case} END AS BIGINT) AS benford_permille,
+       round(CAST(1000 * o.n_obs AS DOUBLE) / t.n
+             - CASE o.first_digit {exp_case} END, 6) AS deviation
+FROM obs o CROSS JOIN tot t
+ORDER BY o.first_digit
+"""
+
+
+@query("profile_benford_check", oracle=_benford_sql("duck"), tags=("quality", "profiling"))
+def profile_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    anomaly/fabrication tripwire for financial-style value columns
+    (organically-generated magnitudes follow log-uniform first digits;
+    uniform or hand-made data does not). The Benford expectations are
+    precomputed permille constants, so no logarithm runs in either
+    engine; first digits come from integer-cents string heads (floor,
+    not round — exact in both engines). One scan, a 9-row aggregation,
+    and a scalar total joined back — profiling cost ~ counting."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_benford_sql("spark"))
