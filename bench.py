@@ -84,10 +84,11 @@ def main() -> None:
     # least-interfered observation of the same deterministic work, so it is
     # the comparable number across rounds; the median/min ratio is emitted
     # as a per-run noise indicator.
-    # 5 trials: this VM shows multi-second CPU-steal windows that can
-    # inflate an entire 3-trial min; two extra warm trials per query are
-    # cheap insurance that at least one lands in a quiet window.
-    n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5"))
+    # 4 trials: this VM shows multi-second CPU-steal windows that can
+    # inflate an entire 3-trial min; one extra warm trial per query is
+    # cheap insurance that the min lands in a quiet window, while keeping
+    # total bench wall time well inside the driver's budget.
+    n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "4"))
     times: dict[str, float] = {}
     noise: list[float] = []
     for name in HEADLINE:
