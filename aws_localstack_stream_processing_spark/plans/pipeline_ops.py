@@ -566,14 +566,18 @@ obs AS (
   SELECT first_digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits
   GROUP BY first_digit
 ),
-tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
-SELECT o.first_digit, o.n_obs,
-       round(CAST(1000 * o.n_obs AS DOUBLE) / t.n, 6) AS obs_permille,
-       CAST(CASE o.first_digit {exp_case} END AS BIGINT) AS benford_permille,
-       round(CAST(1000 * o.n_obs AS DOUBLE) / t.n
-             - CASE o.first_digit {exp_case} END, 6) AS deviation
-FROM obs o CROSS JOIN tot t
-ORDER BY o.first_digit
+with_tot AS (
+  -- total as a window over the 9-row aggregate: one scan of events,
+  -- no re-inlined scalar subquery (Spark inlines CTEs per reference)
+  SELECT first_digit, n_obs, SUM(n_obs) OVER () AS n FROM obs
+)
+SELECT first_digit, n_obs,
+       round(CAST(1000 * n_obs AS DOUBLE) / n, 6) AS obs_permille,
+       CAST(CASE first_digit {exp_case} END AS BIGINT) AS benford_permille,
+       round(CAST(1000 * n_obs AS DOUBLE) / n
+             - CASE first_digit {exp_case} END, 6) AS deviation
+FROM with_tot
+ORDER BY first_digit
 """
 
 

@@ -401,3 +401,21 @@ def test_mor_delete_read_broadcast_anti_join(spark):
     assert "LeftAnti" in executed
     assert "SortMergeJoin" not in plan
     assert executed.count("Exchange hashpartitioning") <= 1  # final rollup only
+
+
+def test_link_predict_no_cartesian_topk_heap(spark):
+    """Candidate generation is the shared-neighbor equi-join (never a
+    cross product) and the top-k is a per-partition heap, not a global
+    sort."""
+    plan, executed = _plan(spark, "graph_jaccard_link_predict")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in executed
+    assert "rangepartitioning" not in executed.lower()
+
+
+def test_benford_single_scan_no_python(spark):
+    """The Benford profile is one scan, a 9-row aggregation, and a scalar
+    total joined back — no Python, no second pass over events."""
+    _, executed = _plan(spark, "profile_benford_check")
+    assert executed.count("events.parquet") == 1
+    assert "EvalPython" not in executed
