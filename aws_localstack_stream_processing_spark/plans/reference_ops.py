@@ -119,9 +119,13 @@ def _validity_sql(d: str) -> str:
     if d == "spark":
         valid = "get_json_object(props_c, '$.k') IS NOT NULL"
     else:
+        # CASE, not AND: DuckDB does not short-circuit AND, so
+        # json_extract_string can hard-error on a malformed payload
+        # before json_valid masks it (bit at sf0.1, not sf0.01 —
+        # evaluation order is data-dependent)
         valid = (
-            "(json_valid(props_c) AND "
-            "json_extract_string(props_c, '$.k') IS NOT NULL)"
+            "(CASE WHEN json_valid(props_c) "
+            "THEN json_extract_string(props_c, '$.k') END) IS NOT NULL"
         )
     return f"""
 WITH base AS (

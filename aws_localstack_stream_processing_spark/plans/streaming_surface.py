@@ -75,8 +75,11 @@ def stream_minute_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_validity_oracle(d: str) -> str:
+    # CASE, not AND: DuckDB does not short-circuit AND, so the extract
+    # can hard-error on a malformed payload (see reference_ops._validity_sql)
     valid = (
-        "(json_valid(props_c) AND json_extract_string(props_c, '$.k') IS NOT NULL)"
+        "(CASE WHEN json_valid(props_c) "
+        "THEN json_extract_string(props_c, '$.k') END) IS NOT NULL"
     )
     return f"""
 WITH base AS (
