@@ -477,6 +477,200 @@ def lake_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# emb_ivfpq_search — the composed FAISS IVF-PQ search path.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_QUERY_MOD = 25
+_IVFPQ_NPROBE = 2
+_IVFPQ_TOPK = 5
+
+
+def _ivfpq_oracle() -> str:
+    d = "duck"
+    l2full = _l2sq_range("v.emb", "c.cemb", 0, _PQ_M * _PQ_SUB, d)
+    dq_cols = ", ".join(
+        f"{_l2sq_range('q.emb', 'k.cemb', m * _PQ_SUB, _PQ_SUB, d)} AS dq{m}"
+        for m in range(_PQ_M)
+    )
+    code_dists = ",\n         ".join(
+        f"{_l2sq_range('v.emb', 'c.cemb', m * _PQ_SUB, _PQ_SUB, d)} AS d{m}"
+        for m in range(_PQ_M)
+    )
+    arg_ctes = ",\n".join(
+        f"""a{m} AS (
+  SELECT vec_id, cid AS code{m} FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY d{m}, cid) AS rn
+    FROM cdists
+  ) r WHERE rn = 1
+)"""
+        for m in range(_PQ_M)
+    )
+    code_joins = " ".join(f"JOIN a{m} USING (vec_id)" for m in range(1, _PQ_M))
+    adc = " + ".join(f"w{m}.dq{m}" for m in range(_PQ_M))
+    dt_joins = "\n        ".join(
+        f"JOIN dt w{m} ON w{m}.qid = c.qid AND w{m}.code = k.code{m}"
+        for m in range(_PQ_M)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, {to_double_arr('embedding', d)} AS emb FROM {tbl('embeddings', d)}
+),
+cents AS (
+  SELECT vec_id AS cid, emb AS cemb FROM base WHERE vec_id % {_PQ_CENT_MOD} = 0
+),
+afull AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {l2full}, c.cid) AS rn
+    FROM base v CROSS JOIN cents c
+  ) r WHERE rn = 1
+),
+cdists AS (
+  SELECT v.vec_id, c.cid,
+         {code_dists}
+  FROM base v CROSS JOIN cents c
+),
+{arg_ctes},
+codes AS (SELECT * FROM a0 {code_joins}),
+qp AS (
+  SELECT qid, cid FROM (
+    SELECT v.vec_id AS qid, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {l2full}, c.cid) AS rn
+    FROM base v CROSS JOIN cents c
+    WHERE v.vec_id % {_IVFPQ_QUERY_MOD} = 0
+  ) r WHERE rn <= {_IVFPQ_NPROBE}
+),
+dt AS (
+  SELECT q.vec_id AS qid, k.cid AS code, {dq_cols}
+  FROM base q CROSS JOIN cents k
+  WHERE q.vec_id % {_IVFPQ_QUERY_MOD} = 0
+),
+cand AS (
+  SELECT p.qid, a.vec_id AS nid
+  FROM qp p JOIN afull a ON a.cid = p.cid AND a.vec_id <> p.qid
+),
+adc AS (
+  SELECT c.qid, c.nid, ({adc}) AS adc_d
+  FROM cand c JOIN codes k ON k.vec_id = c.nid
+        {dt_joins}
+)
+SELECT qid AS query_id, nid AS neighbor_id,
+       CAST(rnk AS BIGINT) AS rnk, round(adc_d, 6) AS adc_dist
+FROM (
+  SELECT qid, nid, adc_d,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_d, nid) AS rnk
+  FROM adc
+) r WHERE rnk <= {_IVFPQ_TOPK}
+ORDER BY query_id, rnk
+"""
+
+
+@query("emb_ivfpq_search", oracle=_ivfpq_oracle(), tags=("llm", "similarity"))
+def emb_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed FAISS IVF-PQ search path: coarse-quantize the corpus
+    into inverted lists, store each vector as M=4 PQ codes (via the
+    ``emb_pq_codes`` operator), then answer queries by scanning only the
+    nprobe=2 probed cells and scoring candidates with ASYMMETRIC
+    distance computation — each query precomputes a (codebook-entry x
+    subspace) distance table and a candidate costs 4 table lookups
+    instead of a 64-dim distance. This is how a billion-vector index
+    actually serves: the scan reads 4-byte codes, not raw vectors.
+
+    Scale shape: centroids and the per-query distance tables broadcast
+    (|q| x K x M doubles); candidate scoring is equi-joins on (cell) and
+    (code) keys — the corpus-sized tables never shuffle for a window;
+    per-query top-k ranks probed candidates only. Every distance is a
+    fixed-order L2 sum, so ranks are bit-identical to the oracle."""
+    views(spark, sf_dir, "embeddings")
+    base = spark.sql(
+        f"""
+SELECT vec_id, {to_double_arr('embedding', 'spark')} AS emb
+FROM {tbl('embeddings', 'spark')}
+"""
+    ).persist()
+    cents = F.broadcast(
+        base.filter(F.col("vec_id") % _PQ_CENT_MOD == 0).select(
+            F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+        )
+    )
+    l2full = F.expr(_l2sq_range("emb", "cemb", 0, _PQ_M * _PQ_SUB, "spark"))
+    scored = base.join(cents).withColumn("dfull", l2full)
+    # coarse assignment: map-side-combinable argmin, no N x C window
+    afull = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("dfull"), F.col("cid"))).alias("b"))
+        .select("vec_id", F.col("b.cid").alias("cid"))
+    )
+    codes = emb_pq_codes(spark, sf_dir).select(
+        "vec_id", *[f"code{m}" for m in range(_PQ_M)]
+    )
+    # query side: top-nprobe cells (tiny side, window is fine)
+    from pyspark.sql import Window
+
+    qscored = scored.filter(F.col("vec_id") % _IVFPQ_QUERY_MOD == 0)
+    wq = Window.partitionBy("vec_id").orderBy(F.col("dfull"), F.col("cid"))
+    # probe list is |queries| x nprobe rows — the serving batch bounds it,
+    # so it broadcasts into the cell join (the corpus side never shuffles
+    # to meet it)
+    qp = F.broadcast(
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _IVFPQ_NPROBE)
+        .select(F.col("vec_id").alias("qid"), "cid")
+    )
+    # per-query ADC distance table over the codebook: |q| x K x M doubles
+    dt = F.broadcast(
+        base.filter(F.col("vec_id") % _IVFPQ_QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"))
+        .join(cents)
+        .select(
+            "qid",
+            F.col("cid").alias("code"),
+            *[
+                F.expr(
+                    _l2sq_range("qemb", "cemb", m * _PQ_SUB, _PQ_SUB, "spark")
+                ).alias(f"dq{m}")
+                for m in range(_PQ_M)
+            ],
+        )
+    )
+    cand = (
+        qp.join(afull.withColumnRenamed("vec_id", "nid"), "cid")
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid")
+        .join(codes.withColumnRenamed("vec_id", "nid"), "nid")
+    )
+    adc = cand
+    for m in range(_PQ_M):
+        w = dt.select(
+            F.col("qid").alias("qid_w"),
+            F.col("code").alias(f"wcode{m}"),
+            f"dq{m}",
+        )
+        adc = adc.join(
+            w,
+            (F.col("qid") == F.col("qid_w"))
+            & (F.col(f"code{m}") == F.col(f"wcode{m}")),
+        ).drop("qid_w", f"wcode{m}")
+    adc_col = F.col("dq0")
+    for m in range(1, _PQ_M):
+        adc_col = adc_col + F.col(f"dq{m}")
+    wr = Window.partitionBy("qid").orderBy(F.col("adc_d"), F.col("nid"))
+    return (
+        adc.withColumn("adc_d", adc_col)
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _IVFPQ_TOPK)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.round("adc_d", 6).alias("adc_dist"),
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # graph_jaccard_link_predict — common-neighbor link prediction.
 # ---------------------------------------------------------------------------
 

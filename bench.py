@@ -119,6 +119,7 @@ def main() -> None:
         # round-4 additions
         "data_domain_quota",
         "emb_pq_codes",
+        "emb_ivfpq_search",
         "lake_mor_delete_read",
         "sim_ann_ivf_recall_eval",
     ]

@@ -413,6 +413,21 @@ def test_link_predict_no_cartesian_topk_heap(spark):
     assert "rangepartitioning" not in executed.lower()
 
 
+def test_ivfpq_broadcast_tables_no_corpus_window(spark):
+    """IVF-PQ search: the coarse assignment is an aggregation argmin and
+    the ADC distance tables broadcast — every window in the plan is
+    partitioned (query-side only), and candidate scoring is equi-joins,
+    never a sort-merge shuffle of the corpus."""
+    plan, executed = _plan(spark, "emb_ivfpq_search")
+    assert "CartesianProduct" not in plan
+    # the probe list broadcasts into the cell join; the only join allowed
+    # to plan as sort-merge is candidates x codes (corpus-sized right
+    # side — AQE converts it from runtime stats when the candidate set
+    # is small)
+    assert plan.count("SortMergeJoin") <= 1
+    _assert_all_windows_partitioned(executed, "emb_ivfpq_search")
+
+
 def test_benford_single_scan_no_python(spark):
     """The Benford profile is one scan, a 9-row aggregation, and a scalar
     total joined back — no Python, no second pass over events."""
