@@ -566,6 +566,91 @@ ORDER BY query_id, rnk
 """
 
 
+def _ivfpq_recall_oracle() -> str:
+    d = "duck"
+    l2full = _l2sq_range("q.emb", "n.emb", 0, _PQ_M * _PQ_SUB, d)
+    return f"""
+WITH ivfpq AS ({_ivfpq_oracle()}),
+base AS (
+  SELECT vec_id, {to_double_arr('embedding', d)} AS emb FROM {tbl('embeddings', d)}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id ORDER BY {l2full}, n.vec_id
+           ) AS rnk
+    FROM base q JOIN base n ON q.vec_id <> n.vec_id
+    WHERE q.vec_id % {_IVFPQ_QUERY_MOD} = 0
+  ) r WHERE rnk <= {_IVFPQ_TOPK}
+)
+SELECT e.query_id,
+       CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+       CAST({_IVFPQ_TOPK} AS BIGINT) AS k,
+       round(CAST(COUNT(i.neighbor_id) AS DOUBLE) / {_IVFPQ_TOPK}, 6)
+         AS recall_at_k
+FROM exact e
+LEFT JOIN ivfpq i
+  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
+@query(
+    "sim_ann_ivfpq_recall_eval",
+    oracle=_ivfpq_recall_oracle(),
+    tags=("llm", "similarity", "evaluation"),
+)
+def sim_ann_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the full IVF-PQ serving path against the exact L2
+    ranking — completing the eval family (LSH and IVF have theirs).
+    This measures BOTH approximations at once: cell pruning (nprobe=2)
+    and PQ distance distortion (4x16 codes), which is the number a
+    retrieval team actually tunes against. At test SF the codebook is
+    only ~N/50 entries per subspace, so recall is intentionally coarse
+    (~0.2 mean) — the eval exists precisely to make that visible; the
+    production fix is a larger trained codebook plus exact re-rank of
+    the PQ top-k (``sim_cosine_topk``'s shape). Approximate side = the
+    real ``emb_ivfpq_search`` operator; exact side broadcasts the query
+    rows over one corpus pass. Floor pinned in tests/test_approx.py."""
+    views(spark, sf_dir, "embeddings")
+    approx = emb_ivfpq_search(spark, sf_dir).select("query_id", "neighbor_id")
+    base = spark.sql(
+        f"""
+SELECT vec_id, {to_double_arr('embedding', 'spark')} AS emb
+FROM {tbl('embeddings', 'spark')}
+"""
+    )
+    q = F.broadcast(
+        base.filter(F.col("vec_id") % _IVFPQ_QUERY_MOD == 0).select(
+            F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+        )
+    )
+    from pyspark.sql import Window
+
+    l2 = F.expr(_l2sq_range("qemb", "emb", 0, _PQ_M * _PQ_SUB, "spark"))
+    we = Window.partitionBy("qid").orderBy(F.col("d"), F.col("vec_id"))
+    exact = (
+        q.join(base, F.col("qid") != F.col("vec_id"))
+        .withColumn("d", l2)
+        .withColumn("rnk", F.row_number().over(we))
+        .filter(F.col("rnk") <= _IVFPQ_TOPK)
+        .select(F.col("qid").alias("query_id"), F.col("vec_id").alias("neighbor_id"))
+    )
+    hits = approx.withColumn("hit", F.lit(1))
+    return (
+        exact.join(hits, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").cast("bigint").alias("n_hits"))
+        .withColumn("k", F.lit(_IVFPQ_TOPK).cast("bigint"))
+        .withColumn(
+            "recall_at_k", F.round(F.col("n_hits") / F.lit(_IVFPQ_TOPK), 6)
+        )
+        .orderBy("query_id")
+    )
+
+
 @query("emb_ivfpq_search", oracle=_ivfpq_oracle(), tags=("llm", "similarity"))
 def emb_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed FAISS IVF-PQ search path: coarse-quantize the corpus

@@ -114,6 +114,20 @@ def test_ivf_recall_eval_query_floor(spark):
     assert sum(r.recall_at_k for r in rows) / len(rows) >= 0.6
 
 
+def test_ivfpq_recall_eval_query_floor(spark):
+    """IVF-PQ recall@5 is intentionally coarse at test SF (~N/50-entry
+    codebooks), but it is deterministic — the floor catches a silent
+    break in cell probing or code assignment, and the ceiling guards
+    against the eval accidentally comparing the exact side to itself."""
+    from aws_localstack_stream_processing_spark.plans import all_queries
+
+    rows = all_queries()["sim_ann_ivfpq_recall_eval"].fn(spark, SF_DIR).collect()
+    assert len(rows) >= 10
+    assert all(r.k == 5 and 0.0 <= r.recall_at_k <= 1.0 for r in rows)
+    mean = sum(r.recall_at_k for r in rows) / len(rows)
+    assert 0.05 <= mean < 1.0
+
+
 def test_kmv_estimate_within_bound(spark):
     """KMV with k=64 has relative standard error ~1/sqrt(k-2) ≈ 12.7%;
     assert every group's estimate is within 4 standard errors (plus the
