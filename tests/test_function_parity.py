@@ -76,3 +76,52 @@ def test_fragment_parity(name, spark):
             spark_rows[i],
             duck_rows[i],
         )
+
+
+DATE_EDGES = [
+    # ISO-week/year boundaries incl. leap years and century rules
+    "1995-01-01", "1995-12-31", "1996-02-29", "1996-12-29", "1996-12-30",
+    "1998-12-28", "1999-01-03", "2000-01-01", "2000-02-29", "2000-12-31",
+    "2001-01-01", "2004-12-26", "2005-01-02", "2015-12-28", "2016-01-04",
+    "2020-12-31", "2021-01-01", "2024-02-29", "2024-12-30", "2026-01-01",
+]
+
+
+def test_datetime_surface_parity_on_year_boundaries(spark):
+    """The calendar-function contract (sql_datetime_fn_surface) on
+    adversarial dates the sampled orders rows may never hit: ISO week
+    numbering around Dec 28 - Jan 4, leap days, century leap rules,
+    month-end clamping. Both dialect renderings must agree cell for
+    cell."""
+    from aws_localstack_stream_processing_spark.plans.pipeline_ops import (
+        _datetime_surface_sql,
+    )
+
+    def probe(d: str) -> str:
+        # re-point the shared template at a VALUES relation shaped like
+        # orders (o_orderkey % 97 = 0 keeps every probe row)
+        sql = _datetime_surface_sql(d)
+        tbl = "slsp_orders" if d == "spark" else "orders"
+        return sql.replace(tbl, "parity_dates")
+
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": [97 * (i + 1) for i in range(len(DATE_EDGES))],
+            "o_orderdate": pd.to_datetime(DATE_EDGES),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("parity_dates")
+    spark_rows = {
+        r[0]: tuple(r[1:]) for r in spark.sql(probe("spark")).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("parity_dates", pdf)
+    duck_rows = {r[0]: tuple(r[1:]) for r in con.execute(probe("duck")).fetchall()}
+    con.close()
+
+    assert spark_rows.keys() == duck_rows.keys()
+    assert len(spark_rows) == len(DATE_EDGES)
+    for k in spark_rows:
+        assert spark_rows[k] == duck_rows[k], (k, spark_rows[k], duck_rows[k])
