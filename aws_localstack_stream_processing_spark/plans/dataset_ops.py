@@ -203,7 +203,8 @@ SELECT COALESCE(a.k, b.k) AS o_orderkey,
        CASE WHEN a.k IS NULL THEN 'added'
             WHEN b.k IS NULL THEN 'removed'
             ELSE 'changed' END AS change,
-       a.price AS old_price, b.price AS new_price
+       CAST(a.price AS DOUBLE) AS old_price,
+       CAST(b.price AS DOUBLE) AS new_price
 FROM snap_a a FULL OUTER JOIN snap_b b ON a.k = b.k
 WHERE a.k IS NULL OR b.k IS NULL
    OR a.price <> b.price OR a.status <> b.status
@@ -215,6 +216,9 @@ ORDER BY o_orderkey
 def lake_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-to-snapshot table diff (the read side of CDC): classify
     every key as added / removed / changed with one full-outer join.
+    Prices compute in DECIMAL(18,2) (exact compare) but emit as DOUBLE —
+    the repo-wide output convention, so the driver's canonicalizer never
+    sees engine-specific decimal renderings (the r03 hash-FAIL mode).
     Both snapshots hash-partition on the key, so the join is the only
     shuffle regardless of table size; at 100 TB the row comparison
     becomes a per-row content hash computed in the same scan (see

@@ -106,6 +106,7 @@ def all_queries() -> dict[str, QueryDef]:
     # backlog before brand-new queries.
     from . import dataset_ops  # noqa: F401
     from . import pipeline_ops  # noqa: F401
+    from . import curation_ops  # noqa: F401
 
     counts = _correctness_counts()
     names = list(QUERIES)

@@ -122,6 +122,12 @@ def main() -> None:
         "emb_ivfpq_search",
         "lake_mor_delete_read",
         "sim_ann_ivf_recall_eval",
+        "text_boilerplate_ngrams",
+        "text_dup_span_fraction",
+        "emb_matryoshka_recall",
+        "sketch_theta_union",
+        "profile_outlier_mad",
+        "scale_range_boundaries",
     ]
     ext_times: dict[str, float] = {}
     for name in ext_names:

@@ -434,3 +434,38 @@ def test_benford_single_scan_no_python(spark):
     _, executed = _plan(spark, "profile_benford_check")
     assert executed.count("events.parquet") == 1
     assert "EvalPython" not in executed
+
+
+def test_curation_ops_windows_partitioned(spark):
+    """Round-4 curation operators: every window carries a partition spec
+    (boilerplate ranks on source, recall evals on query id, MAD medians
+    on event_type, range boundaries on the value bucket) — nothing in
+    the family collapses to a single-partition sort at scale."""
+    for name in (
+        "text_boilerplate_ngrams",
+        "text_dup_span_fraction",
+        "emb_matryoshka_recall",
+        "emb_ivf_balance_stats",
+        "sketch_theta_union",
+        "profile_outlier_mad",
+        "scale_range_boundaries",
+    ):
+        _, executed = _plan(spark, name)
+        _assert_all_windows_partitioned(executed, name)
+
+
+def test_reservoir_sample_heap_topk_no_shuffle(spark):
+    """The deterministic hash-rank sample must execute as
+    TakeOrderedAndProject (per-partition heap of k rows, driver merge):
+    no global sort, no shuffle exchange anywhere in the plan."""
+    _, executed = _plan(spark, "sketch_reservoir_sample")
+    assert "TakeOrderedAndProject" in executed
+    assert "Exchange" not in executed
+
+
+def test_dup_span_no_python_single_doc_scan(spark):
+    """Span expansion is pure codegen (no Python eval) and the documents
+    table is scanned once per side of the frequency join."""
+    _, executed = _plan(spark, "text_dup_span_fraction")
+    assert "EvalPython" not in executed
+    assert "InPandas" not in executed
