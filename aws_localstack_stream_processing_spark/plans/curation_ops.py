@@ -182,6 +182,11 @@ _MRL_K = 5
 
 
 def _mrl_recall_sql(d: str) -> str:
+    # Both rankings ride ONE query x corpus pass: the full-dim and
+    # truncated similarities are two columns of the same joined row, and
+    # two stacked rank windows (same partitioning, different order) give
+    # rf/rt side by side — so the top-k intersection is the same-row
+    # predicate rf<=k AND rt<=k, no rank-set self-join.
     return f"""
 WITH base AS (
   SELECT vec_id, {to_double_arr('embedding', d)} AS emb
@@ -193,41 +198,33 @@ normed AS (
          sqrt({dot('emb', 'emb', _MRL_DIM, d)}) AS tnrm
   FROM base
 ),
-exact AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY q.vec_id
-             ORDER BY {dot('q.emb', 'n.emb', DIM, d)} / (q.nrm * n.nrm) DESC,
-                      n.vec_id
-           ) AS rnk
-    FROM normed q JOIN normed n ON q.vec_id <> n.vec_id
-    WHERE q.vec_id % {_MRL_QMOD} = 0
-  ) r WHERE rnk <= {_MRL_K}
+pairs AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         {dot('q.emb', 'n.emb', DIM, d)} / (q.nrm * n.nrm) AS full_sim,
+         {dot('q.emb', 'n.emb', _MRL_DIM, d)} / (q.tnrm * n.tnrm) AS trunc_sim
+  FROM normed q JOIN normed n ON q.vec_id <> n.vec_id
+  WHERE q.vec_id % {_MRL_QMOD} = 0
 ),
-trunc AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY q.vec_id
-             ORDER BY {dot('q.emb', 'n.emb', _MRL_DIM, d)} / (q.tnrm * n.tnrm)
-                        DESC,
-                      n.vec_id
-           ) AS rnk
-    FROM normed q JOIN normed n ON q.vec_id <> n.vec_id
-    WHERE q.vec_id % {_MRL_QMOD} = 0
-  ) r WHERE rnk <= {_MRL_K}
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY full_sim DESC, neighbor_id
+         ) AS rf,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY trunc_sim DESC, neighbor_id
+         ) AS rt
+  FROM pairs
 )
-SELECT e.query_id,
-       CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hits,
+SELECT query_id,
+       CAST(SUM(CASE WHEN rf <= {_MRL_K} AND rt <= {_MRL_K}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
        CAST({_MRL_K} AS BIGINT) AS k,
-       round(CAST(COUNT(t.neighbor_id) AS DOUBLE) / {_MRL_K}, 6)
+       round(CAST(SUM(CASE WHEN rf <= {_MRL_K} AND rt <= {_MRL_K}
+                           THEN 1 ELSE 0 END) AS DOUBLE) / {_MRL_K}, 6)
          AS recall_at_k
-FROM exact e
-LEFT JOIN trunc t
-  ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
-GROUP BY e.query_id
-ORDER BY e.query_id
+FROM ranked
+GROUP BY query_id
+ORDER BY query_id
 """
 
 
@@ -242,11 +239,13 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Learning (Kusupati et al. 2022, public): MRL-trained embeddings are
     served truncated to a prefix of their dimensions, trading 4× less
     vector I/O for a measurable recall hit, and this query measures that
-    hit per query. Both rankings share one normalisation pass (full and
-    prefix norms computed side by side in a single projection); windows
-    partition on the query id; the corpus-side joins broadcast the tiny
-    query set. At 100 TB the truncated pass reads a quarter of the
-    vector bytes — exactly the production motivation."""
+    hit per query. Both rankings share ONE query x corpus join (the two
+    similarities are columns of the same row) and two stacked windows on
+    the same query-id partitioning — one shuffle, two sorts — so the
+    top-k intersection is a same-row predicate, never a rank-set
+    self-join. The corpus-side join broadcasts the tiny query set. At
+    100 TB the truncated serving pass reads a quarter of the vector
+    bytes — exactly the production motivation."""
     views(spark, sf_dir, "embeddings")
     return spark.sql(_mrl_recall_sql("spark"))
 
