@@ -107,6 +107,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import dataset_ops  # noqa: F401
     from . import pipeline_ops  # noqa: F401
     from . import curation_ops  # noqa: F401
+    from . import analytics_ops  # noqa: F401
 
     counts = _correctness_counts()
     names = list(QUERIES)

@@ -539,3 +539,85 @@ def stream_topk_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(3)
     )
     return _to_memory(agg, "complete")
+
+
+def _ss_left_join_sql(d: str) -> str:
+    ival = "INTERVAL 10 MINUTES" if d == "spark" else "INTERVAL 10 MINUTE"
+    wm30 = "INTERVAL 30 MINUTES" if d == "spark" else "INTERVAL 30 MINUTE"
+    return f"""
+WITH c AS (
+  SELECT user_id, ts FROM {tbl('events', d)} WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, ts FROM {tbl('events', d)} WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT CASE WHEN cm.m < pm.m THEN cm.m ELSE pm.m END - {wm30} AS w
+  FROM (SELECT MAX(ts) AS m FROM c) cm
+  CROSS JOIN (SELECT MAX(ts) AS m FROM p) pm
+),
+matched AS (
+  SELECT c.user_id, c.ts AS c_ts, p.ts AS p_ts
+  FROM c JOIN p
+    ON c.user_id = p.user_id
+   AND p.ts >= c.ts AND p.ts <= c.ts + {ival}
+),
+unmatched AS (
+  SELECT c.user_id, c.ts AS c_ts, CAST(NULL AS TIMESTAMP) AS p_ts
+  FROM c LEFT JOIN p
+    ON c.user_id = p.user_id
+   AND p.ts >= c.ts AND p.ts <= c.ts + {ival}
+  CROSS JOIN wm
+  WHERE p.user_id IS NULL AND c.ts + {ival} < wm.w
+)
+SELECT user_id, {ts_str_us('c_ts', d)} AS click_ts,
+       {ts_str_us('p_ts', d)} AS purchase_ts
+FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched) u
+"""
+
+
+@query(
+    "stream_left_outer_join",
+    oracle=_ss_left_join_sql("duck"),
+    tags=("streaming", "join"),
+)
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the watermark-gated null-emission
+    half of SURVEY §2.6's join family: every click joins purchases of
+    the same user within 10 minutes, and clicks that never match emit a
+    null purchase row once the global watermark (min of both sides'
+    max-event-time minus the 30-minute delay) passes the end of their
+    join window, proving no future match can arrive. That gate is what
+    bounds the outer-join state at 100 TB/day — unmatched rows leave
+    state the moment the watermark clears them, instead of accumulating
+    forever. The bounded test stream makes the emission set
+    deterministic: the batch oracle reproduces the exact watermark
+    arithmetic (unmatched clicks appear iff c_ts + 10min < W), so the
+    driver verifies the engine's actual eviction semantics, not just the
+    happy inner path."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter("event_type = 'click'")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter("event_type = 'purchase'")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + interval 10 minutes"
+        ),
+        "leftOuter",
+    )
+    out = joined.select(
+        F.col("c_user").alias("user_id"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+    )
+    return _to_memory(out, "append")

@@ -469,3 +469,41 @@ def test_dup_span_no_python_single_doc_scan(spark):
     _, executed = _plan(spark, "text_dup_span_fraction")
     assert "EvalPython" not in executed
     assert "InPandas" not in executed
+
+
+def test_analytics_ops_windows_partitioned(spark):
+    """Round-4 analytics operators: every window partitions (islands and
+    attribution on user_id, stratified sample on lang, KS ECDF on the
+    value bucket)."""
+    for name in (
+        "sql_gaps_islands",
+        "data_stratified_sample",
+        "profile_ks_drift",
+        "attribution_last_touch",
+    ):
+        _, executed = _plan(spark, name)
+        _assert_all_windows_partitioned(executed, name)
+
+
+def test_latest_compact_is_aggregation_not_window(spark):
+    """CDC latest-row compaction must plan as a (partial-combinable)
+    aggregation on the recency key — no window, no sort of the
+    changelog."""
+    _, executed = _plan(spark, "cdc_latest_compact")
+    assert "Window" not in executed.replace("WindowGroupLimit", "")
+    assert "Aggregate" in executed
+
+
+def test_ks_drift_top1_heap_no_global_sort(spark):
+    """The KS argmax is a TakeOrdered top-1 over the ECDF rows; the only
+    sorts allowed are the within-bucket window sorts."""
+    _, executed = _plan(spark, "profile_ks_drift")
+    assert "TakeOrderedAndProject" in executed
+
+
+def test_bpe_pairs_heap_topk(spark):
+    """BPE merge candidates: pair counting is a hash aggregation and the
+    ranking is a per-partition heap, never a global sort."""
+    _, executed = _plan(spark, "text_bpe_merge_candidates")
+    assert "TakeOrderedAndProject" in executed
+    assert "EvalPython" not in executed
