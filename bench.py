@@ -128,6 +128,14 @@ def main() -> None:
         "sketch_theta_union",
         "profile_outlier_mad",
         "scale_range_boundaries",
+        # round-4 wave 2
+        "er_blocking_fuzzy_join",
+        "rag_hybrid_rrf",
+        "profile_correlation_matrix",
+        "profile_entropy",
+        "seq_markov_transitions",
+        "profile_quantile_bins",
+        "ts_autocorr",
     ]
     ext_times: dict[str, float] = {}
     for name in ext_names:

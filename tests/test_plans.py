@@ -507,3 +507,60 @@ def test_bpe_pairs_heap_topk(spark):
     _, executed = _plan(spark, "text_bpe_merge_candidates")
     assert "TakeOrderedAndProject" in executed
     assert "EvalPython" not in executed
+
+
+def test_er_blocking_is_equi_join_not_cartesian(spark):
+    """Entity-resolution blocking must candidate-generate through a hash
+    equi-join on the blocking key — a cartesian or broadcast-nested-loop
+    fallback would be the O(n^2) plan blocking exists to avoid. The
+    levenshtein verify runs as a post-join filter in codegen, not Python."""
+    plan, executed = _plan(spark, "er_blocking_fuzzy_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in executed
+    assert "InPandas" not in executed
+
+
+def test_markov_and_autocorr_windows_partitioned(spark):
+    """The sequence LEAD (per user) and the series LAG (per event type)
+    must carry partition specs — neither collapses to a global sort."""
+    for name in ("seq_markov_transitions", "ts_autocorr"):
+        _, executed = _plan(spark, name)
+        _assert_all_windows_partitioned(executed, name)
+
+
+def test_correlation_matrix_single_scan_no_window(spark):
+    """All sums / squares / cross-products for the correlation matrix
+    come from ONE aggregation over one scan of lineitem: no window, no
+    join, no second scan."""
+    _, executed = _plan(spark, "profile_correlation_matrix")
+    assert executed.count("Scan parquet") == 1
+    assert "Window" not in executed.replace("WindowGroupLimit", "")
+    assert "Join" not in executed
+
+
+def test_entropy_pure_aggregation_no_python(spark):
+    """Entropy profiling is two stacked aggregations per column union —
+    no Python eval and no window anywhere."""
+    _, executed = _plan(spark, "profile_entropy")
+    assert "EvalPython" not in executed
+    assert "InPandas" not in executed
+    assert "Window" not in executed.replace("WindowGroupLimit", "")
+
+
+def test_hybrid_rrf_candidate_bounded(spark):
+    """Both retrieval sides must end in TakeOrdered candidate heaps
+    before any rank window runs, so the single-partition rank windows
+    see at most 2 x candidate-depth rows regardless of corpus size."""
+    _, executed = _plan(spark, "rag_hybrid_rrf")
+    assert executed.count("TakeOrderedAndProject") >= 2
+    assert "EvalPython" not in executed
+    assert "CartesianProduct" not in executed
+
+
+def test_quantile_bins_broadcast_boundaries(spark):
+    """The one-row quartile boundary table must broadcast into the
+    binning scan (never shuffle the fact side for it)."""
+    plan, executed = _plan(spark, "profile_quantile_bins")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in executed
+    assert "EvalPython" not in executed
