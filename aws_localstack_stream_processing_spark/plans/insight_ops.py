@@ -62,7 +62,12 @@ def er_blocking_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen on the JVM. At 100 TB the knob is the blocking
     key's selectivity (add p_size or a name-prefix to split hot
     blocks); the per-block match stats returned here are exactly the
-    monitoring signal for that tuning loop."""
+    monitoring signal for that tuning loop.
+
+    ASCII contract: Spark's levenshtein counts code points but DuckDB's
+    counts BYTES, so the two-dialect template is only bit-equal on
+    ASCII names (pinned in test_function_parity.py); a unicode corpus
+    would fold to ASCII in the blocking projection first."""
     views(spark, sf_dir, "part")
     return spark.sql(_er_blocking_sql("spark"))
 

@@ -125,3 +125,79 @@ def test_datetime_surface_parity_on_year_boundaries(spark):
     assert len(spark_rows) == len(DATE_EDGES)
     for k in spark_rows:
         assert spark_rows[k] == duck_rows[k], (k, spark_rows[k], duck_rows[k])
+
+
+LEV_PAIRS = [
+    ("", ""), ("", "abc"), ("abc", ""), ("abc", "abc"),
+    ("kitten", "sitting"), ("flaw", "lawn"),
+    ("red widget", "blue widget"), ("small ring", "small king"),
+    ("a" * 200, "a" * 199 + "b"), ("ab" * 100, "ba" * 100),
+    ("quote'single", 'quote"single'), ("tab\tsep", "tab sep"),
+    ("repeat repeat repeat", "repeat repaet repeat"),
+]
+
+
+def test_levenshtein_parity(spark):
+    """er_blocking_fuzzy_join's verify predicate rests on both engines
+    computing the SAME edit distance — classic unit-cost Levenshtein,
+    probed on empty/transposition/long-string adversarial pairs.
+
+    ASCII ONLY by contract: DuckDB's levenshtein counts BYTES while
+    Spark counts code points ('ümlaut café' vs the unaccented form is 2
+    in Spark, 4 in DuckDB — verified divergent). The ER operator's
+    docstring carries the restriction; a unicode corpus would normalize
+    or strip to ASCII in the blocking stage first."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"i": range(len(LEV_PAIRS)),
+         "a": [a for a, _ in LEV_PAIRS],
+         "b": [b for _, b in LEV_PAIRS]}
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("lev_in")
+    s = {r.i: r.v for r in spark.sql(
+        "SELECT i, levenshtein(a, b) AS v FROM lev_in").collect()}
+    con = duckdb.connect()
+    con.register("lev_in", pdf)
+    d = dict(con.execute("SELECT i, levenshtein(a, b) FROM lev_in").fetchall())
+    con.close()
+    for i in s:
+        assert s[i] == d[i], (LEV_PAIRS[i], s[i], d[i])
+
+
+def test_ln_and_percentile_disc_parity(spark):
+    """profile_entropy divides two BIGINT counts and takes ln();
+    profile_quantile_bins picks discrete quantiles. Pin that (a) ln of
+    count ratios is bit-identical across engines, and (b) percentile_disc
+    returns the same actual data value (never interpolates) for even and
+    odd populations and for values with non-terminating binary fractions."""
+    import math
+    import pandas as pd
+
+    ratios = [(n, t) for t in (3, 7, 10, 997, 12345) for n in (1, 2, t - 1, t)]
+    pdf = pd.DataFrame({"i": range(len(ratios)),
+                        "n": [n for n, _ in ratios],
+                        "t": [t for _, t in ratios]})
+    spark.createDataFrame(pdf).createOrReplaceTempView("ln_in")
+    expr = "ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE))"
+    s = {r.i: r.v for r in spark.sql(
+        f"SELECT i, {expr} AS v FROM ln_in").collect()}
+    con = duckdb.connect()
+    con.register("ln_in", pdf)
+    d = dict(con.execute(f"SELECT i, {expr} FROM ln_in").fetchall())
+    for i in s:
+        assert s[i] == d[i] and s[i] == math.log(ratios[i][0] / ratios[i][1])
+
+    vals = [0.1, 0.2, 0.3, 100.7, 100.71, 1e9 + 0.07, -5.3, 0.0, 7.5]
+    vdf = pd.DataFrame({"x": vals})
+    spark.createDataFrame(vdf).createOrReplaceTempView("pd_in")
+    q = ("SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY x) AS q1, "
+         "percentile_disc(0.50) WITHIN GROUP (ORDER BY x) AS q2, "
+         "percentile_disc(0.75) WITHIN GROUP (ORDER BY x) AS q3 FROM pd_in")
+    srow = spark.sql(q).collect()[0]
+    con.register("pd_in", vdf)
+    drow = con.execute(q).fetchone()
+    con.close()
+    sv = sorted(vals)
+    assert (srow.q1, srow.q2, srow.q3) == tuple(drow)
+    assert {srow.q1, srow.q2, srow.q3} <= set(sv)
