@@ -564,3 +564,45 @@ def test_quantile_bins_broadcast_boundaries(spark):
     plan, executed = _plan(spark, "profile_quantile_bins")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in executed
     assert "EvalPython" not in executed
+
+
+# --- registry-wide plan lint ---------------------------------------------
+#
+# The per-query assertions above pin the plans that earn their shape; this
+# sweep pins the three properties EVERY batch query must hold at 100 TB:
+# no row-at-a-time Python eval, no cartesian product, and no
+# single-partition window — so a future query can't quietly regress one.
+
+# Deliberate exceptions, each with its scale rationale:
+_LINT_ALLOW_PYTHON_ROW = {
+    # The Python-UDTF SQL-surface showcase: UDTF evaluation is the
+    # operator under test (Spark plans it as BatchEvalPythonUDTF).
+    "sql_python_udtf",
+}
+_LINT_ALLOW_GLOBAL_WINDOW = {
+    # Global rank over the CANDIDATE set only (never the corpus): BM25/RRF
+    # candidates are bounded by query-term selectivity plus the hot-term
+    # doc-frequency guard, so the windowed rows are O(candidates), not O(n).
+    "rag_rrf_fusion",
+    "rag_hybrid_rrf",
+}
+
+
+def test_registry_wide_plan_lint(spark):
+    from aws_localstack_stream_processing_spark.plans import all_queries
+
+    failures = []
+    for name, qd in all_queries().items():
+        if name.startswith("stream_"):
+            continue  # streaming plans are asserted in test_streaming.py
+        executed = qd.fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in executed and name not in _LINT_ALLOW_PYTHON_ROW:
+            failures.append(f"{name}: row-at-a-time Python eval")
+        if "CartesianProduct" in executed:
+            failures.append(f"{name}: cartesian product")
+        if name not in _LINT_ALLOW_GLOBAL_WINDOW:
+            try:
+                _assert_all_windows_partitioned(executed, name)
+            except AssertionError as exc:
+                failures.append(str(exc).splitlines()[0])
+    assert not failures, "\n".join(failures)
