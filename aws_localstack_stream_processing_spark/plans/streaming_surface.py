@@ -621,3 +621,76 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
     )
     return _to_memory(out, "append")
+
+
+def _firehose_sql(d: str) -> str:
+    from ..functions import hashing
+    from .dialect import s
+
+    key = s("event_id", d)
+    part = f"concat('partition_', {s(f'{hashing.djb2_js(key, d)} % 5', d)})"
+    return f"""
+WITH assigned AS (
+  SELECT {part} AS partition, event_id,
+         CAST(value AS DECIMAL(28, 6)) AS v
+  FROM {tbl('events', d)}
+)
+SELECT partition,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_keys,
+       CAST(SUM(v) AS DOUBLE) AS sum_value
+FROM assigned
+GROUP BY partition
+"""
+
+
+@query(
+    "stream_firehose_directput",
+    oracle=_firehose_sql("duck"),
+    tags=("streaming", "source", "connector"),
+)
+def stream_firehose_directput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 through a first-class pluggable connector: DirectPut record
+    envelopes arrive via the Spark 4 Python DataSource
+    (:mod:`..sources.firehose_datasource`), are decoded with the same
+    P1/P2/P3/P6/U1 pipeline the partitioner Lambda runs
+    (partitioner/index.js:40-65), and aggregate per logical partition —
+    counts, distinct keys (two-level streaming distinct), and an exact
+    decimal sum of the decoded payload values, all equal to the
+    relational oracle over the put log's backing table. This pins the
+    whole connector path: envelope encode → offset-planned parallel read
+    → base64/JSON decode → partition routing."""
+    from ..functions import hashing
+    from ..sources.firehose_datasource import register_firehose_source
+
+    register_firehose_source(spark)
+    raw = (
+        spark.readStream.format("firehose_sim")
+        .option("path", f"{sf_dir.rstrip('/')}/events.parquet")
+        .option("numPartitions", "8")
+        .load()
+    )
+    keyed = raw.select(
+        F.unbase64("data").cast("string").alias("payload")
+    ).select(
+        F.get_json_object("payload", "$.id").alias("rec_key"),
+        F.get_json_object("payload", "$.value")
+        .cast("decimal(28,6)")
+        .alias("v"),
+    )
+    assigned = keyed.withColumn(
+        "partition",
+        F.concat(
+            F.lit("partition_"),
+            (F.expr(hashing.djb2_js("rec_key", "spark")) % 5).cast("string"),
+        ),
+    )
+    pre = assigned.groupBy("partition", "rec_key").agg(
+        F.count("*").alias("cnt"), F.sum("v").alias("v")
+    )
+    sunk = _to_memory(pre, "complete")
+    return sunk.groupBy("partition").agg(
+        F.sum("cnt").cast("bigint").alias("n_records"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("v").cast("double").alias("sum_value"),
+    )

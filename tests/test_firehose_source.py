@@ -1,0 +1,111 @@
+"""The DirectPut connector (Spark 4 Python DataSource): envelope shape,
+batch/stream parity, and row-group-pruned partition planning."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from aws_localstack_stream_processing_spark.sources.firehose_datasource import (
+    _read_rows,
+    _split,
+    register_firehose_source,
+)
+
+from .conftest import SF_DIR
+
+EVENTS = f"{SF_DIR}/events.parquet"
+
+
+def test_split_covers_range_exactly():
+    parts = _split(0, 1000, 8)
+    assert [p.start for p in parts][0] == 0 and parts[-1].end == 1000
+    covered = sum(p.end - p.start for p in parts)
+    assert covered == 1000
+    for a, b in zip(parts, parts[1:]):
+        assert a.end == b.start  # contiguous, no overlap
+    assert _split(5, 5, 4) == []  # empty range → no partitions
+    assert len(_split(0, 3, 8)) == 3  # never more partitions than rows
+
+
+def test_batch_read_roundtrip(spark):
+    register_firehose_source(spark)
+    df = (
+        spark.read.format("firehose_sim")
+        .option("path", EVENTS)
+        .option("numPartitions", 4)
+        .load()
+    )
+    src = pq.read_table(EVENTS)
+    assert df.count() == src.num_rows
+    row = df.orderBy("recordId").first()
+    payload = json.loads(base64.b64decode(row.data))
+    first = src.slice(0, 1).to_pylist()[0]
+    assert payload["id"] == first["event_id"]
+    assert payload["event_type"] == first["event_type"]
+    assert payload["value"] == first["value"]
+    assert row.arrival == first["ts"]
+
+
+def test_stream_equals_batch(spark):
+    register_firehose_source(spark)
+    batch = (
+        spark.read.format("firehose_sim").option("path", EVENTS).load()
+    )
+    q = (
+        spark.readStream.format("firehose_sim")
+        .option("path", EVENTS)
+        .load()
+        .writeStream.format("memory")
+        .queryName("fh_parity")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.table("fh_parity")
+    assert streamed.count() == batch.count()
+    assert (
+        streamed.exceptAll(batch).count() == 0
+        and batch.exceptAll(streamed).count() == 0
+    )
+
+
+def test_read_prunes_to_overlapping_row_groups(tmp_path):
+    # 100 rows in 4 row groups of 25; a [30, 55) range must touch only
+    # groups 1-2, and the emitted sequence numbers must match the range
+    path = str(tmp_path / "log.parquet")
+    table = pa.table(
+        {
+            "event_id": list(range(100)),
+            "ts": [None] * 100,
+            "user_id": [1] * 100,
+            "event_type": ["click"] * 100,
+            "value": [float(i) for i in range(100)],
+        }
+    )
+    pq.write_table(table, path, row_group_size=25)
+    rows = list(_read_rows(path, 30, 55))
+    assert len(rows) == 25
+    assert rows[0][0] == "rec-000000000030"
+    assert rows[-1][0] == "rec-000000000054"
+    ids = [json.loads(base64.b64decode(r[1]))["id"] for r in rows]
+    assert ids == list(range(30, 55))
+    assert list(_read_rows(path, 100, 100)) == []
+
+
+@pytest.mark.parametrize("n", [1, 3, 8])
+def test_partition_counts_respected(spark, n):
+    register_firehose_source(spark)
+    df = (
+        spark.read.format("firehose_sim")
+        .option("path", EVENTS)
+        .option("numPartitions", n)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == n
+    assert df.count() == pq.ParquetFile(EVENTS).metadata.num_rows
