@@ -694,3 +694,95 @@ def stream_firehose_directput(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_keys"),
         F.sum("v").cast("double").alias("sum_value"),
     )
+
+
+def _kv_dedup_sql(d: str) -> str:
+    from ..functions import hashing
+    from .dialect import s
+
+    canon = (
+        f"concat_ws('|', {s('event_id', d)}, event_type, "
+        f"{s('value', d)}, {s('user_id', d)})"
+    )
+    return f"""
+WITH delivered AS (
+  SELECT * FROM {tbl('events', d)}
+  UNION ALL
+  SELECT * FROM {tbl('events', d)} WHERE event_id % 5 = 0
+)
+SELECT event_type,
+       CAST(COUNT(DISTINCT {hashing.sha256_hex(canon, d)}) AS BIGINT)
+         AS n_signed
+FROM delivered
+GROUP BY event_type
+"""
+
+
+@query(
+    "stream_kv_upsert_sink",
+    oracle=_kv_dedup_sql("duck"),
+    tags=("streaming", "sink", "connector"),
+)
+def stream_kv_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/T2 through the full connector loop: DirectPut records arrive via
+    the Python DataSource source with 20% simulated redelivery (a second
+    reader unioned in — at-least-once), each record keyed by its content
+    hash (signer/index.js:133-137), written through the ``kv_upsert``
+    DataSource writer's staged-file commit protocol, then read back with
+    last-writer-wins. The store must hold exactly one row per distinct
+    content hash — the DynamoDB-put convergence contract
+    (signer/index.js:229-242) — so per-type counts equal the relational
+    oracle's COUNT(DISTINCT sha256(canonical))."""
+    import tempfile
+
+    from ..sources.firehose_datasource import register_firehose_source
+    from ..sources.kv_sink_datasource import read_kv_table, register_kv_sink
+
+    register_firehose_source(spark)
+    register_kv_sink(spark)
+
+    def directput() -> DataFrame:
+        return (
+            spark.readStream.format("firehose_sim")
+            .option("path", f"{sf_dir.rstrip('/')}/events.parquet")
+            .option("numPartitions", "8")
+            .load()
+        )
+
+    redelivered = directput().union(
+        # at-least-once: the id % 5 = 0 slice arrives a second time (the
+        # ref_content_hash_dedup redelivery simulation, 20% of records)
+        directput().filter(
+            F.get_json_object(F.unbase64("data").cast("string"), "$.id")
+            .cast("bigint") % 5 == 0
+        )
+    )
+    decoded = redelivered.select(
+        F.unbase64("data").cast("string").alias("payload")
+    ).select(
+        F.get_json_object("payload", "$.id").cast("bigint").alias("event_id"),
+        F.get_json_object("payload", "$.event_type").alias("event_type"),
+        F.get_json_object("payload", "$.value").cast("double").alias("value"),
+        F.get_json_object("payload", "$.user_id").cast("bigint").alias("user_id"),
+    )
+    canon = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("event_type"),
+        F.col("value").cast("string"),
+        F.col("user_id").cast("string"),
+    )
+    keyed = decoded.select(F.sha2(canon, 256).alias("key"), "event_type")
+    store = tempfile.mkdtemp(prefix="slsp_kv_store_")
+    q = (
+        keyed.writeStream.format("kv_upsert")
+        .option("path", store)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="slsp_kv_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = read_kv_table(spark, store, "key")
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_signed")
+    )

@@ -1,0 +1,131 @@
+"""The kv_upsert DataSource writer: staged-file commit protocol, batch-id
+idempotence, and last-writer-wins read-back."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from aws_localstack_stream_processing_spark.sources.firehose_datasource import (
+    register_firehose_source,
+)
+from aws_localstack_stream_processing_spark.sources.kv_sink_datasource import (
+    _StagedFile,
+    committed_batches,
+    read_kv_table,
+    register_kv_sink,
+)
+
+from .conftest import SF_DIR
+
+EVENTS = f"{SF_DIR}/events.parquet"
+
+
+def test_batch_write_and_readback(spark, tmp_path):
+    register_kv_sink(spark)
+    out = str(tmp_path / "store")
+    src = (
+        spark.read.parquet(EVENTS)
+        .select(
+            F.col("event_id").cast("string").alias("key"),
+            "event_type",
+            F.col("value").cast("double").alias("value"),
+        )
+        .dropDuplicates(["key"])
+    )
+    src.write.format("kv_upsert").option("path", out).mode("append").save()
+    assert len(committed_batches(out)) == 1
+    back = read_kv_table(spark, out, "key")
+    assert back.count() == src.count()
+    mismatch = (
+        src.alias("a")
+        .join(back.alias("b"), "key")
+        .filter("a.event_type <> b.event_type OR a.value <> b.value")
+        .count()
+    )
+    assert mismatch == 0
+
+
+def test_stream_redelivery_converges(spark, tmp_path):
+    """Full redelivery (same data, fresh checkpoint, same store) must
+    converge: replayed batch ids republish over their previous commits."""
+    register_firehose_source(spark)
+    register_kv_sink(spark)
+    out = str(tmp_path / "store")
+
+    def run(ckpt: str) -> None:
+        df = (
+            spark.readStream.format("firehose_sim")
+            .option("path", EVENTS)
+            .option("numPartitions", 4)
+            .load()
+            .select(F.col("recordId").alias("key"), "data")
+        )
+        q = (
+            df.writeStream.format("kv_upsert")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run("ckpt1")
+    n_batches = len(committed_batches(out))
+    first = {r.key: r.data for r in read_kv_table(spark, out, "key").collect()}
+    run("ckpt2")  # lost checkpoint → full replay, same batch ids
+    assert len(committed_batches(out)) == n_batches
+    second = {r.key: r.data for r in read_kv_table(spark, out, "key").collect()}
+    assert first == second
+    assert len(second) == spark.read.parquet(EVENTS).count()
+
+
+def test_commit_is_idempotent_per_batch_id(spark, tmp_path):
+    from pyspark.sql.types import StructType
+
+    from aws_localstack_stream_processing_spark.sources.kv_sink_datasource import (
+        _KVStreamWriter,
+    )
+
+    out = str(tmp_path / "store")
+    schema = (
+        spark.read.parquet(EVENTS).select(F.lit("k").alias("key")).schema
+    )
+    w = _KVStreamWriter({"path": out}, schema)
+    assert isinstance(schema, StructType)
+
+    def stage(val: str) -> _StagedFile:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(f"{out}/_tmp", exist_ok=True)
+        p = f"{out}/_tmp/stage-{val}.parquet"
+        pq.write_table(pa.table({"key": [val]}), p)
+        return _StagedFile(p, 1)
+
+    w.commit([stage("a"), _StagedFile(None, 0)], 7)
+    w.commit([stage("a2")], 7)  # retry of the same batch id
+    assert len(committed_batches(out)) == 1
+    files = [
+        f
+        for f in os.listdir(f"{out}/batch=7")
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 1  # the retry replaced, not appended
+
+    msg = stage("z")
+    w.abort([msg], 8)
+    assert not os.path.exists(msg.path)
+    assert len(committed_batches(out)) == 1  # abort published nothing
+
+
+def test_uncommitted_batch_invisible_to_reader(spark, tmp_path):
+    out = str(tmp_path / "store")
+    os.makedirs(f"{out}/batch=0", exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"key": ["x"]}), f"{out}/batch=0/part-0.parquet")
+    # no _COMMITTED marker → crash mid-commit; reader must not see it
+    assert committed_batches(out) == []
