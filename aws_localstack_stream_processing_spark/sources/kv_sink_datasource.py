@@ -42,8 +42,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
-    DataSourceStreamWriter,
-    DataSourceWriter,
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     WriterCommitMessage,
 )
 
@@ -56,60 +56,32 @@ class _StagedFile(WriterCommitMessage):
         self.rows = rows
 
 
-def _arrow_schema(spark_schema):
-    """Spark StructType → pyarrow schema, so empty/all-null partitions
-    stage files with the same parquet schema as full ones."""
-    import pyarrow as pa
-
-    m = {
-        "string": pa.string(),
-        "bigint": pa.int64(),
-        "int": pa.int32(),
-        "double": pa.float64(),
-        "float": pa.float32(),
-        "boolean": pa.bool_(),
-        "binary": pa.binary(),
-        "timestamp": pa.timestamp("us"),
-        "timestamp_ntz": pa.timestamp("us"),
-        "date": pa.date32(),
-    }
-    fields = []
-    for f in spark_schema.fields:
-        t = f.dataType.simpleString()
-        if t.startswith("decimal"):
-            p, s = t[8:-1].split(",")
-            fields.append(pa.field(f.name, pa.decimal128(int(p), int(s))))
-        elif t in m:
-            fields.append(pa.field(f.name, m[t]))
-        else:
-            raise ValueError(f"kv_upsert: unsupported sink column type {t}")
-    return pa.schema(fields)
-
-
-class _KVWriter(DataSourceWriter):
+class _KVWriter(DataSourceArrowWriter):
     """Shared batch/stream writer body; the stream subclass only adds the
-    batchId-aware commit."""
+    batchId-aware commit. Arrow-batched end to end: executors receive
+    ``pyarrow.RecordBatch`` input and stage it with one columnar parquet
+    write — no per-row marshalling anywhere in the sink path."""
 
     def __init__(self, options: dict, schema):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("kv_upsert: the 'path' option is required")
-        self._schema = schema
+        self._schema = schema  # informational; batches carry their schema
 
     # -- executor side ----------------------------------------------------
     def write(self, iterator) -> _StagedFile:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        rows = [r.asDict() for r in iterator]
-        if not rows:
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
             return _StagedFile(None, 0)
         tmp_dir = os.path.join(self._path, "_tmp")
         os.makedirs(tmp_dir, exist_ok=True)
         staged = os.path.join(tmp_dir, f"stage-{uuid.uuid4().hex}.parquet")
-        table = pa.Table.from_pylist(rows, schema=_arrow_schema(self._schema))
+        table = pa.Table.from_batches(batches)
         pq.write_table(table, staged)
-        return _StagedFile(staged, len(rows))
+        return _StagedFile(staged, table.num_rows)
 
     # -- driver side ------------------------------------------------------
     def _publish(self, messages, batch_id: int) -> None:
@@ -139,7 +111,7 @@ class _KVWriter(DataSourceWriter):
         self._sweep(messages)
 
 
-class _KVStreamWriter(_KVWriter, DataSourceStreamWriter):
+class _KVStreamWriter(_KVWriter, DataSourceStreamArrowWriter):
     def commit(self, messages, batchId: int) -> None:
         self._publish(messages, batchId)
 
@@ -154,10 +126,10 @@ class KVUpsertDataSource(DataSource):
     def name(cls) -> str:
         return "kv_upsert"
 
-    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+    def writer(self, schema, overwrite: bool) -> DataSourceArrowWriter:
         return _KVWriter(self.options, schema)
 
-    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamArrowWriter:
         return _KVStreamWriter(self.options, schema)
 
 

@@ -136,6 +136,10 @@ def main() -> None:
         "seq_markov_transitions",
         "profile_quantile_bins",
         "ts_autocorr",
+        # round-4 connectors (full source→decode→sink loops, so these time
+        # the DataSource protocol overhead, not just the query plan)
+        "stream_firehose_directput",
+        "stream_kv_upsert_sink",
     ]
     ext_times: dict[str, float] = {}
     for name in ext_names:

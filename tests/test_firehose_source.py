@@ -89,11 +89,11 @@ def test_read_prunes_to_overlapping_row_groups(tmp_path):
         }
     )
     pq.write_table(table, path, row_group_size=25)
-    rows = list(_read_rows(path, 30, 55))
+    rows = [r for b in _read_rows(path, 30, 55) for r in b.to_pylist()]
     assert len(rows) == 25
-    assert rows[0][0] == "rec-000000000030"
-    assert rows[-1][0] == "rec-000000000054"
-    ids = [json.loads(base64.b64decode(r[1]))["id"] for r in rows]
+    assert rows[0]["recordId"] == "rec-000000000030"
+    assert rows[-1]["recordId"] == "rec-000000000054"
+    ids = [json.loads(base64.b64decode(r["data"]))["id"] for r in rows]
     assert ids == list(range(30, 55))
     assert list(_read_rows(path, 100, 100)) == []
 
