@@ -21,6 +21,34 @@ from .conftest import SF_DIR
 EVENTS = f"{SF_DIR}/events.parquet"
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    start=st.integers(0, 10_000_000),
+    length=st.integers(0, 1_000_000),
+    n=st.integers(1, 64),
+)
+def test_split_partition_algebra(start, length, n):
+    """Offset-range planning must tile [start, end) exactly for ANY
+    checkpointed range: contiguous, non-overlapping, fully covering —
+    the property that makes replay exactly-once."""
+    end = start + length
+    parts = _split(start, end, n)
+    if length == 0:
+        assert parts == []
+        return
+    assert parts[0].start == start and parts[-1].end == end
+    for a, b in zip(parts, parts[1:]):
+        assert a.end == b.start
+    assert all(p.end > p.start for p in parts)
+    assert len(parts) <= min(n, length)
+    sizes = [p.end - p.start for p in parts]
+    assert max(sizes) - min(sizes) <= 1 or max(sizes) == -(-length // len(parts))
+
+
 def test_split_covers_range_exactly():
     parts = _split(0, 1000, 8)
     assert [p.start for p in parts][0] == 0 and parts[-1].end == 1000
