@@ -855,8 +855,11 @@ FROM (SELECT vec_id, {to_double_arr('embedding', 'spark')} AS emb
     qcos = F.expr(dot("qemb", "emb", DIM, "spark")) / (
         F.col("qnrm") * F.col("nrm")
     )
+    # qprobe is |queries| * nprobe rows but window-derived (no stats), so
+    # Catalyst's initial plan falls back to a sort-merge join on cid; pin
+    # the broadcast — the probe list is always the tiny side of IVF search
     cand = (
-        qprobe.join(members, "cid")
+        F.broadcast(qprobe).join(members, "cid")
         .filter(F.col("vec_id") != F.col("qid"))
         .withColumn("cos_sim", qcos)
     )

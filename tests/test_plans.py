@@ -606,3 +606,13 @@ def test_registry_wide_plan_lint(spark):
             except AssertionError as exc:
                 failures.append(str(exc).splitlines()[0])
     assert not failures, "\n".join(failures)
+
+
+def test_ivf_probe_join_is_broadcast_not_smj(spark):
+    """The IVF probe list (|queries| * nprobe rows) must broadcast into the
+    cell-member join; without the explicit hint Catalyst's initial plan
+    falls back to a sort-merge join because the window-derived probe side
+    has no stats (found via the round-4 plan dossier)."""
+    plan, executed = _plan(spark, "sim_ann_ivf")
+    assert "SortMergeJoin" not in executed
+    assert executed.count("Exchange hashpartitioning") <= 3
