@@ -1891,7 +1891,7 @@ approx AS (
   FROM q JOIN normed n
     ON q.bucket = n.bucket AND q.vec_id <> n.vec_id
 )
-SELECT e.query_id,
+SELECT {"/*+ BROADCAST(a) */" if d == "spark" else ""} e.query_id,
        CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
        CAST({_RECALL_K} AS BIGINT) AS k,
        round(CAST(COUNT(a.neighbor_id) AS DOUBLE) / {_RECALL_K}, 6)
@@ -2031,7 +2031,9 @@ FROM (SELECT vec_id, {to_double_arr('embedding', 'spark')} AS emb
         .filter(F.col("rnk") <= _IVF_TOPK)
         .select(F.col("qid").alias("query_id"), F.col("vec_id").alias("neighbor_id"))
     )
-    hits = approx.withColumn("hit", F.lit(1))
+    # both sides are |queries| * k rows but window-derived (no stats) —
+    # without the hint the overlap join falls back to sort-merge
+    hits = F.broadcast(approx.withColumn("hit", F.lit(1)))
     return (
         exact.join(hits, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")

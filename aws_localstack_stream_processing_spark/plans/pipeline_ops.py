@@ -638,7 +638,9 @@ FROM {tbl('embeddings', 'spark')}
         .filter(F.col("rnk") <= _IVFPQ_TOPK)
         .select(F.col("qid").alias("query_id"), F.col("vec_id").alias("neighbor_id"))
     )
-    hits = approx.withColumn("hit", F.lit(1))
+    # window-derived |q| x k side, no stats: pin the broadcast or the
+    # overlap join sort-merges (same fix as sim_ann_ivf_recall_eval)
+    hits = F.broadcast(approx.withColumn("hit", F.lit(1)))
     return (
         exact.join(hits, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
@@ -719,12 +721,14 @@ FROM {tbl('embeddings', 'spark')}
             ],
         )
     )
-    cand = (
+    # the candidate list (|q| x cell-size x nprobe, serving-batch bounded)
+    # is window/broadcast-derived with no stats; pin its broadcast into the
+    # corpus-sized codes table so the join never sort-merges
+    cand = F.broadcast(
         qp.join(afull.withColumnRenamed("vec_id", "nid"), "cid")
         .filter(F.col("nid") != F.col("qid"))
         .select("qid", "nid")
-        .join(codes.withColumnRenamed("vec_id", "nid"), "nid")
-    )
+    ).join(codes.withColumnRenamed("vec_id", "nid"), "nid")
     adc = cand
     for m in range(_PQ_M):
         w = dt.select(
