@@ -1,0 +1,66 @@
+"""The scan-layout remediation cache (catalog._maybe_relayout): content
+preservation, skip conditions, idempotence, and the kill switch."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+
+from aws_localstack_stream_processing_spark.catalog import (
+    _MIN_ROWS_PER_GROUP,
+    _RELAYOUT_MIN_ROWS,
+    _layout_cache_root,
+    _maybe_relayout,
+)
+
+from .conftest import SF_DIR
+
+
+def test_small_tables_scan_in_place():
+    # region/nation are far below the relayout threshold: the catalog must
+    # hand back the original path untouched
+    for name in ("region", "nation"):
+        assert _maybe_relayout(SF_DIR, name) == f"{SF_DIR}/{name}.parquet"
+
+
+def test_relayout_is_byte_exact_and_multi_group():
+    src = f"{SF_DIR}/events.parquet"
+    out = _maybe_relayout(SF_DIR, "events")
+    if out == src:  # source already well-grouped on this driver build
+        assert pq.ParquetFile(src).metadata.num_row_groups > 1
+        return
+    a, b = pq.read_table(src), pq.read_table(out)
+    assert a.equals(b)  # values AND logical types identical, order preserved
+    assert a.schema.equals(b.schema)
+    meta = pq.ParquetFile(out).metadata
+    assert meta.num_row_groups > 1
+    assert all(
+        meta.row_group(i).num_rows >= _MIN_ROWS_PER_GROUP
+        for i in range(meta.num_row_groups - 1)
+    )
+
+
+def test_relayout_idempotent_no_rewrite():
+    out1 = _maybe_relayout(SF_DIR, "events")
+    if out1 == f"{SF_DIR}/events.parquet":
+        return  # nothing cached on this layout; covered above
+    mtime = os.path.getmtime(out1)
+    out2 = _maybe_relayout(SF_DIR, "events")
+    assert out2 == out1
+    assert os.path.getmtime(out2) == mtime  # cache hit, not a rewrite
+
+
+def test_kill_switch_scans_original():
+    os.environ["SPARK_GRAFT_LAYOUT_CACHE"] = "0"
+    try:
+        assert _maybe_relayout(SF_DIR, "events") == f"{SF_DIR}/events.parquet"
+    finally:
+        del os.environ["SPARK_GRAFT_LAYOUT_CACHE"]
+
+
+def test_threshold_constants_sane():
+    # the cache only pays off when a single task would otherwise scan the
+    # whole table; relaying tiny tables would just add file-open overhead
+    assert _RELAYOUT_MIN_ROWS >= 10 * _MIN_ROWS_PER_GROUP
+    assert os.path.basename(_layout_cache_root()) == ".layout_cache"
