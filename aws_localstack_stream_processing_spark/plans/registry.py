@@ -109,6 +109,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import curation_ops  # noqa: F401
     from . import analytics_ops  # noqa: F401
     from . import insight_ops  # noqa: F401
+    from . import signal_ops  # noqa: F401
 
     counts = _correctness_counts()
     names = list(QUERIES)
