@@ -140,6 +140,12 @@ def main() -> None:
         # the DataSource protocol overhead, not just the query plan)
         "stream_firehose_directput",
         "stream_kv_upsert_sink",
+        # round-4 wave 3 (statistical signals)
+        "llm_bigram_lm_score",
+        "ts_stl_decompose",
+        "profile_psi_drift",
+        "profile_mutual_information",
+        "attribution_linear_multi_touch",
     ]
     ext_times: dict[str, float] = {}
     for name in ext_names:
