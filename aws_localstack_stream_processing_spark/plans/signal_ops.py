@@ -494,3 +494,309 @@ def sql_agg_filter_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     must agree bit-for-bit on every conditional aggregate."""
     views(spark, sf_dir, "lineitem")
     return spark.sql(_agg_filter_sql("spark"))
+
+
+# ===========================================================================
+# Wave 4 — graph scoring, survival analysis, conversion latency, decayed
+# attribution, and the time-interval RANGE window frame surface.
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# graph_adamic_adar — inverse-log-degree link prediction.
+# ---------------------------------------------------------------------------
+
+_AA_COHORT_MOD = 20  # same query cohort as graph_jaccard_link_predict
+_AA_TOPN = 50
+
+
+def _adamic_adar_sql(d: str) -> str:
+    return f"""
+WITH fwd AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+  FROM {tbl('orders', d)} o JOIN {tbl('lineitem', d)} l
+    ON o.o_orderkey = l.l_orderkey
+),
+supp_deg AS (
+  SELECT supp, CAST(COUNT(*) AS BIGINT) AS sdeg FROM fwd GROUP BY supp
+),
+cohort AS (
+  SELECT cust, supp FROM fwd WHERE cust % {_AA_COHORT_MOD} = 0
+),
+wedges AS (
+  SELECT a.cust AS cust_a, b.cust AS cust_b, a.supp
+  FROM cohort a JOIN cohort b ON a.supp = b.supp AND a.cust < b.cust
+),
+terms AS (
+  SELECT w.cust_a, w.cust_b,
+         round(1.0 / ln(CAST(sd.sdeg AS DOUBLE)), 12) AS term
+  FROM wedges w JOIN supp_deg sd ON sd.supp = w.supp
+)
+SELECT cust_a, cust_b, CAST(COUNT(*) AS BIGINT) AS n_common,
+       round({dec_sum('term', 12)}, 6) AS adamic_adar
+FROM terms
+GROUP BY cust_a, cust_b
+ORDER BY adamic_adar DESC, cust_a, cust_b
+LIMIT {_AA_TOPN}
+"""
+
+
+@query(
+    "graph_adamic_adar",
+    oracle=_adamic_adar_sql("duck"),
+    tags=("graph", "similarity"),
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction (Adamic & Adar 2003, public) over the
+    customer↔supplier bipartite graph: candidate pairs share a supplier,
+    scored Σ 1/ln(degree(shared supplier)) so rare co-suppliers count
+    more than hubs — the weighting that separates AA from the plain
+    common-neighbor Jaccard of ``graph_jaccard_link_predict``. Any
+    shared supplier has global degree ≥ 2, so ln() never sees 1. 100 TB
+    shape identical to the Jaccard op: wedge equi-join through the
+    shared supplier restricted to the query cohort (cost ~ Σ per-supplier
+    cohort-degree², hub cost bounded by the inverse-log weight mattering
+    least exactly where degree is largest), per-term round-12 + DECIMAL
+    sum, TakeOrdered top-k."""
+    views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_adamic_adar_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# cohort_cumulative_hazard — Nelson–Aalen estimator per signup cohort.
+# ---------------------------------------------------------------------------
+
+
+def _hazard_epoch(ts: str, d: str) -> str:
+    if d == "spark":
+        return f"CAST(unix_timestamp({ts}) AS BIGINT)"
+    return f"CAST(floor(epoch({ts})) AS BIGINT)"
+
+
+def _hazard_sql(d: str) -> str:
+    wk = "CAST(day(s.signup_ts) AS BIGINT)"
+    return f"""
+WITH signup AS (
+  SELECT user_id, MIN(ts) AS signup_ts
+  FROM {tbl('events', d)} WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+  SELECT s.user_id, s.signup_ts, MIN(e.ts) AS conv_ts
+  FROM signup s JOIN {tbl('events', d)} e
+    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+   AND e.ts >= s.signup_ts
+  GROUP BY s.user_id, s.signup_ts
+),
+horizon AS (SELECT MAX(ts) AS tmax FROM {tbl('events', d)}),
+subjects AS (
+  SELECT {wk} AS cohort_day,
+         CASE WHEN c.conv_ts IS NOT NULL THEN
+           ({_hazard_epoch('c.conv_ts', d)} - {_hazard_epoch('s.signup_ts', d)})
+             {'DIV' if d == 'spark' else '//'} 86400
+         ELSE
+           ({_hazard_epoch('h.tmax', d)} - {_hazard_epoch('s.signup_ts', d)})
+             {'DIV' if d == 'spark' else '//'} 86400
+         END AS dur_days,
+         CASE WHEN c.conv_ts IS NOT NULL THEN 1 ELSE 0 END AS is_event
+  FROM signup s
+  LEFT JOIN conv c ON c.user_id = s.user_id
+  CROSS JOIN horizon h
+),
+per_day AS (
+  SELECT cohort_day, dur_days AS day,
+         CAST(SUM(is_event) AS BIGINT) AS d_events,
+         CAST(COUNT(*) AS BIGINT) AS leaving
+  FROM subjects GROUP BY cohort_day, dur_days
+),
+risk AS (
+  SELECT cohort_day, day, d_events,
+         CAST(SUM(leaving) OVER (
+           PARTITION BY cohort_day ORDER BY day DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS n_risk
+  FROM per_day
+)
+SELECT cohort_day, CAST(day AS BIGINT) AS day, n_risk, d_events,
+       round(CAST(SUM(CAST(round(
+               CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE), 12)
+             AS DECIMAL(28,12))) OVER (
+               PARTITION BY cohort_day ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS DOUBLE), 6) AS cum_hazard
+FROM risk
+WHERE day <= 14
+ORDER BY cohort_day, day
+"""
+
+
+@query("cohort_cumulative_hazard", oracle=_hazard_sql("duck"), tags=("analytics",))
+def cohort_cumulative_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard curve of signup→purchase conversion
+    per signup-day cohort (the test month spans one calendar month, so day-of-month is the cohort key) — the survival-analysis counterpart of
+    ``cohort_retention``: subjects enter at first signup, convert at
+    first subsequent purchase, and are right-censored at the observation
+    horizon. H(t) = Σ_{t_i≤t} d_i/n_i is chosen over Kaplan–Meier
+    because it is a SUM (round-12 terms through DECIMAL, bit-exact)
+    rather than a product. The risk set comes from a reverse cumulative
+    count over per-day exits; both running windows partition by cohort.
+    100 TB shape: two user-keyed aggregations collapse raw events to one
+    row per subject, then everything is |cohorts|×|days| rows; the
+    horizon scalar broadcasts."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_hazard_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# funnel_time_to_convert — conversion-latency percentiles per cohort.
+# ---------------------------------------------------------------------------
+
+
+def _ttc_sql(d: str) -> str:
+    return f"""
+WITH signup AS (
+  SELECT user_id, MIN(ts) AS signup_ts
+  FROM {tbl('events', d)} WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+  SELECT s.user_id, s.signup_ts, MIN(e.ts) AS conv_ts
+  FROM signup s JOIN {tbl('events', d)} e
+    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+   AND e.ts >= s.signup_ts
+  GROUP BY s.user_id, s.signup_ts
+),
+lat AS (
+  SELECT CAST(day(signup_ts) AS BIGINT) AS cohort_day,
+         ({_hazard_epoch('conv_ts', d)} - {_hazard_epoch('signup_ts', d)})
+           {'DIV' if d == 'spark' else '//'} 60 AS latency_min
+  FROM conv
+),
+n_all AS (
+  SELECT CAST(day(signup_ts) AS BIGINT) AS cohort_day,
+         CAST(COUNT(*) AS BIGINT) AS n_signups
+  FROM signup GROUP BY CAST(day(signup_ts) AS BIGINT)
+)
+SELECT a.cohort_day, a.n_signups,
+       CAST(COUNT(l.latency_min) AS BIGINT) AS n_converted,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l.latency_min)
+            AS BIGINT) AS p50_latency_min,
+       CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY l.latency_min)
+            AS BIGINT) AS p90_latency_min
+FROM n_all a LEFT JOIN lat l ON l.cohort_day = a.cohort_day
+GROUP BY a.cohort_day, a.n_signups
+ORDER BY a.cohort_day
+"""
+
+
+@query("funnel_time_to_convert", oracle=_ttc_sql("duck"), tags=("analytics",))
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→first-purchase conversion latency per signup-day cohort:
+    conversion counts plus exact p50/p90 latency minutes — the
+    time-dimension companion to ``funnel_conversion`` (stage counts) and
+    ``cohort_cumulative_hazard`` (full hazard curve). percentile_disc
+    returns an actual data value in both engines (no interpolation
+    arithmetic to diverge); latency lands on whole minutes via
+    integer-epoch subtraction and integer division. 100 TB shape:
+    user-keyed min aggregations collapse events to one row per subject,
+    the percentile sort runs inside each cohort partition, output is
+    |cohorts| rows."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_ttc_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# attribution_time_decay — dyadic time-decay credit shares.
+# ---------------------------------------------------------------------------
+
+
+def _decay_attr_sql(d: str) -> str:
+    idiv = "DIV" if d == "spark" else "//"
+    return f"""
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, {_hazard_epoch('ts', d)} AS cs
+  FROM {tbl('events', d)} WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, event_id AS purchase_id, value,
+         {_hazard_epoch('ts', d)} AS ps
+  FROM {tbl('events', d)} WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT p.user_id, p.purchase_id, p.value, c.click_id,
+         CASE (p.ps - c.cs) {idiv} 86400
+           WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 ELSE 0.25 END AS w
+  FROM purch p JOIN clicks c
+    ON c.user_id = p.user_id
+   AND c.cs <= p.ps AND c.cs > p.ps - {_ATTR_LOOKBACK_S}
+),
+per_purchase AS (
+  SELECT user_id, purchase_id, MIN(value) AS value,
+         CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS w_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_touches
+  FROM pairs GROUP BY user_id, purchase_id
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_credited_purchases,
+       CAST(SUM(n_touches) AS BIGINT) AS n_touches,
+       round(CAST(SUM(CAST(round(CAST(value AS DOUBLE), 12)
+                           AS DECIMAL(28,12))) AS DOUBLE), 6)
+         AS credited_value
+FROM per_purchase
+GROUP BY user_id
+ORDER BY credited_value DESC, user_id
+LIMIT 50
+"""
+
+
+@query("attribution_time_decay", oracle=_decay_attr_sql("duck"), tags=("analytics",))
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution with exact dyadic weights: clicks in the
+    3-day lookback before a purchase earn weight 1 / 0.5 / 0.25 by age
+    day — halving instead of exp(-λt) because powers of two are exact in
+    DECIMAL, so the weight normalization (the per-purchase w_sum both
+    engines must agree on) carries no libm dependence. Same
+    user_id-equi-join + in-key range predicate shape as
+    ``attribution_linear_multi_touch``; per-purchase weight sums and the
+    per-user rollup are map-side combinable; top-50 is TakeOrdered.
+    The decayed per-click share is w/w_sum — emitted here as the
+    per-purchase aggregate view (credited value + touch counts), the
+    form attribution dashboards actually read."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_decay_attr_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# sql_window_time_range_frames — interval RANGE frame parity.
+# ---------------------------------------------------------------------------
+
+
+def _time_range_sql(d: str) -> str:
+    return f"""
+WITH e AS (
+  SELECT event_id, event_type, date_trunc('second', ts) AS tsec, value
+  FROM {tbl('events', d)}
+  WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+)
+SELECT event_id, event_type, {ts_str('tsec', d)} AS ts_second,
+       CAST(COUNT(*) OVER w1h AS BIGINT) AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w1h AS DOUBLE)
+         AS sum_last_hour
+FROM e
+WINDOW w1h AS (PARTITION BY event_type ORDER BY tsec
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_type, tsec, event_id
+"""
+
+
+@query("sql_window_time_range_frames", oracle=_time_range_sql("duck"), tags=("sql",))
+def sql_window_time_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE window frames (``RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING AND CURRENT ROW``) — the sliding-by-time frame that
+    ``sql_window_frames`` (ROWS / numeric RANGE) does not touch, and the
+    batch analogue of the streaming sliding window. Timestamps are
+    truncated to whole seconds in both engines first, so frame
+    membership at the exact one-hour boundary cannot diverge between
+    DuckDB's nanosecond and Spark's microsecond precision; peers within
+    a second share frames per RANGE semantics, making every output value
+    order-independent. Window partitions by series key; the probed slice
+    is one bounded day, totally ordered."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_time_range_sql("spark"))

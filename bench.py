@@ -146,6 +146,8 @@ def main() -> None:
         "profile_psi_drift",
         "profile_mutual_information",
         "attribution_linear_multi_touch",
+        "graph_adamic_adar",
+        "cohort_cumulative_hazard",
     ]
     ext_times: dict[str, float] = {}
     for name in ext_names:
