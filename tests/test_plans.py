@@ -616,3 +616,37 @@ def test_ivf_probe_join_is_broadcast_not_smj(spark):
     plan, executed = _plan(spark, "sim_ann_ivf")
     assert "SortMergeJoin" not in executed
     assert executed.count("Exchange hashpartitioning") <= 3
+
+
+# --- round-4 wave 3/4: statistical-signal plans ---------------------------
+
+
+def test_bigram_lm_no_window_no_python(spark):
+    """The LM filter must stay a pure join/agg pipeline: corpus-wide
+    scoring through count-table equi-joins, never a window or Python."""
+    _, executed = _plan(spark, "llm_bigram_lm_score")
+    assert "Window" not in executed
+    assert "InPandas" not in executed and "BatchEvalPython" not in executed
+    assert "CartesianProduct" not in executed
+
+
+def test_attribution_topk_is_take_ordered(spark):
+    """Both attribution rollups end in TakeOrderedAndProject — the top-50
+    must never materialize as a global sort of all users."""
+    for name in ("attribution_linear_multi_touch", "attribution_time_decay"):
+        plan, _ = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_adamic_adar_take_ordered_no_cartesian(spark):
+    plan, executed = _plan(spark, "graph_adamic_adar")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in executed
+
+
+def test_time_range_frames_single_exchange(spark):
+    """The interval-RANGE window reuses one series-keyed exchange; the
+    filter on the probed day must reach the parquet scan."""
+    plan, executed = _plan(spark, "sql_window_time_range_frames")
+    assert executed.count("Exchange hashpartitioning") == 1
+    assert "PushedFilters: [" in plan and "ts" in plan.split("PushedFilters")[1][:200]
