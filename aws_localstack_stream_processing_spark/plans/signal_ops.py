@@ -800,3 +800,118 @@ def sql_window_time_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one bounded day, totally ordered."""
     views(spark, sf_dir, "events")
     return spark.sql(_time_range_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# emb_hard_negative_mining — contrastive-training negative selection.
+# ---------------------------------------------------------------------------
+
+_HNM_ANCHORS = 8  # anchor cohort: vec_id < 8
+_HNM_TOPK = 5
+
+
+def _hnm_sql(d: str) -> str:
+    from .llm_ops import DIM, to_double_arr
+    from .dialect import dot
+
+    arr = to_double_arr("embedding", d)
+    return f"""
+WITH base AS (
+  SELECT vec_id, label, {arr} AS emb FROM {tbl('embeddings', d)}
+),
+normed AS (
+  SELECT vec_id, label, emb, sqrt({dot('emb', 'emb', DIM, d)}) AS nrm
+  FROM base
+),
+anchors AS (SELECT * FROM normed WHERE vec_id < {_HNM_ANCHORS}),
+pairs AS (
+  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+         n.vec_id AS cand_id, n.label AS cand_label,
+         {dot('a.emb', 'n.emb', DIM, d)} / (a.nrm * n.nrm) AS cos_sim
+  FROM anchors a JOIN normed n ON n.vec_id <> a.vec_id
+),
+best_pos AS (
+  SELECT anchor_id, MAX(cos_sim) AS pos_cos
+  FROM pairs WHERE cand_label = anchor_label GROUP BY anchor_id
+),
+negs AS (
+  SELECT anchor_id, cand_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id
+                            ORDER BY cos_sim DESC, cand_id) AS rnk
+  FROM pairs WHERE cand_label <> anchor_label
+)
+SELECT {"/*+ BROADCAST(p) */" if d == "spark" else ""} n.anchor_id,
+       n.cand_id AS negative_id, CAST(n.rnk AS BIGINT) AS rnk,
+       round(n.cos_sim, 6) AS neg_cosine,
+       round(n.cos_sim - p.pos_cos, 6) AS margin
+FROM negs n JOIN best_pos p ON p.anchor_id = n.anchor_id
+WHERE n.rnk <= {_HNM_TOPK}
+ORDER BY n.anchor_id, n.rnk
+"""
+
+
+@query(
+    "emb_hard_negative_mining",
+    oracle=_hnm_sql("duck"),
+    tags=("llm", "similarity"),
+)
+def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for each
+    anchor, the top-k most-similar DIFFERENT-label vectors plus the
+    margin against the anchor's hardest positive — the batch-mining step
+    behind triplet/InfoNCE training sets (Schroff et al. 2015 FaceNet,
+    public). A negative with margin > 0 outranks every positive — the
+    "hardest" examples a curriculum feeds first. 100 TB shape: identical
+    to ``sim_cosine_topk`` — the anchor cohort broadcasts, the corpus
+    streams through one pass with JVM-codegen dot products, the rank
+    window partitions by anchor over candidate rows only; the per-anchor
+    positive max is map-side combinable. The cohort size is the batch
+    knob production miners already use."""
+    views(spark, sf_dir, "embeddings")
+    return spark.sql(_hnm_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# lake_vacuum_plan — snapshot-retention garbage collection planner.
+# ---------------------------------------------------------------------------
+
+_VACUUM_RETAIN_FROM = 5  # snapshots >= this id are retained
+
+
+def _vacuum_sql(d: str) -> str:
+    return f"""
+WITH refs AS (
+  SELECT l_orderkey % 200 AS file_id,
+         CAST(year(l_shipdate) AS BIGINT) - 1992 AS snapshot_id,
+         CAST(COUNT(*) * 64 AS BIGINT) AS ref_bytes
+  FROM {tbl('lineitem', d)}
+  GROUP BY l_orderkey % 200, year(l_shipdate)
+),
+files AS (
+  SELECT file_id,
+         CAST(MIN(snapshot_id) AS BIGINT) AS first_snap,
+         CAST(MAX(snapshot_id) AS BIGINT) AS last_snap,
+         CAST(SUM(ref_bytes) AS BIGINT) AS est_bytes
+  FROM refs GROUP BY file_id
+)
+SELECT file_id, first_snap, last_snap, est_bytes,
+       last_snap < {_VACUUM_RETAIN_FROM} AS deletable
+FROM files
+ORDER BY file_id
+"""
+
+
+@query("lake_vacuum_plan", oracle=_vacuum_sql("duck"), tags=("lakehouse",))
+def lake_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-retention vacuum planner (the planning step of Delta
+    VACUUM / Iceberg expire_snapshots): a file is deletable iff its last
+    referencing snapshot predates the retention horizon — files still
+    referenced by ANY retained snapshot must survive, however old their
+    first reference is. The file↔snapshot reference manifest is modeled
+    from lineitem the same way ``lake_compaction_plan`` models its file
+    table. 100 TB shape: manifests (not data) are scanned; one map-side
+    combinable aggregation to per-file lifetimes, then the plan is
+    |files| rows — why engines run retention planning as a query while
+    the actual deletes go to the object store."""
+    views(spark, sf_dir, "lineitem")
+    return spark.sql(_vacuum_sql("spark"))

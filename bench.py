@@ -148,6 +148,7 @@ def main() -> None:
         "attribution_linear_multi_touch",
         "graph_adamic_adar",
         "cohort_cumulative_hazard",
+        "emb_hard_negative_mining",
     ]
     ext_times: dict[str, float] = {}
     for name in ext_names:
