@@ -54,6 +54,17 @@ _NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 _RELAYOUT_MIN_ROWS = 1_000  # below this, single-task scans are already fine
 _MIN_ROWS_PER_GROUP = 64
+# Group sizing is bytes-aware (measured on the round-4 bench): narrow
+# relational rows (tens of bytes) are scan/shuffle-bound, so tiny row groups
+# just multiply task-scheduling overhead — target ~256 KiB of file bytes per
+# group instead (events at sf0.1: 8 groups beat 32 by ~2x on every consumer).
+# Wide rows (text documents, embedding vectors — hundreds of bytes up) feed
+# per-row CPU-bound operators (shingling, dot-product folds), where
+# fine-grained one-group-per-core layout measurably wins; the 64 B/row
+# boundary separates the two regimes in the test corpus with a wide margin
+# (relational ≤ 22 B/row, documents ≥ 119 B/row).
+_TARGET_GROUP_BYTES = 256 * 1024
+_WIDE_ROW_BYTES = 64
 
 
 def _layout_cache_root() -> str:
@@ -78,13 +89,24 @@ def _maybe_relayout(sf_dir: str, name: str) -> str:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         pf = pq.ParquetFile(path)
         rows = pf.metadata.num_rows
-        target_groups = max(2, min(cpus, rows // _MIN_ROWS_PER_GROUP))
-        if rows < _RELAYOUT_MIN_ROWS or pf.metadata.num_row_groups >= target_groups // 2:
+        fsize = os.path.getsize(path)
+        if rows >= _RELAYOUT_MIN_ROWS and fsize / rows > _WIDE_ROW_BYTES:
+            # wide-payload rows: per-row compute dominates, go fine-grained
+            target_groups = max(2, min(cpus, rows // _MIN_ROWS_PER_GROUP))
+        else:
+            target_groups = max(2, min(cpus, fsize // _TARGET_GROUP_BYTES))
+        # skip when the source is already at least half-way to the target —
+        # floored at 2 so a single-group file never "satisfies" a small target
+        if rows < _RELAYOUT_MIN_ROWS or pf.metadata.num_row_groups >= max(
+            2, target_groups // 2
+        ):
             return path
         out_dir = os.path.join(
             _layout_cache_root(), os.path.basename(sf_dir.rstrip("/"))
         )
-        out = os.path.join(out_dir, f"{name}.parquet")
+        # target group count in the filename: a sizing-policy change
+        # self-invalidates the cache instead of serving a stale layout
+        out = os.path.join(out_dir, f"{name}.{target_groups}g.parquet")
         if not os.path.exists(out):
             os.makedirs(out_dir, exist_ok=True)
             tmp = f"{out}.tmp.{os.getpid()}"

@@ -25,8 +25,11 @@ def test_small_tables_scan_in_place():
 
 
 def test_relayout_is_byte_exact_and_multi_group():
-    src = f"{SF_DIR}/events.parquet"
-    out = _maybe_relayout(SF_DIR, "events")
+    # sf0.1: large enough that the bytes-aware policy always relays events
+    # (sf0.001's 30 KB events file legitimately stays single-group now)
+    sf_dir = SF_DIR.replace("sf0.001", "sf0.1")
+    src = f"{sf_dir}/events.parquet"
+    out = _maybe_relayout(sf_dir, "events")
     if out == src:  # source already well-grouped on this driver build
         assert pq.ParquetFile(src).metadata.num_row_groups > 1
         return
