@@ -7,6 +7,15 @@ from __future__ import annotations
 from .conftest import SF_DIR
 
 
+import re as _re
+
+
+def _scan_count(executed: str, table: str) -> int:
+    """Count FileScan references to a table, layout-cache aware: the cache
+    serves `<table>.<N>g.parquet`, the raw source `<table>.parquet`."""
+    return len(_re.findall(rf"{table}(?:\.\d+g)?\.parquet", executed))
+
+
 def _plan(spark, name):
     from aws_localstack_stream_processing_spark.plans import all_queries
 
@@ -206,7 +215,7 @@ def test_bloom_runtime_filter_hash_existence_joins(spark):
     # the fact table is scanned exactly once and never hash-shuffles for a
     # join; dim/occupied tables come from the persisted build (InMemory),
     # not from re-inlined scans
-    assert executed.count("lineitem.parquet") == 1
+    assert _scan_count(executed, "lineitem") == 1
     assert "InMemoryTableScan" in executed
 
 
@@ -235,8 +244,8 @@ def test_expectations_one_scan_per_table_metrics(spark):
     reshape, so each table is scanned exactly twice (metrics pass +
     referential-integrity join), never once per constraint."""
     _, executed = _plan(spark, "profile_expectations")
-    assert executed.count("orders.parquet") == 2
-    assert executed.count("lineitem.parquet") == 2
+    assert _scan_count(executed, "orders") == 2
+    assert _scan_count(executed, "lineitem") == 2
 
 
 def test_interval_overlap_join_is_equi_join(spark):
@@ -432,7 +441,7 @@ def test_benford_single_scan_no_python(spark):
     """The Benford profile is one scan, a 9-row aggregation, and a scalar
     total joined back — no Python, no second pass over events."""
     _, executed = _plan(spark, "profile_benford_check")
-    assert executed.count("events.parquet") == 1
+    assert _scan_count(executed, "events") == 1
     assert "EvalPython" not in executed
 
 
