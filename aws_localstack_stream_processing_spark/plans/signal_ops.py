@@ -915,3 +915,92 @@ def lake_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the actual deletes go to the object store."""
     views(spark, sf_dir, "lineitem")
     return spark.sql(_vacuum_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# llm_filter_stack — the composed curation gate.
+# ---------------------------------------------------------------------------
+
+_STACK_LM_MAX = 9.5  # avg -ln p(bigram) ceiling (nats)
+_STACK_DUP_MAX = 0.5  # duplicated-span fraction ceiling
+
+
+def _bigram_doc_scores(d: str) -> str:
+    """Per-document bigram-LM scores for ALL documents (the un-limited
+    core of ``llm_bigram_lm_score``), as a nestable subquery."""
+    tok = "explode(ws)" if d == "spark" else "unnest(ws)"
+    return f"""
+(WITH {_bigram_positions(d)},
+toks AS (SELECT {tok} AS tok FROM w),
+vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM toks),
+big_cnt AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM pos GROUP BY w1, w2
+),
+ctx_cnt AS (
+  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM pos GROUP BY w1
+),
+scored AS (
+  SELECT p.doc_id,
+         round(-ln((CAST(b.c12 AS DOUBLE) + 1.0)
+                   / (CAST(c.c1 AS DOUBLE) + CAST(vocab.v AS DOUBLE))), 12)
+           AS neg_logp
+  FROM pos p
+  JOIN big_cnt b ON b.w1 = p.w1 AND b.w2 = p.w2
+  JOIN ctx_cnt c ON c.w1 = p.w1
+  CROSS JOIN vocab
+)
+SELECT doc_id, round(SUM(CAST(neg_logp AS DECIMAL(28,12))) / COUNT(*), 6)
+         AS avg_neg_logp
+FROM scored GROUP BY doc_id)"""
+
+
+def _filter_stack_sql(d: str) -> str:
+    from .curation_ops import _dup_span_sql
+    from .quality_ops import _gopher_sql
+
+    return f"""
+WITH gopher AS (
+  SELECT doc_id, lang, n_words, keep AS gate_gopher
+  FROM ({_gopher_sql(d)}) g
+),
+lm AS (
+  SELECT doc_id, CAST(avg_neg_logp AS DOUBLE) AS avg_neg_logp
+  FROM {_bigram_doc_scores(d)} s
+),
+dup AS (
+  SELECT doc_id, dup_frac FROM ({_dup_span_sql(d)}) x
+)
+SELECT g.doc_id, g.lang, g.n_words,
+       round(COALESCE(l.avg_neg_logp, 0.0), 6) AS lm_score,
+       round(COALESCE(p.dup_frac, 0.0), 6) AS dup_frac,
+       g.gate_gopher,
+       COALESCE(l.avg_neg_logp, 0.0) <= {_STACK_LM_MAX} AS gate_lm,
+       COALESCE(p.dup_frac, 0.0) <= {_STACK_DUP_MAX} AS gate_dup,
+       (g.gate_gopher
+        AND COALESCE(l.avg_neg_logp, 0.0) <= {_STACK_LM_MAX}
+        AND COALESCE(p.dup_frac, 0.0) <= {_STACK_DUP_MAX}) AS keep
+FROM gopher g
+LEFT JOIN lm l ON l.doc_id = g.doc_id
+LEFT JOIN dup p ON p.doc_id = g.doc_id
+ORDER BY g.doc_id
+"""
+
+
+@query("llm_filter_stack", oracle=_filter_stack_sql("duck"), tags=("llm", "text", "quality"))
+def llm_filter_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining curation gate — the filter stack real
+    pipelines run as one job (Gopher rules + LM perplexity filter +
+    exact-substring duplication ceiling, the RefinedWeb/FineWeb recipe,
+    public): every document gets its three metric values, the three gate
+    verdicts, and the final keep decision, so downstream mix sampling
+    (``llm_mix_sample``) consumes a single boolean. Composition reuses
+    the registered building blocks verbatim (``text_gopher_rules``,
+    ``llm_bigram_lm_score``'s scoring core, ``text_dup_span_fraction``)
+    as nested subqueries — same 100 TB shapes as the parts: three
+    independent map-side-combinable passes over documents joined back on
+    doc_id, the natural partition key. Documents too short to emit
+    bigrams or spans pass those gates trivially (LEFT JOIN + COALESCE),
+    matching production semantics where length is the word-count gate's
+    job."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_filter_stack_sql("spark"))

@@ -149,6 +149,7 @@ def main() -> None:
         "graph_adamic_adar",
         "cohort_cumulative_hazard",
         "emb_hard_negative_mining",
+        "llm_filter_stack",
     ]
     ext_times: dict[str, float] = {}
     for name in ext_names:
