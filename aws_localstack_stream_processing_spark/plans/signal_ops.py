@@ -1004,3 +1004,189 @@ def llm_filter_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     job."""
     views(spark, sf_dir, "documents")
     return spark.sql(_filter_stack_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# graph_clustering_coefficient — local transitivity per node.
+# ---------------------------------------------------------------------------
+
+_CC_TOPN = 50
+
+
+def _clustering_coeff_sql(
+    d: str, pairs_src: str | None = None, or_src: str | None = None
+) -> str:
+    from .graph_ops import _triangle_sql  # reuse the oriented-wedge CTEs
+
+    # Take the WITH-prologue (pairs/deg/oriented[/tri]) from the triangle
+    # template and swap the final per-node count for the normalized local
+    # clustering coefficient 2T(v) / (deg(v)·(deg(v)−1)).
+    # rsplit: cut at the FINAL per-node SELECT — the full-source prologue's
+    # deg CTE also starts with "SELECT node," and must stay intact
+    tri_head = _triangle_sql(d, pairs_src, or_src).rsplit("\nSELECT node,", 1)[0]
+    node_rows = (
+        "SELECT t.node FROM tri LATERAL VIEW explode(array(s, a, b)) t AS node"
+        if d == "spark"
+        else "SELECT unnest([s, a, b]) AS node FROM tri"
+    )
+    deg_cte = (
+        "SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM ("
+        "SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs"
+        ") b GROUP BY node"
+    )
+    return f"""{tri_head.rstrip()},
+tcnt AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+  FROM ({node_rows}) x GROUP BY node
+),
+dg2 AS ({deg_cte})
+SELECT g.node, g.dg AS degree, COALESCE(t.n_tri, 0) AS n_triangles,
+       round(CAST(2 AS DOUBLE) * COALESCE(t.n_tri, 0) / (g.dg * (g.dg - 1)), 6)
+         AS clustering_coeff
+FROM dg2 g LEFT JOIN tcnt t ON t.node = g.node
+WHERE g.dg >= 2
+ORDER BY clustering_coeff DESC, g.node
+LIMIT {_CC_TOPN}
+"""
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=_clustering_coeff_sql("duck"),
+    tags=("graph",),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (Watts & Strogatz 1998, public) per
+    node of the co-purchase graph: 2·T(v)/(deg(v)·(deg(v)−1)) — the
+    transitivity signal community detectors and fraud models read, and
+    the normalized companion of ``graph_triangle_count``'s raw counts.
+    Triangles come from the same degree-oriented wedge join (found once
+    at the lowest-degree corner, O(E^1.5) bound); on the Spark side the
+    distinct edge list and oriented table are persisted views shared by
+    all three join legs, exactly like the triangle op. The coefficient
+    is one fixed double expression over exact counts; top-k is
+    TakeOrdered."""
+    from pyspark.sql import functions as F
+
+    views(spark, sf_dir, "lineitem")
+    pairs = spark.sql(
+        f"""SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+FROM {tbl('lineitem', 'spark')} l1 JOIN {tbl('lineitem', 'spark')} l2
+  ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey"""
+    ).persist()
+    pairs.createOrReplaceTempView("slsp_cc_pairs")
+    deg = (
+        pairs.selectExpr("u AS node")
+        .unionAll(pairs.selectExpr("v AS node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("dg"))
+    )
+    deg.createOrReplaceTempView("slsp_cc_deg")
+    oriented = spark.sql(
+        """SELECT CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND p.u < p.v)
+              THEN p.u ELSE p.v END AS src,
+         CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND p.u < p.v)
+              THEN p.v ELSE p.u END AS dst,
+         CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND p.u < p.v)
+              THEN dv.dg ELSE du.dg END AS dst_deg
+FROM slsp_cc_pairs p
+JOIN slsp_cc_deg du ON du.node = p.u
+JOIN slsp_cc_deg dv ON dv.node = p.v"""
+    ).persist()
+    oriented.createOrReplaceTempView("slsp_cc_oriented")
+    return spark.sql(
+        _clustering_coeff_sql(
+            "spark", pairs_src="slsp_cc_pairs", or_src="slsp_cc_oriented"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_stl_anomaly — anomaly gate on the decomposition remainder.
+# ---------------------------------------------------------------------------
+
+_STL_Z = 2.0
+
+
+def _stl_anomaly_sql(d: str) -> str:
+    return f"""
+WITH decomp AS (
+  SELECT event_type, hour, value, trend, seasonal, remainder
+  FROM ({_stl_sql(d)}) s
+),
+stats AS (
+  SELECT event_type,
+         {dec_sum('remainder', 6)} / COUNT(*) AS mu,
+         sqrt({dec_sum('remainder * remainder', 6)} / COUNT(*)
+              - ({dec_sum('remainder', 6)} / COUNT(*))
+                * ({dec_sum('remainder', 6)} / COUNT(*))) AS sigma,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM decomp GROUP BY event_type
+)
+SELECT d.event_type, d.hour, d.value, d.remainder,
+       round((d.remainder - s.mu) / s.sigma, 6) AS z,
+       s.n_obs
+FROM decomp d JOIN stats s ON s.event_type = d.event_type
+WHERE abs(d.remainder - s.mu) > {_STL_Z} * s.sigma
+ORDER BY d.event_type, d.hour
+"""
+
+
+@query("ts_stl_anomaly", oracle=_stl_anomaly_sql("duck"), tags=("timeseries",))
+def ts_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-adjusted anomaly detection — the detector the
+    ``ts_stl_decompose`` docstring promises: z-score the decomposition
+    REMAINDER (trend and daily seasonality already removed), so a
+    morning spike that is merely "every morning" no longer alarms, which
+    is precisely what raw-value detectors like ``ts_zscore_anomaly`` get
+    wrong on seasonal series. The decomposition nests as a subquery
+    (same engine-pair semantics proven by ``llm_filter_stack``);
+    per-series moment stats are one map-side-combinable aggregation over
+    exact-DECIMAL sums; the gate compares |remainder − μ| against 2σ in
+    sigma-space (no division) and the reported z divides once. Output is
+    the anomalous rows of the probed slice, totally ordered."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_stl_anomaly_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# profile_freshness_lag — data-freshness monitor.
+# ---------------------------------------------------------------------------
+
+_FRESH_SLO_S = 7_200  # 2 h staleness SLO
+
+
+def _freshness_sql(d: str) -> str:
+    return f"""
+WITH horizon AS (
+  SELECT MAX(ts) AS tmax FROM {tbl('events', d)}
+),
+per_series AS (
+  SELECT event_type, MAX(ts) AS last_seen,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM {tbl('events', d)} GROUP BY event_type
+)
+SELECT p.event_type, {ts_str('p.last_seen', d)} AS last_seen,
+       p.n_rows,
+       {_hazard_epoch('h.tmax', d)} - {_hazard_epoch('p.last_seen', d)}
+         AS lag_seconds,
+       ({_hazard_epoch('h.tmax', d)} - {_hazard_epoch('p.last_seen', d)})
+         > {_FRESH_SLO_S} AS stale
+FROM per_series p CROSS JOIN horizon h
+ORDER BY p.event_type
+"""
+
+
+@query(
+    "profile_freshness_lag", oracle=_freshness_sql("duck"), tags=("quality", "profiling")
+)
+def profile_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series data freshness — the first panel of every pipeline
+    dashboard: how far each series' latest event lags the table horizon,
+    flagged against a staleness SLO. The reference system's queue-age
+    alarm (SURVEY §2 A3) is the streaming cousin; this is the batch/lake
+    form run over ingested data. One scan, two map-side-combinable MAX
+    aggregations, a one-row horizon broadcast — |series| output rows at
+    any table size."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_freshness_sql("spark"))

@@ -150,6 +150,11 @@ def main() -> None:
         "cohort_cumulative_hazard",
         "emb_hard_negative_mining",
         "llm_filter_stack",
+        "ts_stl_anomaly",
+        "profile_freshness_lag",
+        # graph_clustering_coefficient is deliberately NOT benched, like its
+        # sibling graph_triangle_count: the O(E^1.5) wedge enumeration is a
+        # multi-second analytic batch job, not a latency-bound query
     ]
     ext_times: dict[str, float] = {}
     for name in ext_names:
