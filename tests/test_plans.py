@@ -659,3 +659,18 @@ def test_time_range_frames_single_exchange(spark):
     plan, executed = _plan(spark, "sql_window_time_range_frames")
     assert executed.count("Exchange hashpartitioning") == 1
     assert "PushedFilters: [" in plan and "ts" in plan.split("PushedFilters")[1][:200]
+
+
+def test_clustering_coeff_reuses_persisted_graph(spark):
+    """The CC query must read the persisted edge/oriented views (InMemory
+    scans), not re-derive the O(E) distinct self-join for every join leg."""
+    _, executed = _plan(spark, "graph_clustering_coefficient")
+    assert "InMemoryTableScan" in executed
+
+
+def test_freshness_horizon_broadcasts(spark):
+    """The one-row horizon joins via broadcast; the aggregation is one
+    exchange of per-series partials."""
+    _, executed = _plan(spark, "profile_freshness_lag")
+    assert "BroadcastNestedLoopJoin" in executed or "BroadcastExchange" in executed
+    assert executed.count("Exchange hashpartitioning") <= 1
