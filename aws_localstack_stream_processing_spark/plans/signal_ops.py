@@ -1190,3 +1190,59 @@ def profile_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     any table size."""
     views(spark, sf_dir, "events")
     return spark.sql(_freshness_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# text_langid_eval — classifier quality as a driver-checked query.
+# ---------------------------------------------------------------------------
+
+
+def _langid_eval_sql(d: str) -> str:
+    from .llm_ops import _langid_sql
+
+    return f"""
+WITH pred AS (
+  SELECT actual_lang, predicted_lang FROM ({_langid_sql(d)}) p
+),
+cells AS (
+  SELECT actual_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY actual_lang, predicted_lang
+),
+actual_tot AS (
+  SELECT actual_lang, CAST(SUM(n) AS BIGINT) AS n_actual
+  FROM cells GROUP BY actual_lang
+),
+pred_tot AS (
+  SELECT predicted_lang, CAST(SUM(n) AS BIGINT) AS n_pred
+  FROM cells GROUP BY predicted_lang
+),
+diag AS (
+  SELECT actual_lang, n AS n_correct FROM cells
+  WHERE actual_lang = predicted_lang
+)
+SELECT a.actual_lang AS lang, a.n_actual,
+       COALESCE(dg.n_correct, 0) AS n_correct,
+       round(CAST(COALESCE(dg.n_correct, 0) AS DOUBLE) / a.n_actual, 6)
+         AS recall,
+       round(CAST(COALESCE(dg.n_correct, 0) AS DOUBLE)
+             / COALESCE(p.n_pred, 1), 6) AS precis
+FROM actual_tot a
+LEFT JOIN diag dg ON dg.actual_lang = a.actual_lang
+LEFT JOIN pred_tot p ON p.predicted_lang = a.actual_lang
+ORDER BY a.actual_lang
+"""
+
+
+@query("text_langid_eval", oracle=_langid_eval_sql("duck"), tags=("llm", "text", "quality"))
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language precision/recall of the ``text_langid`` classifier
+    against the corpus's labeled ``lang`` column — classifier quality as
+    a driver-hash-checked query, the same eval-as-first-class-operator
+    pattern as ``sim_ann_recall_eval`` (the judge-checked ANN recall
+    floors). Keeping the eval in-engine means a marker-profile change
+    that silently degrades a language shows up as a failed hash, not a
+    drifted dashboard. 100 TB shape: the prediction subquery is the
+    zero-shuffle codegen scorer; everything after the first GROUP BY is
+    |langs|² contingency cells."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_langid_eval_sql("spark"))

@@ -152,6 +152,7 @@ def main() -> None:
         "llm_filter_stack",
         "ts_stl_anomaly",
         "profile_freshness_lag",
+        "text_langid_eval",
         # graph_clustering_coefficient is deliberately NOT benched, like its
         # sibling graph_triangle_count: the O(E^1.5) wedge enumeration is a
         # multi-second analytic batch job, not a latency-bound query
