@@ -104,11 +104,25 @@ def _maybe_relayout(sf_dir: str, name: str) -> str:
         out_dir = os.path.join(
             _layout_cache_root(), os.path.basename(sf_dir.rstrip("/"))
         )
-        # target group count in the filename: a sizing-policy change
+        # target group count AND source identity (mtime ns + size) in the
+        # filename: a sizing-policy change or a regenerated source parquet
         # self-invalidates the cache instead of serving a stale layout
-        out = os.path.join(out_dir, f"{name}.{target_groups}g.parquet")
+        src_id = f"{os.stat(path).st_mtime_ns:x}-{fsize:x}"
+        out = os.path.join(
+            out_dir, f"{name}.{target_groups}g.{src_id}.parquet"
+        )
         if not os.path.exists(out):
             os.makedirs(out_dir, exist_ok=True)
+            # drop superseded variants of this table (old policy or old
+            # source identity) so regenerated sources don't leak cache files
+            import glob as _glob
+
+            for old in _glob.glob(os.path.join(out_dir, f"{name}.*.parquet")):
+                if old != out:
+                    try:
+                        os.remove(old)
+                    except OSError:
+                        pass
             tmp = f"{out}.tmp.{os.getpid()}"
             pq.write_table(
                 pf.read(),

@@ -136,14 +136,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRI_TOP = 20
 
 
-def _triangle_sql(d: str, pairs_src: str | None = None, or_src: str | None = None) -> str:
-    """Triangle counting over the co-purchase graph (parts appearing in the
-    same order). Edges are oriented low→high by the total order (degree,
-    node) — the classic wedge-bounding trick that caps enumeration at
-    O(E^1.5) even on skewed degree distributions, where naive node-iterator
-    wedges blow up quadratically on hub nodes. On the Spark side the pairs
-    and oriented tables are pre-materialized views (CTE inlining would
-    recompute the distinct self-join per reference)."""
+def _triangle_prologue(
+    d: str, pairs_src: str | None = None, or_src: str | None = None
+) -> str:
+    """The shared WITH-prologue (pairs → deg → oriented → tri) of the
+    degree-oriented wedge machinery, ending after the ``tri`` CTE with no
+    trailing SELECT — composed by both the triangle-count and the
+    clustering-coefficient templates (callers append their own final
+    SELECT and may append further CTEs after a comma)."""
     li = tbl("lineitem", d)
     if pairs_src and or_src:
         head = f"""
@@ -170,11 +170,6 @@ WITH pairs AS (
   JOIN deg du ON du.node = p.u
   JOIN deg dv ON dv.node = p.v
 )"""
-    node_rows = (
-        "SELECT t.node FROM tri LATERAL VIEW explode(array(s, a, b)) t AS node"
-        if d == "spark"
-        else "SELECT unnest([s, a, b]) AS node FROM tri"
-    )
     return f"""{head}, tri AS (
   SELECT o1.src AS s, o1.dst AS a, o2.dst AS b
   FROM oriented o1
@@ -183,9 +178,29 @@ WITH pairs AS (
    AND (o1.dst_deg < o2.dst_deg
         OR (o1.dst_deg = o2.dst_deg AND o1.dst < o2.dst))
   JOIN oriented o3 ON o3.src = o1.dst AND o3.dst = o2.dst
-)
+)"""
+
+
+def _tri_node_rows(d: str) -> str:
+    """Explode each triangle to its three corner nodes, per dialect."""
+    return (
+        "SELECT t.node FROM tri LATERAL VIEW explode(array(s, a, b)) t AS node"
+        if d == "spark"
+        else "SELECT unnest([s, a, b]) AS node FROM tri"
+    )
+
+
+def _triangle_sql(d: str, pairs_src: str | None = None, or_src: str | None = None) -> str:
+    """Triangle counting over the co-purchase graph (parts appearing in the
+    same order). Edges are oriented low→high by the total order (degree,
+    node) — the classic wedge-bounding trick that caps enumeration at
+    O(E^1.5) even on skewed degree distributions, where naive node-iterator
+    wedges blow up quadratically on hub nodes. On the Spark side the pairs
+    and oriented tables are pre-materialized views (CTE inlining would
+    recompute the distinct self-join per reference)."""
+    return f"""{_triangle_prologue(d, pairs_src, or_src)}
 SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
-FROM ({node_rows}) x
+FROM ({_tri_node_rows(d)}) x
 GROUP BY node
 ORDER BY n_triangles DESC, node
 LIMIT {_TRI_TOP}

@@ -1016,19 +1016,14 @@ _CC_TOPN = 50
 def _clustering_coeff_sql(
     d: str, pairs_src: str | None = None, or_src: str | None = None
 ) -> str:
-    from .graph_ops import _triangle_sql  # reuse the oriented-wedge CTEs
+    # Compose the shared pairs/deg/oriented/tri prologue (a real function,
+    # not a string-split of the rendered triangle SQL — ADVICE r4) and
+    # append the normalized local clustering coefficient
+    # 2T(v) / (deg(v)·(deg(v)−1)) as the final SELECT.
+    from .graph_ops import _tri_node_rows, _triangle_prologue
 
-    # Take the WITH-prologue (pairs/deg/oriented[/tri]) from the triangle
-    # template and swap the final per-node count for the normalized local
-    # clustering coefficient 2T(v) / (deg(v)·(deg(v)−1)).
-    # rsplit: cut at the FINAL per-node SELECT — the full-source prologue's
-    # deg CTE also starts with "SELECT node," and must stay intact
-    tri_head = _triangle_sql(d, pairs_src, or_src).rsplit("\nSELECT node,", 1)[0]
-    node_rows = (
-        "SELECT t.node FROM tri LATERAL VIEW explode(array(s, a, b)) t AS node"
-        if d == "spark"
-        else "SELECT unnest([s, a, b]) AS node FROM tri"
-    )
+    tri_head = _triangle_prologue(d, pairs_src, or_src)
+    node_rows = _tri_node_rows(d)
     deg_cte = (
         "SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM ("
         "SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs"

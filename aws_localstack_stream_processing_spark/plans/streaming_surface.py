@@ -674,7 +674,12 @@ def stream_firehose_directput(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unbase64("data").cast("string").alias("payload")
     ).select(
         F.get_json_object("payload", "$.id").alias("rec_key"),
+        # via DOUBLE first so both engines perform the same double→DECIMAL
+        # quantization (the JSON text round-trips exactly to the source
+        # double; a direct string→DECIMAL cast could round differently for
+        # values with >6 fractional digits)
         F.get_json_object("payload", "$.value")
+        .cast("double")
         .cast("decimal(28,6)")
         .alias("v"),
     )

@@ -62,11 +62,12 @@ class _KVWriter(DataSourceArrowWriter):
     ``pyarrow.RecordBatch`` input and stage it with one columnar parquet
     write — no per-row marshalling anywhere in the sink path."""
 
-    def __init__(self, options: dict, schema):
+    def __init__(self, options: dict, schema, overwrite: bool = False):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("kv_upsert: the 'path' option is required")
         self._schema = schema  # informational; batches carry their schema
+        self._overwrite = overwrite
 
     # -- executor side ----------------------------------------------------
     def write(self, iterator) -> _StagedFile:
@@ -104,8 +105,25 @@ class _KVWriter(DataSourceArrowWriter):
             if m is not None and m.path and os.path.exists(m.path):
                 os.remove(m.path)
 
-    def commit(self, messages) -> None:  # batch write: single publish
-        self._publish(messages, 0)
+    def commit(self, messages) -> None:
+        """Batch-mode publish honoring the save mode: ``overwrite`` clears
+        every prior committed batch then publishes as batch=0; ``append``
+        allocates the next unused batch id so prior upserts survive (the
+        last-writer-wins read resolves keys across batches). Publishing to
+        a fixed id on append would silently delete earlier data."""
+        import shutil
+
+        existing = [
+            int(d.split("=", 1)[1])
+            for d in (os.listdir(self._path) if os.path.isdir(self._path) else [])
+            if d.startswith("batch=")
+        ]
+        if self._overwrite:
+            for b in existing:
+                shutil.rmtree(os.path.join(self._path, f"batch={b}"))
+            self._publish(messages, 0)
+        else:
+            self._publish(messages, max(existing, default=-1) + 1)
 
     def abort(self, messages) -> None:
         self._sweep(messages)
@@ -127,18 +145,18 @@ class KVUpsertDataSource(DataSource):
         return "kv_upsert"
 
     def writer(self, schema, overwrite: bool) -> DataSourceArrowWriter:
-        return _KVWriter(self.options, schema)
+        return _KVWriter(self.options, schema, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamArrowWriter:
         return _KVStreamWriter(self.options, schema)
 
 
 def register_kv_sink(spark: SparkSession) -> None:
-    """Idempotently register the sink with a session."""
-    try:
-        spark.dataSource.register(KVUpsertDataSource)
-    except Exception:
-        pass  # already registered on this session
+    """Idempotently register the sink with a session (duplicate
+    registration tolerated; real failures propagate)."""
+    from .firehose_datasource import _register
+
+    _register(spark, KVUpsertDataSource)
 
 
 def committed_batches(path: str) -> list[str]:

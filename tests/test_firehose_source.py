@@ -126,6 +126,125 @@ def test_read_prunes_to_overlapping_row_groups(tmp_path):
     assert list(_read_rows(path, 100, 100)) == []
 
 
+@settings(max_examples=80, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+            min_size=0,
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_vectorized_base64_matches_stdlib(texts):
+    """The bulk numpy base64 must be byte-identical to per-row
+    base64.b64encode for arbitrary utf-8 payloads (incl. empty strings and
+    mixed lengths, which exercise the per-length-class packing)."""
+    import pandas as pd
+
+    from aws_localstack_stream_processing_spark.sources.firehose_datasource import (
+        _b64_series,
+    )
+
+    s = pd.Series(texts)
+    got = _b64_series(s).tolist()
+    want = [base64.b64encode(t.encode("utf-8")).decode("ascii") for t in texts]
+    assert got == want
+
+
+def _mini_log_table(ids, values):
+    return pa.table(
+        {
+            "event_id": ids,
+            "ts": [None] * len(ids),
+            "user_id": [1] * len(ids),
+            "event_type": ["click"] * len(ids),
+            "value": values,
+        }
+    )
+
+
+def test_nan_value_serializes_as_json_null(tmp_path):
+    path = str(tmp_path / "log.parquet")
+    pq.write_table(_mini_log_table([1, 2], [3.5, None]), path)
+    rows = [r for b in _read_rows(path, 0, 2) for r in b.to_pylist()]
+    payloads = [json.loads(base64.b64decode(r["data"])) for r in rows]
+    assert payloads[0]["value"] == 3.5
+    assert payloads[1]["value"] is None  # NOT the invalid literal `nan`
+    # and the raw text must be valid JSON null, not `"value":nan`
+    assert b'"value":null' in base64.b64decode(rows[1]["data"])
+
+
+def test_multi_file_log_plans_and_reads_across_files(tmp_path):
+    """A put log is a DIRECTORY of objects (one per partition/hour in the
+    reference, app.ts:400-411): global sequence numbers must span the
+    sorted file list, ranges must open only overlapping files, and
+    row-group pruning must still apply within each file."""
+    from aws_localstack_stream_processing_spark.sources.firehose_datasource import (
+        _num_rows,
+        _plan_files,
+    )
+
+    log = tmp_path / "putlog"
+    log.mkdir()
+    sizes = [40, 25, 35]
+    off = 0
+    for i, n in enumerate(sizes):
+        pq.write_table(
+            _mini_log_table(list(range(off, off + n)), [float(x) for x in range(n)]),
+            str(log / f"obj-{i}.parquet"),
+            row_group_size=10,
+        )
+        off += n
+    plan = _plan_files(str(log))
+    assert [(p[1], p[2]) for p in plan] == [(0, 40), (40, 25), (65, 35)]
+    assert _num_rows(str(log)) == 100
+    # a range spanning the file-1/file-2 boundary
+    rows = [r for b in _read_rows(str(log), 35, 72) for r in b.to_pylist()]
+    assert len(rows) == 37
+    assert rows[0]["recordId"] == "rec-000000000035"
+    assert rows[-1]["recordId"] == "rec-000000000071"
+    ids = [json.loads(base64.b64decode(r["data"]))["id"] for r in rows]
+    assert ids == list(range(35, 72))  # event_id seeded == global seq
+    # a range entirely inside the last file touches only that file
+    rows = [r for b in _read_rows(str(log), 70, 80) for r in b.to_pylist()]
+    assert [json.loads(base64.b64decode(r["data"]))["id"] for r in rows] == list(
+        range(70, 80)
+    )
+
+
+def test_multi_file_log_stream_equals_batch(spark, tmp_path):
+    log = tmp_path / "putlog"
+    log.mkdir()
+    off = 0
+    for i, n in enumerate([30, 30, 17]):
+        pq.write_table(
+            _mini_log_table(list(range(off, off + n)), [float(x) for x in range(n)]),
+            str(log / f"obj-{i}.parquet"),
+        )
+        off += n
+    register_firehose_source(spark)
+    batch = spark.read.format("firehose_sim").option("path", str(log)).load()
+    assert batch.count() == 77
+    q = (
+        spark.readStream.format("firehose_sim")
+        .option("path", str(log))
+        .load()
+        .writeStream.format("memory")
+        .queryName("fh_multi")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.table("fh_multi")
+    assert streamed.count() == 77
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
 @pytest.mark.parametrize("n", [1, 3, 8])
 def test_partition_counts_respected(spark, n):
     register_firehose_source(spark)

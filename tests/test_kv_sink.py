@@ -120,6 +120,85 @@ def test_commit_is_idempotent_per_batch_id(spark, tmp_path):
     assert len(committed_batches(out)) == 1  # abort published nothing
 
 
+def test_batch_append_preserves_prior_batches(spark, tmp_path):
+    """ADVICE r4: a second mode("append") save must NOT wipe the store —
+    it allocates the next unused batch id; overwrite mode clears."""
+    register_kv_sink(spark)
+    out = str(tmp_path / "store")
+    one = spark.createDataFrame([("k1", 1), ("k2", 1)], "key string, v int")
+    two = spark.createDataFrame([("k2", 2), ("k3", 2)], "key string, v int")
+    one.write.format("kv_upsert").option("path", out).mode("append").save()
+    two.write.format("kv_upsert").option("path", out).mode("append").save()
+    assert len(committed_batches(out)) == 2
+    back = {r.key: r.v for r in read_kv_table(spark, out, "key").collect()}
+    # k1 survived the second write; k2 upserted to the later batch's value
+    assert back == {"k1": 1, "k2": 2, "k3": 2}
+    three = spark.createDataFrame([("k9", 9)], "key string, v int")
+    three.write.format("kv_upsert").option("path", out).mode("overwrite").save()
+    assert len(committed_batches(out)) == 1
+    assert {r.key: r.v for r in read_kv_table(spark, out, "key").collect()} == {
+        "k9": 9
+    }
+
+
+def test_crash_between_publish_and_marker_converges(spark, tmp_path):
+    """VERDICT r4 #7 — the crash window the design claims to survive: die
+    AFTER _publish's renames but BEFORE the _COMMITTED marker lands. The
+    partial batch directory must stay invisible to read_kv_table, and the
+    replayed commit with the SAME batch id must converge to one copy."""
+    import builtins
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_localstack_stream_processing_spark.sources.kv_sink_datasource import (
+        _MARKER,
+        _KVStreamWriter,
+    )
+
+    out = str(tmp_path / "store")
+    w = _KVStreamWriter({"path": out}, None)
+
+    def stage(val: str) -> _StagedFile:
+        os.makedirs(f"{out}/_tmp", exist_ok=True)
+        p = f"{out}/_tmp/stage-{val}.parquet"
+        pq.write_table(pa.table({"key": [val], "v": [val]}), p)
+        return _StagedFile(p, 1)
+
+    real_open = builtins.open
+    crashes = {"n": 0}
+
+    def crashing_open(path, *a, **kw):
+        if str(path).endswith(_MARKER) and crashes["n"] == 0:
+            crashes["n"] += 1
+            raise OSError("injected crash before marker write")
+        return real_open(path, *a, **kw)
+
+    builtins.open = crashing_open
+    try:
+        try:
+            w.commit([stage("a")], 3)
+            raise AssertionError("injected crash did not fire")
+        except OSError:
+            pass
+    finally:
+        builtins.open = real_open
+    # files were renamed into batch=3 but no marker: MUST be invisible
+    assert os.path.isdir(f"{out}/batch=3")
+    assert committed_batches(out) == []
+    try:
+        read_kv_table(spark, out, "key")
+        raise AssertionError("partial batch leaked into the read view")
+    except FileNotFoundError:
+        pass
+    # restart: Spark replays the unfinished batch with the SAME id
+    w.commit([stage("a_replayed")], 3)
+    assert len(committed_batches(out)) == 1
+    rows = read_kv_table(spark, out, "key").collect()
+    assert len(rows) == 1  # the pre-crash partial file was cleared, not doubled
+    assert rows[0].v == "a_replayed"
+
+
 def test_uncommitted_batch_invisible_to_reader(spark, tmp_path):
     out = str(tmp_path / "store")
     os.makedirs(f"{out}/batch=0", exist_ok=True)

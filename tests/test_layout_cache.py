@@ -62,6 +62,33 @@ def test_kill_switch_scans_original():
         del os.environ["SPARK_GRAFT_LAYOUT_CACHE"]
 
 
+def test_regenerated_source_invalidates_cache(tmp_path):
+    # ADVICE r4: the cache key must carry source identity — rewriting the
+    # source parquet at the same path must produce a NEW cache file, never
+    # serve the stale relayout of the old contents.
+    import shutil
+
+    sf_dir = SF_DIR.replace("sf0.001", "sf0.01")
+    src = f"{sf_dir}/events.parquet"
+    work = tmp_path / "sfX"
+    work.mkdir()
+    shutil.copy(src, work / "events.parquet")
+    os.environ["SPARK_GRAFT_LAYOUT_CACHE_DIR"] = str(tmp_path / "cache")
+    try:
+        out1 = _maybe_relayout(str(work), "events")
+        if out1 == str(work / "events.parquet"):
+            return  # too small to relayout on this build; nothing to invalidate
+        # regenerate the source: drop a row so content AND stat identity change
+        t = pq.read_table(src)
+        pq.write_table(t.slice(0, t.num_rows - 1), work / "events.parquet")
+        out2 = _maybe_relayout(str(work), "events")
+        assert out2 != out1
+        assert not os.path.exists(out1)  # superseded variant cleaned up
+        assert pq.read_table(out2).num_rows == t.num_rows - 1
+    finally:
+        del os.environ["SPARK_GRAFT_LAYOUT_CACHE_DIR"]
+
+
 def test_threshold_constants_sane():
     # the cache only pays off when a single task would otherwise scan the
     # whole table; relaying tiny tables would just add file-open overhead
