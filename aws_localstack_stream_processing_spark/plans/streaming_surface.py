@@ -25,6 +25,12 @@ from .reference_ops import (
 from .registry import query
 
 
+# Streaming plan capture for the registry-wide streaming lint — see
+# ..streaming.planlog (batch queries can be plan-inspected lazily, but a
+# streaming plan only exists while its query runs).
+from ..streaming.planlog import note_plan as _note_plan
+
+
 def _to_memory(df: DataFrame, mode: str) -> DataFrame:
     """Run a bounded stream to completion into a memory sink.
 
@@ -46,6 +52,7 @@ def _to_memory(df: DataFrame, mode: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        _note_plan(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
@@ -787,6 +794,7 @@ def stream_kv_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _note_plan(q)
     back = read_kv_table(spark, store, "key")
     return back.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n_signed")

@@ -41,6 +41,9 @@ def run_mv_stream(
         .start()
     )
     q.awaitTermination()
+    from .planlog import note_plan
+
+    note_plan(q)
 
 
 def read_mv(spark: SparkSession, mv_dir: str) -> DataFrame:

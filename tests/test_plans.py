@@ -617,6 +617,59 @@ def test_registry_wide_plan_lint(spark):
     assert not failures, "\n".join(failures)
 
 
+def test_streaming_registry_wide_plan_lint(spark):
+    """The streaming edition of the registry-wide lint (VERDICT r4 #3).
+    A streaming plan only exists while its query runs, so the surface
+    harness records each run's executed plan (streaming_surface
+    ._note_plan) and this sweep replays every stream_* query and asserts,
+    for each, the properties that must hold at 100 TB/day:
+
+    - no row-at-a-time Python eval (BatchEvalPython); the one sanctioned
+      Python operator is the Arrow-batched applyInPandasWithState keyring;
+    - no cartesian product;
+    - every stateful operator whose state only drains via event time —
+      streaming dedup, stream-stream joins, session windows, and any
+      APPEND-mode state store — carries an event-time watermark. (Complete
+      -mode metric aggregations are the documented exception: their state
+      is bounded by group cardinality, the reference's CloudWatch metric
+      semantics, SURVEY §2.6 T5.)
+    """
+    from aws_localstack_stream_processing_spark.plans import all_queries
+    from aws_localstack_stream_processing_spark.streaming import planlog
+
+    failures = []
+    swept = 0
+    for name, qd in all_queries().items():
+        if not name.startswith("stream_"):
+            continue
+        planlog.LAST_STREAM_PLAN["plan"] = ""
+        qd.fn(spark, SF_DIR)
+        plan = planlog.LAST_STREAM_PLAN["plan"]
+        if not plan:
+            failures.append(f"{name}: no streaming plan captured")
+            continue
+        swept += 1
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: row-at-a-time Python eval")
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: cartesian product")
+        needs_wm = (
+            "StreamingDeduplicate" in plan
+            or "StreamingSymmetricHashJoin" in plan
+            # state stores draining in Append mode (incl. session-window
+            # stores) need event time to finalize rows; Complete-mode
+            # stores are the documented bounded-cardinality exception
+            or any(
+                "StateStoreSave" in ln and "Append" in ln
+                for ln in plan.splitlines()
+            )
+        )
+        if needs_wm and "EventTimeWatermark" not in plan:
+            failures.append(f"{name}: event-time-drained state without watermark")
+    assert swept >= 10, f"lint swept only {swept} streaming queries"
+    assert not failures, "\n".join(failures)
+
+
 def test_ivf_probe_join_is_broadcast_not_smj(spark):
     """The IVF probe list (|queries| * nprobe rows) must broadcast into the
     cell-member join; without the explicit hint Catalyst's initial plan
