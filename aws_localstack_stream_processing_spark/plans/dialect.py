@@ -111,6 +111,22 @@ def arr_union_len(a: str, b: str, d: str) -> str:
     return f"len(list_distinct(list_concat({a}, {b})))"
 
 
+def inline_values(rows: str, alias: str, cols: str, d: str) -> str:
+    """Inline literal table (broadcast dimension): ``rows`` is the
+    ``(..), (..)`` tuple text. Spark wants ``FROM VALUES ... AS t(c)``,
+    DuckDB wants ``FROM (VALUES ...) t(c)``."""
+    if d == "spark":
+        return f"SELECT * FROM VALUES {rows} AS {alias}({cols})"
+    return f"SELECT * FROM (VALUES {rows}) {alias}({cols})"
+
+
+def epoch_s(ts: str, d: str) -> str:
+    """Timestamp → whole epoch seconds as BIGINT (truncating)."""
+    if d == "spark":
+        return f"CAST(unix_timestamp({ts}) AS BIGINT)"
+    return f"CAST(floor(epoch({ts})) AS BIGINT)"
+
+
 def xor(a: str, b: str, d: str) -> str:
     return f"({a} ^ {b})" if d == "spark" else f"xor({a}, {b})"
 

@@ -110,6 +110,9 @@ def all_queries() -> dict[str, QueryDef]:
     from . import analytics_ops  # noqa: F401
     from . import insight_ops  # noqa: F401
     from . import signal_ops  # noqa: F401
+    from . import corpus_ops  # noqa: F401
+    from . import vector_ops  # noqa: F401
+    from . import journey_ops  # noqa: F401
 
     counts = _correctness_counts()
     names = list(QUERIES)

@@ -923,6 +923,8 @@ def lake_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STACK_LM_MAX = 9.5  # avg -ln p(bigram) ceiling (nats)
 _STACK_DUP_MAX = 0.5  # duplicated-span fraction ceiling
+_STACK_QC_MIN = "-0.1"  # quality-classifier logit floor (laxer than the
+# standalone gate's keep threshold: the stack only drops clearly spammy docs)
 
 
 def _bigram_doc_scores(d: str) -> str:
@@ -955,6 +957,7 @@ FROM scored GROUP BY doc_id)"""
 
 
 def _filter_stack_sql(d: str) -> str:
+    from .corpus_ops import _qc_scores
     from .curation_ops import _dup_span_sql
     from .quality_ops import _gopher_sql
 
@@ -969,19 +972,29 @@ lm AS (
 ),
 dup AS (
   SELECT doc_id, dup_frac FROM ({_dup_span_sql(d)}) x
+),
+qcls AS (
+  SELECT doc_id, logit
+  FROM (WITH {_qc_scores(d).lstrip()} SELECT doc_id, logit FROM qc) z
 )
 SELECT g.doc_id, g.lang, g.n_words,
        round(COALESCE(l.avg_neg_logp, 0.0), 6) AS lm_score,
        round(COALESCE(p.dup_frac, 0.0), 6) AS dup_frac,
+       round(COALESCE(q.logit, 0.0), 6) AS quality_logit,
        g.gate_gopher,
        COALESCE(l.avg_neg_logp, 0.0) <= {_STACK_LM_MAX} AS gate_lm,
        COALESCE(p.dup_frac, 0.0) <= {_STACK_DUP_MAX} AS gate_dup,
+       COALESCE(q.logit, 0.0) >= CAST({_STACK_QC_MIN} AS DOUBLE)
+         AS gate_quality,
        (g.gate_gopher
         AND COALESCE(l.avg_neg_logp, 0.0) <= {_STACK_LM_MAX}
-        AND COALESCE(p.dup_frac, 0.0) <= {_STACK_DUP_MAX}) AS keep
+        AND COALESCE(p.dup_frac, 0.0) <= {_STACK_DUP_MAX}
+        AND COALESCE(q.logit, 0.0) >= CAST({_STACK_QC_MIN} AS DOUBLE))
+         AS keep
 FROM gopher g
 LEFT JOIN lm l ON l.doc_id = g.doc_id
 LEFT JOIN dup p ON p.doc_id = g.doc_id
+LEFT JOIN qcls q ON q.doc_id = g.doc_id
 ORDER BY g.doc_id
 """
 

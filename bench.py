@@ -50,6 +50,54 @@ HEADLINE = [
 ]
 
 
+# The documented bench exclusions, in one place: registered queries that are
+# deliberately not timed, with the scale rationale. Everything else in the
+# registry is fair game for HEADLINE/ext (the driver's correctness sweep
+# still checks excluded queries every round).
+BENCH_EXCLUDED = {
+    "graph_triangle_count": (
+        "O(E^1.5) degree-oriented wedge enumeration — a multi-second "
+        "analytic batch job by design, not a latency-bound query"
+    ),
+    "graph_clustering_coefficient": (
+        "same wedge machinery as triangle counting (plus per-node "
+        "normalization); excluded for the same O(E^1.5) reason"
+    ),
+}
+
+
+def _load_prev_bench() -> tuple[str, dict[str, float]] | None:
+    """Latest BENCH_r*.json in the repo root → (name, per-query seconds).
+    The driver wrapper sometimes fails to parse its own tail (parsed=null),
+    so fall back to extracting the queries dicts from the raw tail text."""
+    import glob
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    cands = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    if not cands:
+        return None
+    path = cands[-1]
+    try:
+        with open(path) as f:
+            raw = json.load(f)
+    except (OSError, ValueError):
+        return None
+    prev = raw.get("parsed") if isinstance(raw, dict) else None
+    if not isinstance(prev, dict):
+        tail = raw.get("tail", "") if isinstance(raw, dict) else ""
+        prev = {}
+        for key in ("queries", "queries_ext"):
+            m = re.search(r'"%s":\s*(\{[^{}]*\})' % key, tail)
+            if m:
+                try:
+                    prev[key] = json.loads(m.group(1))
+                except ValueError:
+                    pass
+    times = {**prev.get("queries", {}), **prev.get("queries_ext", {})}
+    return (os.path.basename(path), times) if times else None
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -153,9 +201,20 @@ def main() -> None:
         "ts_stl_anomaly",
         "profile_freshness_lag",
         "text_langid_eval",
-        # graph_clustering_coefficient is deliberately NOT benched, like its
-        # sibling graph_triangle_count: the O(E^1.5) wedge enumeration is a
-        # multi-second analytic batch job, not a latency-bound query
+        # round-5 wave (corpus curation, vector diagnostics, journeys)
+        "text_exact_substring_dedup",
+        "llm_quality_classifier",
+        "data_temperature_sample",
+        "text_readability_score",
+        "text_zipf_fit",
+        "rag_ndcg_eval",
+        "emb_power_iteration",
+        "emb_centroid_outliers",
+        "sketch_bottomk_jaccard_eval",
+        "ts_burst_ratio",
+        "attribution_u_shaped",
+        "graph_copurchase_lift",
+        "lake_time_travel_read",
     ]
     ext_times: dict[str, float] = {}
     for name in ext_names:
@@ -172,24 +231,41 @@ def main() -> None:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = -1.0
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "queries_ext": ext_times,
-                "value_ext": round(sum(ext_times.values()), 3),
-                "sf": sf,
-                "trials_per_query": n_trials,
-                "stat": "min",
-                "noise_med_over_min": round(
-                    sorted(noise)[len(noise) // 2], 3
-                ) if noise else None,
-            }
-        )
-    )
+    # round-over-round ratio table vs the latest recorded BENCH_r*.json:
+    # makes ext-section regressions as visible in this round's record as
+    # the headline total (VERDICT r4 #8). Carried inside the one JSON line
+    # so the driver's BENCH_r{N}.json preserves it.
+    report = {
+        "metric": "headline_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "queries_ext": ext_times,
+        "value_ext": round(sum(ext_times.values()), 3),
+        "sf": sf,
+        "trials_per_query": n_trials,
+        "stat": "min",
+        "noise_med_over_min": round(
+            sorted(noise)[len(noise) // 2], 3
+        ) if noise else None,
+        "excluded": sorted(BENCH_EXCLUDED),
+    }
+    prev_bench = _load_prev_bench()
+    if prev_bench:
+        ref_name, prev_times = prev_bench
+        cur_all = {**times, **ext_times}
+        ratios = {
+            q: round(t / prev_times[q], 2)
+            for q, t in cur_all.items()
+            if prev_times.get(q)
+        }
+        report["vs_prev"] = {
+            "ref": ref_name,
+            "ratio": ratios,
+            "regressions": sorted(q for q, r in ratios.items() if r > 1.25),
+            "new": sorted(q for q in cur_all if q not in prev_times),
+        }
+    print(json.dumps(report))
     # Regression report vs a prior round (SPARK_GRAFT_BENCH_COMPARE=path to
     # a BENCH_r*.json): the extension section is held to the same
     # no-regression bar as the headline set. stderr only — stdout stays one

@@ -594,6 +594,11 @@ _LINT_ALLOW_GLOBAL_WINDOW = {
     # doc-frequency guard, so the windowed rows are O(candidates), not O(n).
     "rag_rrf_fusion",
     "rag_hybrid_rrf",
+    # The Zipf regression ranks the top-100 vocabulary AFTER a TakeOrdered
+    # heap bounds it to 100 rows — the window input is a constant-size
+    # candidate set at any corpus size (pinned by
+    # test_zipf_fit_candidate_bounded).
+    "text_zipf_fit",
 }
 
 
@@ -615,6 +620,65 @@ def test_registry_wide_plan_lint(spark):
             except AssertionError as exc:
                 failures.append(str(exc).splitlines()[0])
     assert not failures, "\n".join(failures)
+
+
+# --- round-5 wave plan pins -----------------------------------------------
+
+
+def test_quality_classifier_broadcast_no_window(spark):
+    """The linear classifier must be a broadcast weight-table join + grouped
+    sum: no window over the corpus, no Python anywhere."""
+    plan, executed = _plan(spark, "llm_quality_classifier")
+    assert "BroadcastHashJoin" in executed
+    assert "Window" not in executed
+    assert "InPandas" not in executed and "BatchEvalPython" not in executed
+
+
+def test_exact_substring_dedup_partitioned_merge(spark):
+    """The span-merge windows must partition on doc_id and the span-hash
+    aggregation must be a hash shuffle — no cartesian, no global window."""
+    _, executed = _plan(spark, "text_exact_substring_dedup")
+    assert "CartesianProduct" not in executed
+    _assert_all_windows_partitioned(executed, "text_exact_substring_dedup")
+    assert "Exchange hashpartitioning" in executed
+
+
+def test_zipf_fit_candidate_bounded(spark):
+    """The only global window runs over the TakeOrdered-bounded top-100
+    vocabulary, never the full term table."""
+    plan, _ = _plan(spark, "text_zipf_fit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_label_evals_windows_partitioned(spark):
+    """NDCG and k-NN-accuracy rank windows partition on query_id; the k-NN
+    majority vote needs no window at all."""
+    for name in ("rag_ndcg_eval", "sim_knn_label_accuracy"):
+        _, executed = _plan(spark, name)
+        _assert_all_windows_partitioned(executed, name)
+        assert "CartesianProduct" not in executed
+
+
+def test_burst_and_drawdown_share_series_exchange(spark):
+    """The rolling-baseline and running-max/cumsum window stacks must ride
+    series-partitioned exchanges (stacked same-partitioning windows)."""
+    for name in ("ts_burst_ratio", "ts_drawdown"):
+        _, executed = _plan(spark, name)
+        _assert_all_windows_partitioned(executed, name)
+
+
+def test_copurchase_lift_take_ordered_no_cartesian(spark):
+    plan, executed = _plan(spark, "graph_copurchase_lift")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in executed
+
+
+def test_centroid_outliers_take_ordered(spark):
+    """Top-20 outliers must come off a TakeOrdered heap, and the 64-row
+    centroid must broadcast into the distance join."""
+    plan, executed = _plan(spark, "emb_centroid_outliers")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in executed
 
 
 def test_streaming_registry_wide_plan_lint(spark):
