@@ -104,10 +104,13 @@ def _maybe_relayout(sf_dir: str, name: str) -> str:
         out_dir = os.path.join(
             _layout_cache_root(), os.path.basename(sf_dir.rstrip("/"))
         )
-        # target group count AND source identity (mtime ns + size) in the
+        # target group count AND source identity (crc32 of mtime ns + size,
+        # 8 hex chars so plan strings don't truncate the name) in the
         # filename: a sizing-policy change or a regenerated source parquet
         # self-invalidates the cache instead of serving a stale layout
-        src_id = f"{os.stat(path).st_mtime_ns:x}-{fsize:x}"
+        import zlib
+
+        src_id = f"{zlib.crc32(f'{os.stat(path).st_mtime_ns}-{fsize}'.encode()):08x}"
         out = os.path.join(
             out_dir, f"{name}.{target_groups}g.{src_id}.parquet"
         )

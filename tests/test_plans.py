@@ -12,8 +12,16 @@ import re as _re
 
 def _scan_count(executed: str, table: str) -> int:
     """Count FileScan references to a table, layout-cache aware: the cache
-    serves `<table>.<N>g.parquet`, the raw source `<table>.parquet`."""
-    return len(_re.findall(rf"{table}(?:\.\d+g)?\.parquet", executed))
+    serves `<table>.<N>g.<srcid>.parquet` (srcid = 8-hex source
+    fingerprint), the raw source `<table>.parquet`. Plan strings may
+    truncate long paths, so a cache-style prefix counts even without the
+    `.parquet` suffix."""
+    return len(
+        _re.findall(
+            rf"{table}(?:\.\d+g\.[0-9a-f]{{8}})?\.parquet|{table}\.\d+g\.",
+            executed,
+        )
+    )
 
 
 def _plan(spark, name):
