@@ -1,0 +1,214 @@
+"""Round-5 governance & history operators: a type-2 slowly-changing
+dimension build from a changelog, an l-diversity privacy audit, and
+containment (near-subset) dedup — the asymmetric sibling of n-gram
+Jaccard.
+
+House determinism contract throughout: both engines order change streams
+by the identical (second-truncated epoch, event_id) key so sub-second
+source precision can never reorder versions; ln() terms round(…, 12) and
+sum through DECIMAL; ROW_NUMBER outputs cast to BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import text
+from .dialect import arr_len, epoch_s, intdiv, tbl, unnest_fn, views
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# lake_scd2_build — type-2 dimension history from a CDC changelog.
+# ---------------------------------------------------------------------------
+
+_SCD2_COHORT_MOD = 20
+
+
+def _scd2_sql(d: str) -> str:
+    ev = tbl("events", d)
+    return f"""
+WITH ordered AS (
+  SELECT user_id, event_type, event_id,
+         {epoch_s('ts', d)} AS ts_s,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY {epoch_s('ts', d)}, event_id
+         ) AS prev_attr
+  FROM {ev}
+  WHERE user_id % {_SCD2_COHORT_MOD} = 0
+),
+changes AS (
+  SELECT user_id, event_type AS attr, ts_s AS valid_from_s, event_id
+  FROM ordered
+  WHERE prev_attr IS NULL OR prev_attr <> event_type
+),
+versioned AS (
+  SELECT user_id, attr, valid_from_s,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY valid_from_s, event_id
+         ) AS BIGINT) AS version_n,
+         LEAD(valid_from_s) OVER (
+           PARTITION BY user_id ORDER BY valid_from_s, event_id
+         ) AS valid_to_s
+  FROM changes
+)
+SELECT user_id, attr, version_n, valid_from_s, valid_to_s,
+       valid_to_s IS NULL AS is_current
+FROM versioned
+ORDER BY user_id, version_n
+"""
+
+
+@query("lake_scd2_build", oracle=_scd2_sql("duck"), tags=("lakehouse", "cdc"))
+def lake_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build (Kimball SCD2, public): the
+    event changelog collapses to attribute VERSION intervals — one row
+    per (user, attribute run) with ``valid_from``/``valid_to`` effective
+    range and an ``is_current`` flag. Consecutive same-value updates are
+    dropped by a LAG pass; version numbers and interval ends come from
+    ROW_NUMBER/LEAD over the surviving change rows. Every window and the
+    change filter partition on ``user_id``, so ONE hash exchange feeds
+    the whole build (the run-collapse sibling of ``sql_gaps_islands``)
+    and a 100 TB changelog spreads by key with no global state; the
+    audit-cohort predicate prunes at the scan because nothing above it
+    crosses users. Both engines order by the identical second-truncated
+    (epoch, event_id) key, so sub-second source precision cannot
+    reorder versions between engines. Writes to the reference's store
+    keep only the latest value (signer/index.js:229-242);
+    this operator is the lakehouse-native history that upgrade path
+    needs when "what was the value THEN" becomes a query."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_scd2_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# privacy_l_diversity — sensitive-attribute diversity inside QI classes.
+# ---------------------------------------------------------------------------
+
+_LDIV_COHORTS = 50
+_LDIV_L = 3
+
+
+def _l_diversity_sql(d: str) -> str:
+    ev = tbl("events", d)
+    day = intdiv(epoch_s("ts", d), "86400", d)
+    return f"""
+WITH src AS (
+  SELECT user_id % {_LDIV_COHORTS} AS cohort, {day} AS day_idx,
+         event_type AS sens
+  FROM {ev}
+),
+cnt AS (
+  SELECT cohort, day_idx, sens, CAST(COUNT(*) AS BIGINT) AS n
+  FROM src GROUP BY cohort, day_idx, sens
+),
+tot AS (
+  SELECT cohort, day_idx, CAST(SUM(n) AS BIGINT) AS grp_n,
+         CAST(COUNT(*) AS BIGINT) AS distinct_l
+  FROM cnt GROUP BY cohort, day_idx
+)
+SELECT cnt.cohort, cnt.day_idx, MIN(tot.grp_n) AS grp_n,
+       MIN(tot.distinct_l) AS distinct_l,
+       CAST(SUM(CAST(round(
+         -(CAST(cnt.n AS DOUBLE) / CAST(tot.grp_n AS DOUBLE))
+          * ln(CAST(cnt.n AS DOUBLE) / CAST(tot.grp_n AS DOUBLE)), 12)
+         AS DECIMAL(28,12))) AS DOUBLE) AS entropy_nats,
+       MIN(tot.distinct_l) >= {_LDIV_L} AS l{_LDIV_L}_ok
+FROM cnt JOIN tot ON tot.cohort = cnt.cohort AND tot.day_idx = cnt.day_idx
+GROUP BY cnt.cohort, cnt.day_idx
+ORDER BY cnt.cohort, cnt.day_idx
+"""
+
+
+@query(
+    "privacy_l_diversity",
+    oracle=_l_diversity_sql("duck"),
+    tags=("privacy", "profiling"),
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007, public) — the
+    follow-up to ``privacy_k_anonymity``: a large equivalence class is
+    still unsafe if everyone in it shares the sensitive value. Per
+    (cohort, day) QI class this reports distinct-l, the class size, and
+    entropy l-diversity (−Σ p ln p, each term round-12 through DECIMAL
+    so the sum is order-independent), with the l≥3 conformance flag.
+    Two grouped aggregations on the QI key plus one equi-join back —
+    all map-side combinable, output ∝ QI domain, never the table."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_l_diversity_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# dedup_containment — near-subset duplicates Jaccard misses.
+# ---------------------------------------------------------------------------
+
+_CONTAIN_THRESHOLD = 0.9
+_CONTAIN_COPY_MOD = 7
+
+
+def _containment_sql(d: str) -> str:
+    docs = tbl("documents", d)
+    w = text.words("text", d)
+    half = f"greatest(3, {intdiv(arr_len('w', d), '2', d)})"
+    if d == "spark":
+        prefix = f"array_join(slice(w, 1, {half}), ' ')"
+    else:
+        prefix = f"array_to_string(list_slice(w, 1, {half}), ' ')"
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM {docs}
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, {prefix} AS text
+  FROM (SELECT doc_id, {w} AS w FROM {docs}
+        WHERE doc_id % {_CONTAIN_COPY_MOD} = 0) h
+),
+toks AS (SELECT doc_id, {text.words('text', d)} AS wd FROM corpus),
+shing AS (
+  SELECT doc_id, {text.shingles('wd', 3, d)} AS sh
+  FROM toks WHERE {arr_len('wd', d)} >= 3
+),
+exploded AS (
+  SELECT DISTINCT doc_id, {unnest_fn(d)}(sh) AS sg FROM shing
+),
+sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM exploded GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM exploded a JOIN exploded b ON a.sg = b.sg AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.n_shared AS DOUBLE) / sa.n, 6) AS c_a_in_b,
+       round(CAST(i.n_shared AS DOUBLE) / sb.n, 6) AS c_b_in_a,
+       round(CAST(i.n_shared AS DOUBLE) / (sa.n + sb.n - i.n_shared), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_shared AS DOUBLE) / sa.n >= {_CONTAIN_THRESHOLD}
+   OR CAST(i.n_shared AS DOUBLE) / sb.n >= {_CONTAIN_THRESHOLD}
+"""
+
+
+@query(
+    "dedup_containment",
+    oracle=_containment_sql("duck"),
+    tags=("llm", "dedup"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-subset dedup (Broder 1997's containment
+    coefficient, public): C(A⊆B) = |S(A)∩S(B)| / |S(A)| over 3-word
+    shingle sets — catches quote-heavy and truncated-copy duplicates
+    whose Jaccard stays LOW because the size imbalance dilutes the
+    union (the verification corpus injects half-prefix copies of every
+    7th document: containment 1.0, Jaccard ≈ 0.5). Same inverted-index
+    shape as ``dedup_ngram_jaccard``: distinct (doc, shingle) postings,
+    candidate pairs ONLY via the shingle equi-join (cost ∝ shared
+    postings, never n²), sizes joined back for both directional
+    coefficients; the jaccard column is emitted alongside so the
+    asymmetry is visible. At 100 TB the postings join partitions on
+    high-cardinality shingle text and stays balanced."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_containment_sql("spark"))

@@ -113,6 +113,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import corpus_ops  # noqa: F401
     from . import vector_ops  # noqa: F401
     from . import journey_ops  # noqa: F401
+    from . import governance_ops  # noqa: F401
 
     counts = _correctness_counts()
     names = list(QUERIES)

@@ -215,6 +215,10 @@ def main() -> None:
         "attribution_u_shaped",
         "graph_copurchase_lift",
         "lake_time_travel_read",
+        # round-5 governance trio
+        "lake_scd2_build",
+        "privacy_l_diversity",
+        "dedup_containment",
     ]
     ext_times: dict[str, float] = {}
     for name in ext_names:

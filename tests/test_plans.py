@@ -681,6 +681,24 @@ def test_copurchase_lift_take_ordered_no_cartesian(spark):
     assert "CartesianProduct" not in executed
 
 
+def test_scd2_single_build_exchange(spark):
+    """The whole SCD2 build (LAG run-collapse + ROW_NUMBER/LEAD versioning)
+    must ride ONE user_id hash exchange — the only other exchange allowed
+    is the final presentation-order range sort."""
+    _, executed = _plan(spark, "lake_scd2_build")
+    assert len(_re.findall(r"Exchange hashpartitioning", executed)) == 1
+    assert len(_re.findall(r"Exchange ", executed)) <= 2
+    _assert_all_windows_partitioned(executed, "lake_scd2_build")
+
+
+def test_containment_candidate_bounded(spark):
+    """Containment pairs must come only from the shingle equi-join —
+    no cartesian/BNLJ anywhere in the postings plan."""
+    _, executed = _plan(spark, "dedup_containment")
+    assert "CartesianProduct" not in executed
+    assert "BroadcastNestedLoopJoin" not in executed
+
+
 def test_centroid_outliers_take_ordered(spark):
     """Top-20 outliers must come off a TakeOrdered heap, and the 64-row
     centroid must broadcast into the distance join."""
