@@ -1,0 +1,171 @@
+"""Round-5 SLO replay operators — the reference's CloudWatch alarm
+arithmetic (app.ts:547-588) as relational queries.
+
+BASELINE.md's bench plan asks the engine to "reproduce the load shape" of
+the reference: 5 partition lanes, batch=10 × 5 workers, 30 s batch
+window, queue-depth > 1000 and oldest-age > 300 s alarms evaluated over
+3 consecutive periods. These two queries run that evaluation as a pure
+relational BACKTEST over the event log: the queue recursion
+``q(t) = max(0, q(t-1) + a(t) - c)`` solves in closed form as
+``q(t) = cum(t) - min_{u<=t} cum(u)`` (Lindley 1952, public), which is
+two stacked windows — a running sum and a running min — on the same
+lane partitioning. Every quantity is INTEGER arithmetic (ceil via
+``(x + d - 1) DIV d``), so the result is hash-exact across engines by
+construction; no floats exist anywhere in the plan.
+
+Replay mapping (documented, deterministic): one tick = 4 h of event
+time ≙ one 30 s processing window (time compression so the month-long
+log replays as a CloudWatch-scale alarm timeline); per-lane capacity
+c = max(1, floor(0.95 × n_lane / n_ticks)) — a deliberate 5 %
+UNDER-provisioning what-if, the capacity-planning question the
+reference's alarms exist to answer: "if the workers ran 5 % short of
+the arrival mean, when does the 300 s age SLO start paging?". Under
+that deficit the backlog drifts up ∝ 0.05 × arrivals, so breach onset
+and episode spans are deterministic functions of the log at every
+scale factor. Age estimate = ceil(q / c) ticks × 30 s wall; the age
+alarm (age > 300 s ≡ q > 10 c) and depth alarm (q > 20 c ≙ 1000 msgs
+at 50-in-flight scale) follow the reference thresholds scaled to the
+replay's capacity unit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import hashing
+from .dialect import epoch_s, intdiv, s, tbl, views
+from .registry import query
+
+_TICK_EVENT_S = 14400  # event-time seconds per replay tick (4 h)
+_TICK_WALL_S = 30  # wall seconds each tick represents (the batch window)
+_CAP_NUM = 19  # capacity = floor(19/20 of mean arrivals): 5% deficit
+_CAP_DEN = 20
+_AGE_SLO_TICKS = 10  # 300 s SLO / 30 s per tick
+_DEPTH_FACTOR = 20  # depth alarm at 20 batches of c (≙ 1000 msgs / 50)
+_ALARM_PERIODS = 3  # CloudWatch: 3 consecutive evaluation periods
+
+
+def _lindley_prologue(d: str) -> str:
+    ev = tbl("events", d)
+    lane = f"({hashing.djb2_js(s('event_id', d), d)} % 5)"
+    cap_num = f"({_CAP_NUM} * CAST(COUNT(*) AS BIGINT))"
+    cap_den = f"({_CAP_DEN} * MIN(n.n_ticks))"
+    gen = (
+        "SELECT explode(sequence(CAST(0 AS BIGINT), n_ticks - 1)) AS tick FROM nt"
+        if d == "spark"
+        else "SELECT unnest(range(0, n_ticks)) AS tick FROM nt"
+    )
+    return f"""
+keyed AS (
+  SELECT {lane} AS lane, {epoch_s('ts', d)} AS t_s FROM {ev}
+),
+bounds AS (SELECT MIN(t_s) AS t0, MAX(t_s) AS t1 FROM keyed),
+nt AS (
+  SELECT {intdiv('(t1 - t0)', _TICK_EVENT_S, d)} + 1 AS n_ticks FROM bounds
+),
+arr AS (
+  SELECT k.lane, {intdiv('(k.t_s - b.t0)', _TICK_EVENT_S, d)} AS tick,
+         CAST(COUNT(*) AS BIGINT) AS a
+  FROM keyed k CROSS JOIN bounds b
+  GROUP BY k.lane, {intdiv('(k.t_s - b.t0)', _TICK_EVENT_S, d)}
+),
+cap AS (
+  SELECT lane,
+         greatest(CAST(1 AS BIGINT), {intdiv(cap_num, cap_den, d)}) AS c
+  FROM keyed CROSS JOIN nt n
+  GROUP BY lane
+),
+spine AS (
+  SELECT l.lane, g.tick
+  FROM (SELECT DISTINCT lane FROM keyed) l
+  CROSS JOIN ({gen}) g
+),
+dense AS (
+  SELECT sp.lane, sp.tick, COALESCE(ar.a, CAST(0 AS BIGINT)) AS a
+  FROM spine sp LEFT JOIN arr ar
+    ON ar.lane = sp.lane AND ar.tick = sp.tick
+),
+walk AS (
+  SELECT de.lane, de.tick, de.a, cp.c,
+         SUM(de.a - cp.c) OVER (
+           PARTITION BY de.lane ORDER BY de.tick
+         ) AS cum
+  FROM dense de JOIN cap cp ON cp.lane = de.lane
+),
+lindley AS (
+  SELECT lane, tick, a, c, cum,
+         cum - LEAST(CAST(0 AS BIGINT),
+                     MIN(cum) OVER (PARTITION BY lane ORDER BY tick)) AS q
+  FROM walk
+)"""
+
+
+def _slo_backtest_sql(d: str) -> str:
+    age = f"({intdiv('(q + c - 1)', 'c', d)}) * {_TICK_WALL_S}"
+    return f"""
+WITH {_lindley_prologue(d)}
+SELECT lane, tick, a AS arrivals, c AS capacity, q AS q_depth,
+       {age} AS age_est_s,
+       q > {_DEPTH_FACTOR} * c AS depth_breach,
+       q > {_AGE_SLO_TICKS} * c AS age_breach
+FROM lindley
+ORDER BY q DESC, lane, tick
+LIMIT 20
+"""
+
+
+@query(
+    "ref_slo_queue_backtest",
+    oracle=_slo_backtest_sql("duck"),
+    tags=("reference", "slo", "windows"),
+)
+def ref_slo_queue_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's queue SLO (app.ts:558-577: depth > 1000, oldest-age
+    > 300 s) backtested over the event log via the Lindley recursion —
+    q(t) as a running sum minus a running prefix min, both windows on
+    the SAME 5-lane partitioning (one exchange), all-integer arithmetic
+    so both engines agree bit-for-bit. Reports the 20 worst ticks with
+    queue depth, the ceil(q/c)-tick age estimate, and both alarm flags.
+    At 100 TB the spine is ∝ replay ticks (time range), never the event
+    count, and each lane's walk is independent — the same per-key-lane
+    decomposition the reference gets from 5 partitioned workers."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_slo_backtest_sql("spark"))
+
+
+def _alarm_episodes_sql(d: str) -> str:
+    return f"""
+WITH {_lindley_prologue(d)},
+runs AS (
+  SELECT lane, tick, q,
+         tick - CAST(ROW_NUMBER() OVER (
+           PARTITION BY lane ORDER BY tick
+         ) AS BIGINT) AS grp
+  FROM lindley
+  WHERE q > {_AGE_SLO_TICKS} * c
+)
+SELECT lane, MIN(tick) AS start_tick, MAX(tick) AS end_tick,
+       CAST(COUNT(*) AS BIGINT) AS n_periods, MAX(q) AS peak_depth
+FROM runs
+GROUP BY lane, grp
+HAVING COUNT(*) >= {_ALARM_PERIODS}
+ORDER BY lane, start_tick
+"""
+
+
+@query(
+    "ref_alarm_episodes",
+    oracle=_alarm_episodes_sql("duck"),
+    tags=("reference", "slo", "sessionize"),
+)
+def ref_alarm_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CloudWatch alarm evaluation semantics (app.ts:569-577: breach for
+    3 consecutive periods → ALARM) over the Lindley backtest: maximal
+    runs of consecutive age-SLO-breaching ticks per lane via the
+    gaps-and-islands construction (tick − ROW_NUMBER is constant inside
+    a dense run), emitting one row per alarm EPISODE with its span and
+    peak depth — the relational equivalent of the alarm history a
+    paging review reads. Same single lane-partitioned exchange as the
+    backtest; the islands group-by stays on the lane key."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_alarm_episodes_sql("spark"))

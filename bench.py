@@ -219,6 +219,9 @@ def main() -> None:
         "lake_scd2_build",
         "privacy_l_diversity",
         "dedup_containment",
+        # round-5 SLO replay pair
+        "ref_slo_queue_backtest",
+        "ref_alarm_episodes",
     ]
     ext_times: dict[str, float] = {}
     for name in ext_names:

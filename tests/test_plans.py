@@ -699,6 +699,17 @@ def test_containment_candidate_bounded(spark):
     assert "BroadcastNestedLoopJoin" not in executed
 
 
+def test_slo_backtest_lane_partitioned_lindley(spark):
+    """Both Lindley windows (running sum, running prefix min) must ride
+    the lane partitioning, and the worst-ticks report must come off a
+    TakeOrdered heap, not a global sort."""
+    plan, executed = _plan(spark, "ref_slo_queue_backtest")
+    assert "TakeOrderedAndProject" in plan
+    _assert_all_windows_partitioned(executed, "ref_slo_queue_backtest")
+    _, ep_exec = _plan(spark, "ref_alarm_episodes")
+    _assert_all_windows_partitioned(ep_exec, "ref_alarm_episodes")
+
+
 def test_centroid_outliers_take_ordered(spark):
     """Top-20 outliers must come off a TakeOrdered heap, and the 64-row
     centroid must broadcast into the distance join."""
