@@ -124,3 +124,31 @@ def test_sharded_rings_disjoint_and_complete(spark):
         ring_keys = [k for k in key_ids if ring_of_key(k, G) == g]
         seq = [k for ring_id, b, k, _ in sorted(rows) if ring_id == g]
         assert seq == [ring_keys[i % len(ring_keys)] for i in range(len(seq))]
+
+
+def test_lindley_closed_form_equals_recursion():
+    """The SLO backtest's window construction rests on the Lindley
+    identity q(t) = cum(t) - min_{u<=t} cum(u) (with cum(0)=0) being
+    exactly the recursion q(t) = max(0, q(t-1) + a(t) - c). Pin the
+    identity itself with hypothesis so the SQL's correctness reduces to
+    the (oracle-checked) window arithmetic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        arrivals=st.lists(st.integers(min_value=0, max_value=50), max_size=60),
+        c=st.integers(min_value=1, max_value=20),
+    )
+    def check(arrivals, c):
+        q_rec, cum, prefix_min, q_closed = 0, 0, 0, []
+        expected = []
+        for a in arrivals:
+            q_rec = max(0, q_rec + a - c)
+            expected.append(q_rec)
+            cum += a - c
+            prefix_min = min(prefix_min, cum)
+            q_closed.append(cum - min(0, prefix_min))
+        assert q_closed == expected
+
+    check()
