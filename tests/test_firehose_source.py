@@ -256,3 +256,44 @@ def test_partition_counts_respected(spark, n):
     )
     assert df.rdd.getNumPartitions() == n
     assert df.count() == pq.ParquetFile(EVENTS).metadata.num_rows
+
+
+def test_checkpoint_restart_resumes_growing_log(spark, tmp_path):
+    """T8 replayability, restart edition: after a checkpointed run over a
+    2-object log, a NEW object lands (the reference's one-object-per-
+    partition/hour growth, app.ts:400-411) and the restarted query must
+    deliver exactly the new rows — offsets resume from the checkpointed
+    sequence number, no duplicates, no gaps."""
+    log = tmp_path / "putlog"
+    log.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = tmp_path / "out"
+    register_firehose_source(spark)
+
+    def run_once():
+        q = (
+            spark.readStream.format("firehose_sim")
+            .option("path", str(log))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    pq.write_table(_mini_log_table(list(range(0, 30)), [1.0] * 30), str(log / "obj-0.parquet"))
+    pq.write_table(_mini_log_table(list(range(30, 50)), [2.0] * 20), str(log / "obj-1.parquet"))
+    run_once()
+    first = spark.read.parquet(str(out))
+    assert first.count() == 50
+
+    pq.write_table(_mini_log_table(list(range(50, 65)), [3.0] * 15), str(log / "obj-2.parquet"))
+    run_once()
+    ids = sorted(
+        json.loads(base64.b64decode(r["data"]))["id"]
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    assert ids == list(range(65))  # every id exactly once, incl. the new 15
