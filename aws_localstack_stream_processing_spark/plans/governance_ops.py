@@ -143,18 +143,24 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CONTAIN_THRESHOLD = 0.9
 _CONTAIN_COPY_MOD = 7
+_CONTAIN_DF_MIN = 5  # df-cap floor so tiny corpora keep their shingles
+_CONTAIN_DF_PCT_DEN = 100  # drop shingles present in > 1% of documents
+_CONTAIN_K = 5  # 5-word shingles: selective candidate key (3-grams pair-explode)
 
 
-def _containment_sql(d: str) -> str:
+def _containment_kept_sql(d: str) -> str:
+    """CTE chain from the raw corpus to the df-guarded postings table
+    ``kept`` — the diamond-reused subplan (oracle: DuckDB materializes
+    multiply-referenced CTEs; Spark: the query fn persists it once)."""
     docs = tbl("documents", d)
     w = text.words("text", d)
-    half = f"greatest(3, {intdiv(arr_len('w', d), '2', d)})"
+    half = f"greatest({_CONTAIN_K}, {intdiv(arr_len('w', d), '2', d)})"
     if d == "spark":
         prefix = f"array_join(slice(w, 1, {half}), ' ')"
     else:
         prefix = f"array_to_string(list_slice(w, 1, {half}), ' ')"
     return f"""
-WITH corpus AS (
+corpus AS (
   SELECT doc_id, text FROM {docs}
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, {prefix} AS text
@@ -163,20 +169,37 @@ WITH corpus AS (
 ),
 toks AS (SELECT doc_id, {text.words('text', d)} AS wd FROM corpus),
 shing AS (
-  SELECT doc_id, {text.shingles('wd', 3, d)} AS sh
-  FROM toks WHERE {arr_len('wd', d)} >= 3
+  SELECT doc_id, {text.shingles('wd', _CONTAIN_K, d)} AS sh
+  FROM toks WHERE {arr_len('wd', d)} >= {_CONTAIN_K}
 ),
 exploded AS (
   SELECT DISTINCT doc_id, {unnest_fn(d)}(sh) AS sg FROM shing
 ),
-sizes AS (
+ndocs AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM shing),
+hot AS (
+  SELECT sg FROM exploded GROUP BY sg
+  HAVING CAST(COUNT(*) AS BIGINT) >
+         greatest(CAST({_CONTAIN_DF_MIN} AS BIGINT),
+                  (SELECT {intdiv('nd', _CONTAIN_DF_PCT_DEN, d)} FROM ndocs))
+),
+kept AS (
+  SELECT e.doc_id, e.sg FROM exploded e
+  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.sg = e.sg)
+)"""
+
+
+def _containment_scoring_sql(kept_src: str) -> str:
+    """Pair scoring over a postings relation — dialect-neutral."""
+    return f"""
+WITH sizes AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-  FROM exploded GROUP BY doc_id
+  FROM {kept_src} GROUP BY doc_id
 ),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(COUNT(*) AS BIGINT) AS n_shared
-  FROM exploded a JOIN exploded b ON a.sg = b.sg AND a.doc_id < b.doc_id
+  FROM {kept_src} a JOIN {kept_src} b
+    ON a.sg = b.sg AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT i.doc_a, i.doc_b,
@@ -192,14 +215,22 @@ WHERE CAST(i.n_shared AS DOUBLE) / sa.n >= {_CONTAIN_THRESHOLD}
 """
 
 
+def _containment_oracle_sql() -> str:
+    scoring = _containment_scoring_sql("kept")
+    # fold the kept chain into the scoring query's WITH list
+    return scoring.replace(
+        "WITH sizes AS (", f"WITH {_containment_kept_sql('duck')},\nsizes AS (", 1
+    )
+
+
 @query(
     "dedup_containment",
-    oracle=_containment_sql("duck"),
+    oracle=_containment_oracle_sql(),
     tags=("llm", "dedup"),
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment near-subset dedup (Broder 1997's containment
-    coefficient, public): C(A⊆B) = |S(A)∩S(B)| / |S(A)| over 3-word
+    coefficient, public): C(A⊆B) = |S(A)∩S(B)| / |S(A)| over 5-word
     shingle sets — catches quote-heavy and truncated-copy duplicates
     whose Jaccard stays LOW because the size imbalance dilutes the
     union (the verification corpus injects half-prefix copies of every
@@ -208,7 +239,21 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs ONLY via the shingle equi-join (cost ∝ shared
     postings, never n²), sizes joined back for both directional
     coefficients; the jaccard column is emitted alongside so the
-    asymmetry is visible. At 100 TB the postings join partitions on
-    high-cardinality shingle text and stays balanced."""
+    asymmetry is visible. The hot-shingle df guard (drop shingles in
+    > 1% of documents, sizes computed AFTER the filter so the
+    coefficient stays internally consistent — standard stop-shingle
+    removal) bounds the worst posting list, so the candidate-pair count
+    can never go quadratic in the corpus; a half-prefix copy shares its
+    source's RARE shingles, so guard-surviving containment stays 1.0.
+    The postings table sits at the top of a DIAMOND (self-join + sizes):
+    plain CTE inlining would re-shingle the corpus four times, so the
+    Spark path persists it once (the graph_ops discipline) while the
+    oracle's single WITH lets DuckDB materialize it. At 100 TB the
+    postings join partitions on high-cardinality shingle text and stays
+    balanced."""
     views(spark, sf_dir, "documents")
-    return spark.sql(_containment_sql("spark"))
+    kept = spark.sql(
+        f"WITH {_containment_kept_sql('spark')} SELECT * FROM kept"
+    ).persist()
+    kept.createOrReplaceTempView("slsp_contain_kept")
+    return spark.sql(_containment_scoring_sql("slsp_contain_kept"))

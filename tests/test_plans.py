@@ -692,11 +692,14 @@ def test_scd2_single_build_exchange(spark):
 
 
 def test_containment_candidate_bounded(spark):
-    """Containment pairs must come only from the shingle equi-join —
-    no cartesian/BNLJ anywhere in the postings plan."""
+    """Containment pairs must come only from the shingle equi-join — no
+    cartesian product; the only nested-loop join allowed is the 1-row
+    corpus-count scalar feeding the df cap. The df-guard window must ride
+    the same sg partitioning the self-join uses."""
     _, executed = _plan(spark, "dedup_containment")
     assert "CartesianProduct" not in executed
-    assert "BroadcastNestedLoopJoin" not in executed
+    assert len(_re.findall(r"BroadcastNestedLoopJoin", executed)) <= 1
+    _assert_all_windows_partitioned(executed, "dedup_containment")
 
 
 def test_slo_backtest_lane_partitioned_lindley(spark):
