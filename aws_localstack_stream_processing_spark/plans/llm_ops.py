@@ -108,19 +108,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_THRESHOLD = 0.5
 
 
-def _ngram_jaccard_sql(d: str) -> str:
+def _ngram_postings_sql(d: str) -> str:
+    """corpus → distinct (doc, 3-gram shingle) postings — the diamond-
+    reused subplan of the exact Jaccard verify."""
     return f"""
-WITH corpus AS ({_doc_corpus(d)}),
+corpus AS ({_doc_corpus(d)}),
 toks AS (SELECT doc_id, {text.words('text', d)} AS w FROM corpus),
 shing AS (
   SELECT doc_id, {arr_distinct(text.shingles('w', 3, d), d)} AS sh
   FROM toks WHERE {arr_len('w', d)} >= 3
 ),
-exploded AS (SELECT doc_id, {unnest_fn(d)}(sh) AS s FROM shing),
-sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM exploded GROUP BY doc_id),
+exploded AS (SELECT doc_id, {unnest_fn(d)}(sh) AS s FROM shing)"""
+
+
+def _ngram_jaccard_scoring_sql(postings_src: str) -> str:
+    return f"""
+WITH sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM {postings_src} GROUP BY doc_id
+),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
-  FROM exploded a JOIN exploded b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM {postings_src} a JOIN {postings_src} b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT i.doc_a, i.doc_b,
@@ -132,14 +140,28 @@ WHERE CAST(i.n_shared AS DOUBLE) / (sa.n + sb.n - i.n_shared) >= {_JACCARD_THRES
 """
 
 
+def _ngram_jaccard_sql(d: str) -> str:
+    return _ngram_jaccard_scoring_sql("exploded").replace(
+        "WITH sizes AS (", f"WITH {_ngram_postings_sql(d)},\nsizes AS (", 1
+    )
+
+
 @query("dedup_ngram_jaccard", oracle=_ngram_jaccard_sql("duck"), tags=("llm", "dedup"))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs via inverted-index join
     (explode shingles → equi-join on shingle → count shared). The join is a
     shuffle on the shingle key — the scalable exact-verification backend for
-    MinHash candidates."""
+    MinHash candidates. The postings table heads a diamond (self-join +
+    two size joins): the Spark path persists it once (the graph_ops
+    discipline) instead of re-shingling the corpus four times via CTE
+    inlining; the oracle's flat WITH lets DuckDB materialize it. Output
+    is unchanged — this is purely an execution-shape refinement."""
     views(spark, sf_dir, "documents")
-    return spark.sql(_ngram_jaccard_sql("spark"))
+    postings = spark.sql(
+        f"WITH {_ngram_postings_sql('spark')} SELECT * FROM exploded"
+    ).persist()
+    postings.createOrReplaceTempView("slsp_jaccard_postings")
+    return spark.sql(_ngram_jaccard_scoring_sql("slsp_jaccard_postings"))
 
 
 # ---------------------------------------------------------------------------
