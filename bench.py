@@ -136,19 +136,25 @@ def main() -> None:
     # inflate an entire 3-trial min; one extra warm trial per query is
     # cheap insurance that the min lands in a quiet window, while keeping
     # total bench wall time well inside the driver's budget.
+    # ROUND-ROBIN trials (trial k of every query, then k+1): the steal
+    # windows are multi-second — longer than one query but shorter than a
+    # full sweep — so N consecutive trials of the same query can ALL land
+    # inside one window and inflate its min. Interleaving decorrelates a
+    # query's trials from any single window at zero extra cost.
     n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "4"))
-    times: dict[str, float] = {}
-    noise: list[float] = []
-    for name in HEADLINE:
-        trials: list[float] = []
-        for _ in range(n_trials):
+    all_trials: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(n_trials):
+        for name in HEADLINE:
             t0 = time.perf_counter()
             df = qs[name].fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            trials.append(time.perf_counter() - t0)
+            all_trials[name].append(time.perf_counter() - t0)
             # queries that materialize intermediates (persist) pay for them
             # inside their own timing; drop the cache so trials stay isolated
             spark.catalog.clearCache()
+    times: dict[str, float] = {}
+    noise: list[float] = []
+    for name, trials in all_trials.items():
         times[name] = round(min(trials), 3)
         med = sorted(trials)[len(trials) // 2]
         noise.append(med / max(min(trials), 1e-9))
@@ -223,15 +229,16 @@ def main() -> None:
         "ref_slo_queue_backtest",
         "ref_alarm_episodes",
     ]
-    ext_times: dict[str, float] = {}
-    for name in ext_names:
-        trials = []
-        for _ in range(n_trials):
+    ext_trials: dict[str, list[float]] = {name: [] for name in ext_names}
+    for _ in range(n_trials):
+        for name in ext_names:
             t0 = time.perf_counter()
             qs[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            trials.append(time.perf_counter() - t0)
+            ext_trials[name].append(time.perf_counter() - t0)
             spark.catalog.clearCache()
-        ext_times[name] = round(min(trials), 3)
+    ext_times = {
+        name: round(min(trials), 3) for name, trials in ext_trials.items()
+    }
 
     total = round(sum(times.values()), 3)
     try:
