@@ -256,8 +256,12 @@ def main() -> None:
         "ref_slo_queue_backtest",
         "ref_alarm_episodes",
     ]
+    # the ext showcase is held to the regression bar but is not the
+    # headline: 2 interleaved trials keep total bench wall time inside the
+    # driver's budget as the section grows (63 queries in round 5)
+    n_ext_trials = min(n_trials, int(os.environ.get("SPARK_GRAFT_BENCH_EXT_TRIALS", "2")))
     ext_trials: dict[str, list[float]] = {name: [] for name in ext_names}
-    for _ in range(n_trials):
+    for _ in range(n_ext_trials):
         for name in ext_names:
             t0 = time.perf_counter()
             qs[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -285,6 +289,7 @@ def main() -> None:
         "value_ext": round(sum(ext_times.values()), 3),
         "sf": sf,
         "trials_per_query": n_trials,
+        "trials_per_ext_query": n_ext_trials,
         "stat": "min",
         "noise_med_over_min": round(
             sorted(noise)[len(noise) // 2], 3
