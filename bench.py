@@ -163,25 +163,27 @@ def main() -> None:
     # inflate an entire 3-trial min; one extra warm trial per query is
     # cheap insurance that the min lands in a quiet window, while keeping
     # total bench wall time well inside the driver's budget.
-    # ROUND-ROBIN trials (trial k of every query, then k+1): the steal
-    # windows are multi-second — longer than one query but shorter than a
-    # full sweep — so N consecutive trials of the same query can ALL land
-    # inside one window and inflate its min. Interleaving decorrelates a
-    # query's trials from any single window at zero extra cost.
+    # CONSECUTIVE trials per query — measured decision (round 5): a
+    # round-robin interleaved variant was tried and REVERTED. It added a
+    # uniform ~0.2-0.3 s per trial to cheap queries (q1 0.46→0.80 s,
+    # ref_minute_sum 0.28→0.53 s in the same quiet window, heavy queries
+    # unchanged) — a fixed session-churn overhead that swamped the
+    # steal-window decorrelation it was meant to buy, and broke
+    # comparability with rounds 1-4. Consecutive min-of-N is the
+    # round-over-round comparable stat.
     n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "4"))
-    all_trials: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(n_trials):
-        for name in HEADLINE:
+    times: dict[str, float] = {}
+    noise: list[float] = []
+    for name in HEADLINE:
+        trials: list[float] = []
+        for _ in range(n_trials):
             t0 = time.perf_counter()
             df = qs[name].fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            all_trials[name].append(time.perf_counter() - t0)
+            trials.append(time.perf_counter() - t0)
             # queries that materialize intermediates (persist) pay for them
             # inside their own timing; drop the cache so trials stay isolated
             spark.catalog.clearCache()
-    times: dict[str, float] = {}
-    noise: list[float] = []
-    for name, trials in all_trials.items():
         times[name] = round(min(trials), 3)
         med = sorted(trials)[len(trials) // 2]
         noise.append(med / max(min(trials), 1e-9))
@@ -257,19 +259,21 @@ def main() -> None:
         "ref_alarm_episodes",
     ]
     # the ext showcase is held to the regression bar but is not the
-    # headline: 2 interleaved trials keep total bench wall time inside the
-    # driver's budget as the section grows (63 queries in round 5)
-    n_ext_trials = min(n_trials, int(os.environ.get("SPARK_GRAFT_BENCH_EXT_TRIALS", "2")))
-    ext_trials: dict[str, list[float]] = {name: [] for name in ext_names}
-    for _ in range(n_ext_trials):
-        for name in ext_names:
+    # headline: 3 trials (vs the headline's 4) keep total bench wall time
+    # inside the driver's budget as the section grows (63 queries in round
+    # 5). Not fewer: trial 1 is always cold, so min-of-2 has a single warm
+    # sample and measurably inflates every ext min; min-of-3 keeps two warm
+    # samples and stays comparable with the min-of-4 history.
+    n_ext_trials = min(n_trials, int(os.environ.get("SPARK_GRAFT_BENCH_EXT_TRIALS", "3")))
+    ext_times: dict[str, float] = {}
+    for name in ext_names:
+        trials = []
+        for _ in range(n_ext_trials):
             t0 = time.perf_counter()
             qs[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            ext_trials[name].append(time.perf_counter() - t0)
+            trials.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
-    ext_times = {
-        name: round(min(trials), 3) for name, trials in ext_trials.items()
-    }
+        ext_times[name] = round(min(trials), 3)
 
     total = round(sum(times.values()), 3)
     try:
