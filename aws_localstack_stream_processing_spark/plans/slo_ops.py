@@ -93,9 +93,13 @@ walk AS (
   FROM dense de JOIN cap cp ON cp.lane = de.lane
 ),
 lindley AS (
+  -- Outer CAST: DuckDB widens window SUM(BIGINT) to HUGEINT, so every
+  -- cum-derived output must be pinned back to BIGINT for hash-exactness
+  -- (repo contract: identical types across dialects).
   SELECT lane, tick, a, c, cum,
-         cum - LEAST(CAST(0 AS BIGINT),
-                     MIN(cum) OVER (PARTITION BY lane ORDER BY tick)) AS q
+         CAST(cum - LEAST(CAST(0 AS BIGINT),
+                     MIN(cum) OVER (PARTITION BY lane ORDER BY tick))
+              AS BIGINT) AS q
   FROM walk
 )"""
 

@@ -43,6 +43,27 @@ def test_rows_only_runs(name, spark):
     assert len(sdf.schema.fields) > 0
 
 
+_DUCK_WIDENED = ("HUGEINT", "UHUGEINT")
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_no_type_widening(name, duck):
+    """DuckDB silently widens window/plain SUM(BIGINT) to HUGEINT (int128),
+    a type Spark cannot emit — the driver's typed value-hash then diverges
+    even when every value is equal (the exact CORRECTNESS_r05 failure mode
+    of ref_slo_queue_backtest / ref_alarm_episodes). ``DESCRIBE`` binds the
+    query without executing it, so this audits every oracle cheaply: any
+    cum-sum-derived output must carry an explicit outer CAST."""
+    qd = QUERIES[name]
+    desc = duck.execute(f"DESCRIBE {qd.oracle}").fetchall()
+    bad = [
+        (row[0], row[1])
+        for row in desc
+        if any(w in str(row[1]).upper() for w in _DUCK_WIDENED)
+    ]
+    assert not bad, f"{name}: DuckDB widened columns {bad}; add an outer CAST"
+
+
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_schema_atomic(name, spark):
     """The verification driver canonicalizes results with pandas
