@@ -101,31 +101,26 @@ def _maybe_relayout(sf_dir: str, name: str) -> str:
             2, target_groups // 2
         ):
             return path
+        # cache dir keyed by basename PLUS a crc of the absolute sf_dir:
+        # two scale dirs sharing a basename (e.g. /a/sf0.01 and /b/sf0.01)
+        # must never share (and mutually evict) each other's variants
+        import zlib
+
+        abs_dir = os.path.abspath(sf_dir.rstrip("/"))
+        dir_id = f"{zlib.crc32(abs_dir.encode()):08x}"
         out_dir = os.path.join(
-            _layout_cache_root(), os.path.basename(sf_dir.rstrip("/"))
+            _layout_cache_root(), f"{os.path.basename(abs_dir)}-{dir_id}"
         )
         # target group count AND source identity (crc32 of mtime ns + size,
         # 8 hex chars so plan strings don't truncate the name) in the
         # filename: a sizing-policy change or a regenerated source parquet
         # self-invalidates the cache instead of serving a stale layout
-        import zlib
-
         src_id = f"{zlib.crc32(f'{os.stat(path).st_mtime_ns}-{fsize}'.encode()):08x}"
         out = os.path.join(
             out_dir, f"{name}.{target_groups}g.{src_id}.parquet"
         )
         if not os.path.exists(out):
             os.makedirs(out_dir, exist_ok=True)
-            # drop superseded variants of this table (old policy or old
-            # source identity) so regenerated sources don't leak cache files
-            import glob as _glob
-
-            for old in _glob.glob(os.path.join(out_dir, f"{name}.*.parquet")):
-                if old != out:
-                    try:
-                        os.remove(old)
-                    except OSError:
-                        pass
             tmp = f"{out}.tmp.{os.getpid()}"
             pq.write_table(
                 pf.read(),
@@ -133,6 +128,20 @@ def _maybe_relayout(sf_dir: str, name: str) -> str:
                 row_group_size=max(_MIN_ROWS_PER_GROUP, math.ceil(rows / target_groups)),
             )
             os.replace(tmp, out)  # atomic: concurrent loaders race benignly
+            # drop superseded variants of this table (old policy or old
+            # source identity) only AFTER the new file is in place, so a
+            # concurrent process whose lazy plan still references the old
+            # variant has the shortest possible exposure window
+            import glob as _glob
+
+            for old in _glob.glob(os.path.join(out_dir, f"{name}.*.parquet")):
+                if old != out and not os.path.basename(old).startswith(
+                    f"{name}.{target_groups}g.{src_id}"
+                ):
+                    try:
+                        os.remove(old)
+                    except OSError:
+                        pass
         return out
     except Exception:  # any surprise → fall back to the source file
         return path

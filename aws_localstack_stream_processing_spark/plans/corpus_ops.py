@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions import hashing
 from .dialect import inline_values, tbl, to_double_arr, dot, views
 from .llm_ops import DIM
 from .registry import query

@@ -19,8 +19,11 @@ Scale design
   per (partition, hour) (app.ts:400-411), so a real put log is many
   objects; ``path`` may point at a single parquet file or a directory of
   them. The plan is the lexicographically-sorted file list with cumulative
-  row offsets — global sequence numbers span files, so offsets stay stable
-  no matter how the log is physically chunked.
+  row offsets — global sequence numbers span files. Stability contract:
+  appended objects must sort AFTER every existing one (the reference's
+  zero-padded partition/hour keys do); a checkpointed prefix fingerprint
+  makes any out-of-order mutation of the consumed prefix fail loudly
+  rather than silently re-address rows.
 * **Partition planning is metadata-only.** The driver reads parquet footer
   metadata (file row counts, row-group row counts), never data; executors
   open only the (file, row-group) pairs overlapping their assigned row
@@ -105,6 +108,30 @@ def _plan_files(path: str) -> list[tuple[str, int, int]]:
 
 def _num_rows(path: str) -> int:
     return sum(n for _, _, n in _plan_files(path))
+
+
+def _prefix_fingerprint(plan: list[tuple[str, int, int]], seq: int) -> int:
+    """Order-sensitive CRC of the (basename, offset, rows) plan prefix that
+    covers global sequence numbers [0, seq).
+
+    Global sequence numbers are positions in the lexicographically sorted
+    file list, so they are only stable if the already-consumed prefix of
+    that list never changes — appends must sort AFTER every existing file
+    (the reference layout guarantees this: one object per (partition, hour)
+    with zero-padded increasing keys, app.ts:400-411). A new object sorting
+    into the middle would silently shift every later offset, duplicating
+    some rows and dropping others across a checkpoint restart. The
+    fingerprint travels inside the checkpointed offset dict, and
+    ``partitions()`` re-derives and compares it each microbatch — mid-list
+    insertion/deletion below the consumed watermark fails loudly instead."""
+    import zlib
+
+    acc = 0
+    for f, off, n in plan:
+        if off >= seq:
+            break
+        acc = zlib.crc32(f"{os.path.basename(f)}:{off}:{n};".encode(), acc)
+    return acc
 
 
 def _split(start: int, end: int, n: int) -> list[_RangePartition]:
@@ -260,15 +287,35 @@ class _FirehoseStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self._path = _source_path(options)
         self._parts = int(options.get("numpartitions", 8))
-        self._total = _num_rows(self._path)
 
     def initialOffset(self) -> dict:
-        return {"seq": 0}
+        return {"seq": 0, "fp": 0}
 
     def latestOffset(self) -> dict:
-        return {"seq": self._total}
+        # re-derive the metadata plan every call: the put log grows while
+        # the query runs (new hour objects), and planning is footer-only
+        plan = _plan_files(self._path)
+        total = sum(n for _, _, n in plan)
+        return {"seq": total, "fp": _prefix_fingerprint(plan, total)}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        # Exactly-once guard: the consumed prefix of the sorted file list
+        # must be unchanged since `start` was checkpointed, otherwise the
+        # global sequence numbers below the watermark no longer address the
+        # same rows (see _prefix_fingerprint). Old checkpoints without a
+        # fingerprint skip the check rather than fail.
+        if start.get("fp") is not None and int(start["seq"]) > 0:
+            actual = _prefix_fingerprint(_plan_files(self._path), int(start["seq"]))
+            if actual != int(start["fp"]):
+                raise ValueError(
+                    "firehose_sim: the put-log file list changed BELOW the "
+                    f"consumed watermark (seq={start['seq']}): a file was "
+                    "inserted, removed, or resized out of lexicographic "
+                    "append order, so checkpointed sequence numbers no "
+                    "longer address the same rows. New log objects must "
+                    "sort after all existing ones (zero-padded increasing "
+                    "keys, as in the reference's partition/hour layout)."
+                )
         return _split(int(start["seq"]), int(end["seq"]), self._parts)
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:

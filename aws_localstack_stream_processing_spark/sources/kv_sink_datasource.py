@@ -106,24 +106,32 @@ class _KVWriter(DataSourceArrowWriter):
                 os.remove(m.path)
 
     def commit(self, messages) -> None:
-        """Batch-mode publish honoring the save mode: ``overwrite`` clears
-        every prior committed batch then publishes as batch=0; ``append``
-        allocates the next unused batch id so prior upserts survive (the
-        last-writer-wins read resolves keys across batches). Publishing to
-        a fixed id on append would silently delete earlier data."""
+        """Batch-mode publish honoring the save mode. ``append`` allocates
+        the next unused batch id so prior upserts survive (the
+        last-writer-wins read resolves keys across batches). ``overwrite``
+        publishes the new data FIRST (also under the next id — readers
+        resolve by marker + last-writer-wins, so ids need not restart at
+        0), then removes the superseded batches: a crash anywhere in the
+        sequence leaves either the old store or a complete new one, never
+        an empty directory. Stray non-``batch=<int>`` entries (manual
+        copies, editor backups) are ignored rather than failing the
+        commit."""
         import shutil
 
-        existing = [
-            int(d.split("=", 1)[1])
-            for d in (os.listdir(self._path) if os.path.isdir(self._path) else [])
-            if d.startswith("batch=")
-        ]
+        existing = []
+        for d in os.listdir(self._path) if os.path.isdir(self._path) else []:
+            if not d.startswith("batch="):
+                continue
+            try:
+                existing.append(int(d.split("=", 1)[1]))
+            except ValueError:
+                continue
+        self._publish(messages, max(existing, default=-1) + 1)
         if self._overwrite:
             for b in existing:
-                shutil.rmtree(os.path.join(self._path, f"batch={b}"))
-            self._publish(messages, 0)
-        else:
-            self._publish(messages, max(existing, default=-1) + 1)
+                shutil.rmtree(
+                    os.path.join(self._path, f"batch={b}"), ignore_errors=True
+                )
 
     def abort(self, messages) -> None:
         self._sweep(messages)

@@ -67,13 +67,27 @@ BENCH_EXCLUDED = {
 
 
 def _load_prev_bench() -> tuple[str, dict[str, float]] | None:
-    """Latest BENCH_r*.json in the repo root → (name, per-query seconds).
-    The driver wrapper sometimes fails to parse its own tail (parsed=null),
-    so fall back to extracting the queries dicts from the raw tail text."""
+    """Previous run's per-query seconds, for the vs_prev ratio table.
+
+    Preferred source: the committed sidecar BENCH_DETAIL.json (every bench
+    run writes it; it replaced the in-line per-query maps when the printed
+    JSON line outgrew the driver's 2000-char tail capture in round 4).
+    Fallback: the latest driver BENCH_r*.json (rounds 1-3 carry a parsed
+    per-query map; later rounds' tails are truncated, hence the regex)."""
     import glob
     import re
 
     root = os.path.dirname(os.path.abspath(__file__))
+    sidecar = os.path.join(root, "BENCH_DETAIL.json")
+    if os.path.exists(sidecar):
+        try:
+            with open(sidecar) as f:
+                raw = json.load(f)
+            times = {**raw.get("queries", {}), **raw.get("queries_ext", {})}
+            if times:
+                return ("BENCH_DETAIL.json", times)
+        except (OSError, ValueError):
+            pass
     cands = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
     if not cands:
         return None
@@ -280,11 +294,14 @@ def main() -> None:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = -1.0
-    # round-over-round ratio table vs the latest recorded BENCH_r*.json:
-    # makes ext-section regressions as visible in this round's record as
-    # the headline total (VERDICT r4 #8). Carried inside the one JSON line
-    # so the driver's BENCH_r{N}.json preserves it.
-    report = {
+    # The driver records only a 2000-char tail of stdout, and the in-line
+    # per-query maps outgrew it in round 4 (BENCH_r04/05 both landed with
+    # parsed=null). So: the FULL report — headline + ext per-query times and
+    # the complete vs_prev ratio table — goes to the committed sidecar
+    # BENCH_DETAIL.json; stdout carries one compact JSON line (headline map,
+    # calib, regression names, counts) hard-guarded to < 1900 chars.
+    prev_bench = _load_prev_bench()  # read BEFORE overwriting the sidecar
+    detail = {
         "metric": "headline_query_wall_sec",
         "value": total,
         "unit": "sec",
@@ -301,7 +318,7 @@ def main() -> None:
         "excluded": sorted(BENCH_EXCLUDED),
         "calib": calib,
     }
-    prev_bench = _load_prev_bench()
+    regressions: list[str] = []
     if prev_bench:
         ref_name, prev_times = prev_bench
         cur_all = {**times, **ext_times}
@@ -310,13 +327,44 @@ def main() -> None:
             for q, t in cur_all.items()
             if prev_times.get(q)
         }
-        report["vs_prev"] = {
+        regressions = sorted(q for q, r in ratios.items() if r > 1.25)
+        detail["vs_prev"] = {
             "ref": ref_name,
             "ratio": ratios,
-            "regressions": sorted(q for q, r in ratios.items() if r > 1.25),
+            "regressions": regressions,
             "new": sorted(q for q in cur_all if q not in prev_times),
         }
-    print(json.dumps(report))
+    root = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(root, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    report = {
+        k: detail[k]
+        for k in (
+            "metric", "value", "unit", "queries", "value_ext", "sf",
+            "trials_per_query", "trials_per_ext_query", "stat",
+            "noise_med_over_min", "excluded", "calib",
+        )
+    }
+    report["n_ext"] = len(ext_times)
+    report["detail"] = "BENCH_DETAIL.json"
+    if prev_bench:
+        report["vs_prev"] = {
+            "ref": detail["vs_prev"]["ref"],
+            "regressions": regressions[:15],
+            "n_regressions": len(regressions),
+            "n_new": len(detail["vs_prev"]["new"]),
+        }
+    line = json.dumps(report, separators=(",", ":"))
+    if len(line) > 1900:  # degrade gracefully, never lose driver parsing
+        report["queries"] = dict(
+            sorted(times.items(), key=lambda kv: -kv[1])[:8]
+        )
+        report["queries_truncated"] = True
+        if "vs_prev" in report:
+            report["vs_prev"]["regressions"] = regressions[:5]
+        line = json.dumps(report, separators=(",", ":"))
+    print(line)
     # Regression report vs a prior round (SPARK_GRAFT_BENCH_COMPARE=path to
     # a BENCH_r*.json): the extension section is held to the same
     # no-regression bar as the headline set. stderr only — stdout stays one

@@ -297,3 +297,60 @@ def test_checkpoint_restart_resumes_growing_log(spark, tmp_path):
         for r in spark.read.parquet(str(out)).collect()
     )
     assert ids == list(range(65))  # every id exactly once, incl. the new 15
+
+
+def test_prefix_fingerprint_append_stable_insert_detected(tmp_path):
+    """Sequence-number stability contract: appending a file that sorts
+    after the consumed prefix leaves the prefix fingerprint unchanged;
+    a file sorting INTO the prefix changes it (the silent dup/drop case
+    the checkpoint guard must catch)."""
+    from aws_localstack_stream_processing_spark.sources.firehose_datasource import (
+        _plan_files,
+        _prefix_fingerprint,
+    )
+
+    log = tmp_path / "putlog"
+    log.mkdir()
+    pq.write_table(_mini_log_table([0, 1], [1.0, 1.0]), str(log / "obj-0.parquet"))
+    pq.write_table(_mini_log_table([2, 3], [1.0, 1.0]), str(log / "obj-1.parquet"))
+    consumed = 4
+    fp0 = _prefix_fingerprint(_plan_files(str(log)), consumed)
+    # lexicographic append: fingerprint of the consumed prefix is stable
+    pq.write_table(_mini_log_table([4, 5], [1.0, 1.0]), str(log / "obj-2.parquet"))
+    assert _prefix_fingerprint(_plan_files(str(log)), consumed) == fp0
+    # mid-list insertion: 'obj-0a' sorts between obj-0 and obj-1
+    pq.write_table(_mini_log_table([9], [1.0]), str(log / "obj-0a.parquet"))
+    assert _prefix_fingerprint(_plan_files(str(log)), consumed) != fp0
+
+
+def test_checkpoint_restart_rejects_midlist_insertion(spark, tmp_path):
+    """A restart after an out-of-order object landed below the consumed
+    watermark must fail LOUDLY (exactly-once guard), not silently
+    re-address rows."""
+    log = tmp_path / "putlog"
+    log.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = tmp_path / "out"
+    register_firehose_source(spark)
+
+    def run_once():
+        q = (
+            spark.readStream.format("firehose_sim")
+            .option("path", str(log))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    pq.write_table(_mini_log_table(list(range(10)), [1.0] * 10), str(log / "obj-1.parquet"))
+    run_once()
+    assert spark.read.parquet(str(out)).count() == 10
+    # a new object that sorts BEFORE the consumed one — the corruption case
+    pq.write_table(_mini_log_table(list(range(10, 15)), [2.0] * 5), str(log / "obj-0.parquet"))
+    with pytest.raises(Exception, match="BELOW the consumed watermark"):
+        run_once()

@@ -141,6 +141,28 @@ def test_batch_append_preserves_prior_batches(spark, tmp_path):
     }
 
 
+def test_commit_ignores_stray_dirs_and_overwrite_publishes_first(spark, tmp_path):
+    """ADVICE r5: a stray non-integer 'batch=*' entry (manual copy, editor
+    backup) must not fail the commit, and overwrite must publish the new
+    batch BEFORE removing superseded ones — so the store is never observed
+    empty. The stray dir also must stay invisible to the reader."""
+    import os
+
+    register_kv_sink(spark)
+    out = str(tmp_path / "store")
+    one = spark.createDataFrame([("a", 1)], "key string, v int")
+    one.write.format("kv_upsert").option("path", out).mode("append").save()
+    os.makedirs(f"{out}/batch=0.bak", exist_ok=True)  # stray: int() would raise
+    two = spark.createDataFrame([("a", 2)], "key string, v int")
+    two.write.format("kv_upsert").option("path", out).mode("overwrite").save()
+    assert len(committed_batches(out)) == 1
+    # overwrite allocated a NEW id (publish-first), never reused/cleared-then-0
+    assert os.path.basename(committed_batches(out)[0]) == "batch=1"
+    assert {r.key: r.v for r in read_kv_table(spark, out, "key").collect()} == {
+        "a": 2
+    }
+
+
 def test_crash_between_publish_and_marker_converges(spark, tmp_path):
     """VERDICT r4 #7 — the crash window the design claims to survive: die
     AFTER _publish's renames but BEFORE the _COMMITTED marker lands. The
