@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import hashing
-from .dialect import intdiv, tbl, to_double_arr, dot, views
+from .dialect import intdiv, qsample, tbl, to_double_arr, dot, views
 from .llm_ops import DIM
 from .registry import query
 
@@ -177,7 +177,7 @@ def text_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _MRL_DIM = 16  # truncated prefix dimensionality
-_MRL_QMOD = 25  # query set = vec_id % 25 == 0 (mirrors the IVF eval)
+_MRL_NQ = 16  # fixed-size hash-rank query cohort (exact pass stays k·N)
 _MRL_K = 5
 
 
@@ -198,12 +198,13 @@ normed AS (
          sqrt({dot('emb', 'emb', _MRL_DIM, d)}) AS tnrm
   FROM base
 ),
+qs AS ({qsample('normed', 'vec_id', _MRL_NQ)}),
 pairs AS (
   SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
          {dot('q.emb', 'n.emb', DIM, d)} / (q.nrm * n.nrm) AS full_sim,
          {dot('q.emb', 'n.emb', _MRL_DIM, d)} / (q.tnrm * n.tnrm) AS trunc_sim
-  FROM normed q JOIN normed n ON q.vec_id <> n.vec_id
-  WHERE q.vec_id % {_MRL_QMOD} = 0
+  FROM normed q JOIN qs ON qs.vec_id = q.vec_id
+  JOIN normed n ON q.vec_id <> n.vec_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id,

@@ -137,6 +137,24 @@ def to_double_arr(expr: str, d: str) -> str:
     return f"list_transform({expr}, x -> CAST(x AS DOUBLE))"
 
 
+def qsample(src: str, id_col: str, k: int, where: str = "") -> str:
+    """Fixed-size hash-rank query cohort (VERDICT r5 #4): the ``k`` rows of
+    ``src`` whose multiplicative-hash rank of ``id_col`` is smallest.
+
+    A ``% m`` modulus cohort grows linearly with the corpus, so an eval
+    whose exact side brute-forces the cohort against the corpus silently
+    becomes ~N²/m at scale; a hash-rank LIMIT keeps the exact pass k·N at
+    ANY corpus size. The text renders identically in both dialects (BIGINT
+    multiply + modulo, total ORDER BY with the id as tiebreak), so both
+    engines draw the same cohort; Spark executes the LIMIT as
+    TakeOrderedAndProject — per-partition top-k, never a global sort."""
+    w = f" WHERE {where}" if where else ""
+    return (
+        f"SELECT {id_col} FROM {src}{w} "
+        f"ORDER BY ({id_col} * 2654435761) % 1048576, {id_col} LIMIT {k}"
+    )
+
+
 def dot(a: str, b: str, dim: int, d: str) -> str:
     """Dot product of two DOUBLE arrays with a fixed left-to-right summation
     order, so the result is bit-exact across Spark and DuckDB (IEEE ops in a

@@ -30,6 +30,7 @@ from .dialect import (
     dot,
     dot_const,
     intdiv,
+    qsample,
     s,
     tbl,
     to_double_arr,
@@ -776,6 +777,10 @@ _IVF_CENT_MOD = 50  # centroids = vec_id % 50 == 0 (deterministic "training")
 _IVF_QUERY_MOD = 25
 _IVF_NPROBE = 2
 _IVF_TOPK = 5
+# recall-eval exact-pass cohort: fixed k drawn by hash rank FROM the serving
+# cohort above, so the brute-force side stays k·N at any corpus size while
+# the approximate side remains the real operator's output
+_IVF_EVAL_NQ = 20
 
 
 def _ann_ivf_sql(d: str) -> str:
@@ -1882,6 +1887,7 @@ def emb_semantic_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _RECALL_K = 10
+_ANN_EVAL_NQ = 8  # fixed-size hash-rank query cohort (k·N exact pass)
 
 
 def _ann_recall_sql(d: str) -> str:
@@ -1896,7 +1902,8 @@ normed AS (
          concat({bucket_bits}) AS bucket
   FROM corpus
 ),
-q AS (SELECT * FROM normed WHERE vec_id < 5),
+qs AS ({qsample('normed', 'vec_id', _ANN_EVAL_NQ)}),
+q AS (SELECT n.* FROM normed n JOIN qs ON qs.vec_id = n.vec_id),
 exact AS (
   SELECT query_id, neighbor_id FROM (
     SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
@@ -1987,6 +1994,7 @@ ivf AS (
     FROM cand
   ) r WHERE rnk <= {_IVF_TOPK}
 ),
+qs AS ({qsample('normed', 'vec_id', _IVF_EVAL_NQ, f'vec_id % {_IVF_QUERY_MOD} = 0')}),
 exact AS (
   SELECT query_id, neighbor_id FROM (
     SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
@@ -1995,8 +2003,8 @@ exact AS (
              ORDER BY {dot('q.emb', 'n.emb', DIM, d)} / (q.nrm * n.nrm) DESC,
                       n.vec_id
            ) AS rnk
-    FROM normed q JOIN normed n ON q.vec_id <> n.vec_id
-    WHERE q.vec_id % {_IVF_QUERY_MOD} = 0
+    FROM normed q JOIN qs ON qs.vec_id = q.vec_id
+    JOIN normed n ON q.vec_id <> n.vec_id
   ) r WHERE rnk <= {_IVF_TOPK}
 )
 SELECT e.query_id,
@@ -2022,8 +2030,10 @@ def sim_ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking — the quality metric the LSH index already carries
     (``sim_ann_recall_eval``), now for the FAISS-style coarse quantizer.
     The approximate side runs the REAL :func:`sim_ann_ivf` operator (not
-    a SQL re-rendering); the exact side broadcasts the query rows and
-    makes a single pass over the corpus; recall is the per-query overlap
+    a SQL re-rendering); the exact side brute-forces only a FIXED-k
+    hash-rank sample of the query cohort (broadcast, one corpus pass —
+    k·N work at any corpus size, where the former %-modulus cohort grew
+    ∝N and made the exact pass ~N²); recall is the per-query overlap
     over k. tests/test_approx.py pins a fixed recall floor, so a
     centroid/probe regression fails CI, not production."""
     views(spark, sf_dir, "embeddings")
@@ -2035,8 +2045,14 @@ FROM (SELECT vec_id, {to_double_arr('embedding', 'spark')} AS emb
       FROM {tbl('embeddings', 'spark')})
 """
     )
+    # fixed-k hash-rank sample OF the serving cohort (same cohort rule as
+    # the oracle's qs CTE): the exact brute-force side is k·N at any
+    # corpus size; TakeOrderedAndProject, not a global sort
     q = F.broadcast(
-        normed.filter(F.col("vec_id") % _IVF_QUERY_MOD == 0).select(
+        normed.filter(F.col("vec_id") % _IVF_QUERY_MOD == 0)
+        .orderBy(F.expr("(vec_id * 2654435761) % 1048576"), "vec_id")
+        .limit(_IVF_EVAL_NQ)
+        .select(
             F.col("vec_id").alias("qid"),
             F.col("emb").alias("qemb"),
             F.col("nrm").alias("qnrm"),

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dialect import dec_sum, intdiv, tbl, to_double_arr, views
+from .dialect import dec_sum, intdiv, qsample, tbl, to_double_arr, views
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -483,6 +483,9 @@ def lake_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVFPQ_QUERY_MOD = 25
 _IVFPQ_NPROBE = 2
 _IVFPQ_TOPK = 5
+# recall-eval exact-pass cohort: fixed-k hash-rank sample of the serving
+# cohort, so the brute-force side stays k·N at any corpus size
+_IVFPQ_EVAL_NQ = 12
 
 
 def _ivfpq_oracle() -> str:
@@ -574,14 +577,15 @@ WITH ivfpq AS ({_ivfpq_oracle()}),
 base AS (
   SELECT vec_id, {to_double_arr('embedding', d)} AS emb FROM {tbl('embeddings', d)}
 ),
+qs AS ({qsample('base', 'vec_id', _IVFPQ_EVAL_NQ, f'vec_id % {_IVFPQ_QUERY_MOD} = 0')}),
 exact AS (
   SELECT query_id, neighbor_id FROM (
     SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
            ROW_NUMBER() OVER (
              PARTITION BY q.vec_id ORDER BY {l2full}, n.vec_id
            ) AS rnk
-    FROM base q JOIN base n ON q.vec_id <> n.vec_id
-    WHERE q.vec_id % {_IVFPQ_QUERY_MOD} = 0
+    FROM base q JOIN qs ON qs.vec_id = q.vec_id
+    JOIN base n ON q.vec_id <> n.vec_id
   ) r WHERE rnk <= {_IVFPQ_TOPK}
 )
 SELECT e.query_id,
@@ -622,10 +626,13 @@ SELECT vec_id, {to_double_arr('embedding', 'spark')} AS emb
 FROM {tbl('embeddings', 'spark')}
 """
     )
+    # fixed-k hash-rank sample OF the serving cohort (matches the oracle's
+    # qs CTE): the exact pass is k·N at any corpus size
     q = F.broadcast(
-        base.filter(F.col("vec_id") % _IVFPQ_QUERY_MOD == 0).select(
-            F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
-        )
+        base.filter(F.col("vec_id") % _IVFPQ_QUERY_MOD == 0)
+        .orderBy(F.expr("(vec_id * 2654435761) % 1048576"), "vec_id")
+        .limit(_IVFPQ_EVAL_NQ)
+        .select(F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"))
     )
     from pyspark.sql import Window
 
