@@ -137,6 +137,16 @@ def to_double_arr(expr: str, d: str) -> str:
     return f"list_transform({expr}, x -> CAST(x AS DOUBLE))"
 
 
+def re_replace_all(expr: str, pat: str, rep: str, d: str) -> str:
+    """Regex-replace EVERY match. Spark's regexp_replace is global by
+    default with ``$1`` backreferences; DuckDB needs the ``'g'`` option and
+    ``\\1`` backreferences — pass ``rep`` in ``$1`` style."""
+    if d == "spark":
+        return f"regexp_replace({expr}, '{pat}', '{rep}')"
+    duck_rep = rep.replace("$", "\\")
+    return f"regexp_replace({expr}, '{pat}', '{duck_rep}', 'g')"
+
+
 def qsample(src: str, id_col: str, k: int, where: str = "") -> str:
     """Fixed-size hash-rank query cohort (VERDICT r5 #4): the ``k`` rows of
     ``src`` whose multiplicative-hash rank of ``id_col`` is smallest.

@@ -271,6 +271,18 @@ def main() -> None:
         # round-5 SLO replay pair
         "ref_slo_queue_backtest",
         "ref_alarm_episodes",
+        # round-6 wave (manifest/alarm connectors, web provenance,
+        # tokenizer application, cross-modal dedup)
+        "stream_manifest_lake",
+        "stream_alarm_actions",
+        "url_parse_extract",
+        "url_canonical_dedup",
+        "url_registrable_domain",
+        "url_domain_content_dedup",
+        "text_bpe_encode",
+        "text_bpe_compression_by_lang",
+        "mm_crossmodal_joint_dedup",
+        "data_dedup_keep_best",
     ]
     # the ext showcase is held to the regression bar but is not the
     # headline: 3 trials (vs the headline's 4) keep total bench wall time

@@ -831,3 +831,43 @@ def test_freshness_horizon_broadcasts(spark):
     _, executed = _plan(spark, "profile_freshness_lag")
     assert "BroadcastNestedLoopJoin" in executed or "BroadcastExchange" in executed
     assert executed.count("Exchange hashpartitioning") <= 1
+
+
+# --- round-6 wave plan pins -----------------------------------------------
+
+
+def test_bpe_encode_pure_codegen_single_doc_fold(spark):
+    """The whole merge chain is string intrinsics inside codegen: no
+    Python, no join, no window — the only exchange is the per-doc fold."""
+    _, executed = _plan(spark, "text_bpe_encode")
+    assert "BatchEvalPython" not in executed and "InPandas" not in executed
+    assert "Join" not in executed
+    assert "Window" not in executed
+    assert executed.count("Exchange hashpartitioning") <= 1
+
+
+def test_registrable_domain_broadcast_suffix_rank_partitioned(spark):
+    """The 6-row suffix table broadcasts into the LIKE join (a BNLJ over a
+    broadcast literal is 6 compares/row — fine; a shuffled non-equi join
+    would not be), and the longest-match rank partitions per doc."""
+    _, executed = _plan(spark, "url_registrable_domain")
+    assert "BroadcastExchange" in executed
+    assert "CartesianProduct" not in executed
+    _assert_all_windows_partitioned(executed, "url_registrable_domain")
+
+
+def test_crossmodal_candidate_bounded_no_cartesian(spark):
+    """Token-Jaccard confirmation joins hang off the phash candidate set:
+    equi-joins only, no cartesian, no window over the corpus."""
+    _, executed = _plan(spark, "mm_crossmodal_joint_dedup")
+    assert "CartesianProduct" not in executed
+    assert "BroadcastNestedLoopJoin" not in executed
+    assert "Window" not in executed
+
+
+def test_keep_best_single_cluster_exchange(spark):
+    """Rank + member count share ONE cluster-key partitioning: exactly one
+    hash exchange feeds both windows."""
+    _, executed = _plan(spark, "data_dedup_keep_best")
+    _assert_all_windows_partitioned(executed, "data_dedup_keep_best")
+    assert executed.count("Exchange hashpartitioning") == 1
