@@ -1,0 +1,464 @@
+"""Round-6 wave 2: governance/operations audits and retrieval polish —
+t-closeness (completing the k-anonymity / l-diversity privacy triad),
+SRE multi-window error-budget burn rate (the paging rule behind the
+reference's alarms), MMR diversity re-ranking, per-source unigram-KL
+mixture drift, commit-manifest health, embedding pairwise-cosine
+geometry, and user path mining.
+
+House determinism contract throughout (registry docstring): exact
+integer/DECIMAL numerators with ONE trailing DOUBLE division, ln() terms
+round(…, 12) into DECIMAL sums, floor() before BIGINT casts, every COUNT
+/ SUM output CAST to BIGINT (DuckDB widens), windows partitioned on
+high-cardinality keys or replaced by bounded LIMIT argmax.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .dialect import (
+    dec_sum,
+    dot,
+    epoch_s,
+    inline_values,
+    intdiv,
+    qsample,
+    tbl,
+    to_double_arr,
+    ts_str,
+    views,
+)
+from .llm_ops import DIM
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# privacy_t_closeness — distribution distance per QI class (Li et al. 2007).
+# ---------------------------------------------------------------------------
+
+_TC_BUCKET_W = 50  # sensitive attribute = value bucket of width 50 (0..9)
+_TC_FLAG = 0.25  # t threshold
+
+
+def _t_closeness_sql(d: str) -> str:
+    bucket = intdiv("CAST(floor(value) AS BIGINT)", _TC_BUCKET_W, d)
+    day = "CAST(day(ts) AS BIGINT)"
+    dec = "DECIMAL(19,0)"
+    return f"""
+WITH base AS (
+  SELECT event_type, {day} AS qday, {bucket} AS b FROM {tbl('events', d)}
+),
+g AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS gb FROM base GROUP BY b),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+cls AS (
+  SELECT event_type, qday, b, CAST(COUNT(*) AS BIGINT) AS ncb
+  FROM base GROUP BY event_type, qday, b
+),
+csize AS (
+  SELECT event_type, qday, CAST(SUM(ncb) AS BIGINT) AS nc
+  FROM cls GROUP BY event_type, qday
+),
+grid AS (
+  SELECT c.event_type, c.qday, c.nc, g.b, g.gb,
+         COALESCE(x.ncb, CAST(0 AS BIGINT)) AS ncb
+  FROM csize c CROSS JOIN g
+  LEFT JOIN cls x
+    ON x.event_type = c.event_type AND x.qday = c.qday AND x.b = g.b
+),
+tvd AS (
+  -- |ncb/nc - gb/n| = |ncb*n - gb*nc| / (nc*n): exact integer numerators
+  -- as DECIMAL(19,0)x(19,0) products (result precision caps at 38 in BOTH
+  -- engines — overflow-free at any row count), ONE division at the end
+  SELECT g.event_type, g.qday, g.nc,
+         SUM(abs(CAST(g.ncb AS {dec}) * CAST(t.n AS {dec})
+                 - CAST(g.gb AS {dec}) * CAST(g.nc AS {dec}))) AS num,
+         MIN(t.n) AS n
+  FROM grid g CROSS JOIN tot t
+  GROUP BY g.event_type, g.qday, g.nc
+)
+SELECT event_type, qday AS qi_day, nc AS class_size,
+       round(CAST(num AS DOUBLE) / (CAST(2 AS DOUBLE) * nc * n), 6)
+         AS t_distance,
+       CAST(num AS DOUBLE) / (CAST(2 AS DOUBLE) * nc * n) > {_TC_FLAG}
+         AS exceeds_t
+FROM tvd
+ORDER BY t_distance DESC, event_type, qi_day
+LIMIT 50
+"""
+
+
+@query("privacy_t_closeness", oracle=_t_closeness_sql("duck"), tags=("privacy", "governance"))
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    leg of the privacy triad after ``privacy_k_anonymity`` and
+    ``privacy_l_diversity``: a QI class leaks even when diverse if its
+    SENSITIVE-ATTRIBUTE DISTRIBUTION deviates from the global one. The
+    distance is total variation over value buckets, computed as exact
+    integer cross-products |ncb·N − gb·Nc| in DECIMAL(38,0) with one
+    trailing division — bit-stable at any scale. Class×bucket grid is
+    |classes|×10 rows; the only shuffles are two keyed aggregations."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_t_closeness_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ref_slo_burn_rate — SRE multi-window error-budget burn (paging rule).
+# ---------------------------------------------------------------------------
+
+# Replay mapping (documented like slo_ops): the 'error' event type is the
+# failed-request signal; the SLO budgets a 25% error fraction (the test
+# stream's types are ~uniform, so the budget sits just above the base
+# rate and pages exactly on genuine error bursts). Fast-burn pages when
+# BOTH the 1h burn exceeds 2.0x and the trailing-24h burn exceeds 1.2x
+# budget — the two-window rule that suppresses single-spike false pages;
+# a 5-event hourly volume floor keeps one-event hours from paging.
+_BURN_BUDGET_PCT = 25
+_BURN_LANES = 5  # the reference's 5 partition lanes
+
+
+def _burn_rate_sql(d: str) -> str:
+    lane = f"(user_id % {_BURN_LANES})"
+    hour = intdiv(epoch_s("ts", d), "3600", d)
+    gen = (
+        "SELECT explode(sequence(lo, hi)) AS h FROM bounds"
+        if d == "spark"
+        else "SELECT unnest(range(lo, hi + 1)) AS h FROM bounds"
+    )
+    w = "PARTITION BY lane ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW"
+    return f"""
+WITH cnt AS (
+  SELECT {lane} AS lane, {hour} AS h,
+         CAST(COUNT(*) AS BIGINT) AS y,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS err
+  FROM {tbl('events', d)}
+  GROUP BY {lane}, {hour}
+),
+bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM cnt),
+hseq AS ({gen}),
+lanes AS (SELECT DISTINCT lane FROM cnt),
+dense AS (
+  SELECT sp.lane, sp.h,
+         COALESCE(c.y, CAST(0 AS BIGINT)) AS y,
+         COALESCE(c.err, CAST(0 AS BIGINT)) AS err
+  FROM (SELECT l.lane, g.h FROM lanes l CROSS JOIN hseq g) sp
+  LEFT JOIN cnt c ON c.lane = sp.lane AND c.h = sp.h
+),
+rolled AS (
+  SELECT lane, h, y, err,
+         CAST(SUM(y) OVER ({w}) AS BIGINT) AS y24,
+         CAST(SUM(err) OVER ({w}) AS BIGINT) AS err24
+  FROM dense
+)
+SELECT lane, {'timestamp_seconds(h * 3600)' if d == 'spark' else 'to_timestamp(h * 3600)'} AS hh,
+       y, err,
+       round(CAST(400 AS DOUBLE) * err / y / {_BURN_BUDGET_PCT}, 6)
+         AS burn_1h,
+       round(CAST(400 AS DOUBLE) * err24 / y24 / {_BURN_BUDGET_PCT}, 6)
+         AS burn_24h
+FROM rolled
+WHERE y >= 5
+  AND err * 400 > {_BURN_BUDGET_PCT} * y * 2
+  AND err24 * 4000 > {_BURN_BUDGET_PCT} * y24 * 12
+ORDER BY lane, h
+LIMIT 200
+"""
+
+
+def _burn_rate_outer(d: str) -> str:
+    # hh formatted AFTER the filter so both engines stringify identically
+    return f"""
+SELECT lane, {ts_str('hh', d)} AS hour, y AS n_events, err AS n_errors,
+       burn_1h, burn_24h
+FROM ({_burn_rate_sql(d)}) q
+"""
+
+
+@query("ref_slo_burn_rate", oracle=_burn_rate_outer("duck"), tags=("reference", "slo", "windows"))
+def ref_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window error-budget burn-rate paging (Google SRE Workbook
+    ch. 5, public) over the reference's 5 partition lanes: a lane pages
+    only when BOTH the 1-hour burn exceeds 2.0× and the trailing-24-hour
+    burn exceeds 1.2× of budget — the two-window rule that keeps single
+    spikes from paging while catching sustained budget exhaustion (the
+    batch sibling of ``stream_alarm_actions``; reference alarm surface
+    app.ts:547-588). Counts densify on a generated hour spine per lane
+    (with a 5-event hourly volume floor); the rolling sums ride ONE
+    lane-partitioned exchange; breach tests are pure integer
+    cross-multiplications, display ratios divide once; the first-200 cap
+    keeps the alert table bounded at any time range."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_burn_rate_outer("spark"))
+
+
+# ---------------------------------------------------------------------------
+# rag_mmr_rerank — maximal marginal relevance (Carbonell & Goldstein 1998).
+# ---------------------------------------------------------------------------
+
+_MMR_CAND = 8
+_MMR_PICKS = 4  # unrolled greedy selections (λ = 1/2 — exact halving)
+
+
+def _mmr_sql(d: str) -> str:
+    base = f"SELECT vec_id, {to_double_arr('embedding', d)} AS emb FROM {tbl('embeddings', d)}"
+    cos = dot("a.emb", "b.emb", DIM, d)
+    pick = []
+    prev_sims = []
+    for i in range(2, _MMR_PICKS + 1):
+        prev = ", ".join(f"p{j}" for j in range(1, i))
+        sim_joins = " ".join(
+            f"JOIN sims s{j} ON s{j}.x = r.nid AND s{j}.y = p{j}.nid" for j in range(1, i)
+        )
+        maxsim = (
+            f"greatest({', '.join(f's{j}.sim' for j in range(1, i))})"
+            if i > 2
+            else "s1.sim"
+        )
+        excl = " AND ".join(f"r.nid <> p{j}.nid" for j in range(1, i))
+        pick.append(
+            f"""p{i} AS (
+  SELECT r.nid, r.rel FROM cand r CROSS JOIN {prev.replace(', ', ' CROSS JOIN ')}
+  {sim_joins}
+  WHERE {excl}
+  ORDER BY (r.rel / 2 - {maxsim} / 2) DESC, r.nid LIMIT 1
+)"""
+        )
+        prev_sims.append(i)
+    picks_sql = ",\n".join(pick)
+    outs = ["SELECT CAST(1 AS BIGINT) AS rnk, nid AS doc_id, round(rel, 6) AS relevance FROM p1"]
+    for i in range(2, _MMR_PICKS + 1):
+        outs.append(
+            f"SELECT CAST({i} AS BIGINT), nid, round(rel, 6) FROM p{i}"
+        )
+    union = "\nUNION ALL\n".join(outs)
+    return f"""
+WITH base AS ({base}),
+normed AS (SELECT vec_id, emb, sqrt({dot('emb', 'emb', DIM, d)}) AS nrm FROM base),
+qs AS ({qsample('normed', 'vec_id', 1)}),
+q AS (SELECT n.* FROM normed n JOIN qs ON qs.vec_id = n.vec_id),
+cand AS (
+  SELECT n.vec_id AS nid, n.emb, n.nrm,
+         {dot('q.emb', 'n.emb', DIM, d)} / (q.nrm * n.nrm) AS rel
+  FROM q JOIN normed n ON n.vec_id <> q.vec_id
+  ORDER BY {dot('q.emb', 'n.emb', DIM, d)} / (q.nrm * n.nrm) DESC, n.vec_id
+  LIMIT {_MMR_CAND}
+),
+sims AS (
+  SELECT a.nid AS x, b.nid AS y, {cos} / (a.nrm * b.nrm) AS sim
+  FROM cand a JOIN cand b ON a.nid <> b.nid
+),
+p1 AS (SELECT nid, rel FROM cand ORDER BY rel DESC, nid LIMIT 1),
+{picks_sql}
+SELECT * FROM ({union}) u
+ORDER BY rnk
+"""
+
+
+@query("rag_mmr_rerank", oracle=_mmr_sql("duck"), tags=("rag", "similarity", "topk"))
+def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)
+    — the diversity pass between retrieval and the context window: greedy
+    picks maximize λ·relevance − (1−λ)·max-similarity-to-already-picked
+    (λ = 1/2, an exact halving). The candidate set is the top-8 by cosine
+    (LIMIT over one corpus pass — TakeOrdered, no window), so the greedy
+    unroll touches only an 8×8 similarity table: each of the 4 picks is a
+    bounded ORDER-BY-LIMIT-1 argmax, never a corpus operation. At 100 TB
+    only the candidate retrieval scales; the rerank stays constant-size."""
+    views(spark, sf_dir, "embeddings")
+    return spark.sql(_mmr_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# text_unigram_kl_mix — per-source KL divergence vs the corpus unigram LM.
+# ---------------------------------------------------------------------------
+
+_KL_VOCAB = 200
+
+
+def _kl_mix_sql(d: str) -> str:
+    gen = "explode" if d == "spark" else "unnest"
+    return f"""
+WITH toks AS (
+  SELECT source, {gen}(split(text, ' ')) AS word FROM {tbl('documents', d)}
+),
+tv AS (SELECT source, word FROM toks WHERE word <> ''),
+gcnt AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS gw FROM tv GROUP BY word),
+vocab AS (SELECT word, gw FROM gcnt ORDER BY gw DESC, word LIMIT {_KL_VOCAB}),
+-- smoothing mass must use the ACTUAL vocabulary size (≤ the cap), else
+-- Σp ≠ 1 and the "KL" can go negative
+gtot AS (
+  SELECT CAST(SUM(gw) AS BIGINT) AS gn, CAST(COUNT(*) AS BIGINT) AS v
+  FROM vocab
+),
+scnt AS (
+  SELECT t.source, t.word, CAST(COUNT(*) AS BIGINT) AS sw
+  FROM tv t JOIN vocab v ON v.word = t.word
+  GROUP BY t.source, t.word
+),
+stot AS (SELECT source, CAST(SUM(sw) AS BIGINT) AS sn FROM scnt GROUP BY source),
+grid AS (
+  SELECT st.source, st.sn, v.word, v.gw,
+         COALESCE(sc.sw, CAST(0 AS BIGINT)) AS sw
+  FROM stot st CROSS JOIN vocab v
+  LEFT JOIN scnt sc ON sc.source = st.source AND sc.word = v.word
+),
+terms AS (
+  -- add-one smoothed p·ln(p/q); each libm term round-12 before the
+  -- DECIMAL sum (house rule for order-independent float folds)
+  SELECT g.source,
+         round(((CAST(g.sw AS DOUBLE) + 1) / (g.sn + t.v))
+               * ln(((CAST(g.sw AS DOUBLE) + 1) / (g.sn + t.v))
+                    / ((CAST(g.gw AS DOUBLE) + 1) / (t.gn + t.v))),
+               12) AS term,
+         g.sn
+  FROM grid g CROSS JOIN gtot t
+)
+SELECT source,
+       CAST(MIN(sn) AS BIGINT) AS n_vocab_tokens,
+       round({dec_sum('term', 12)}, 6) AS kl_nats
+FROM terms
+GROUP BY source
+ORDER BY kl_nats DESC, source
+"""
+
+
+@query("text_unigram_kl_mix", oracle=_kl_mix_sql("duck"), tags=("llm", "text", "profiling"))
+def text_unigram_kl_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence against the corpus language model
+    — the mixture-drift audit behind data-mix dashboards (a source whose
+    token distribution diverges from the pool is over/under-represented
+    or off-domain; CCNet uses the same statistic with a reference LM).
+    Vocabulary = top-200 terms by count (ORDER BY + LIMIT — a bounded
+    TakeOrdered, no window); the source×vocab grid is |sources|×200 rows;
+    smoothed p·ln(p/q) terms round-12 into a DECIMAL sum."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_kl_mix_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# lake_manifest_health — commit-manifest small-file / debt audit.
+# ---------------------------------------------------------------------------
+
+_MH_SMALL_BYTES = 25_000_000  # "small file" threshold in modeled bytes
+
+
+def _manifest_health_sql(d: str) -> str:
+    commit = "CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)"
+    fbytes = "CAST(floor(o_totalprice) AS BIGINT) * 500"
+    return f"""
+WITH files AS (
+  SELECT {commit} AS commit_id, o_orderkey AS file_id, {fbytes} AS bytes
+  FROM {tbl('orders', d)}
+)
+SELECT commit_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(CASE WHEN bytes < {_MH_SMALL_BYTES} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small,
+       round(CAST(SUM(CASE WHEN bytes < {_MH_SMALL_BYTES} THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS small_frac,
+       {intdiv('CAST(SUM(bytes) AS BIGINT)', 'COUNT(*)', d)} AS avg_bytes,
+       CAST(SUM(CASE WHEN bytes < {_MH_SMALL_BYTES} THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) > 0.5 AS compaction_needed
+FROM files
+GROUP BY commit_id
+ORDER BY commit_id
+"""
+
+
+@query("lake_manifest_health", oracle=_manifest_health_sql("duck"), tags=("lakehouse", "profiling"))
+def lake_manifest_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-manifest health audit — the monitoring view over the
+    manifest pattern `manifest_lake` reads and `lake_compaction_plan`
+    remediates: per commit, file counts, bytes, the small-file fraction
+    (the scan-parallelism killer), and a compaction-debt flag. Work is
+    manifest-sized (|files| rows, one keyed aggregation) — at 100 TB this
+    reads commit metadata, never data. Modeled over the orders table as
+    the house lake_* convention (one order = one committed file)."""
+    views(spark, sf_dir, "orders")
+    return spark.sql(_manifest_health_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# emb_pair_cosine_hist — pairwise-cosine geometry histogram.
+# ---------------------------------------------------------------------------
+
+_PCH_SAMPLE = 32  # hash-rank sample → 32·31/2 = 496 exact pairs
+
+
+def _pair_hist_sql(d: str) -> str:
+    bins = ", ".join(f"({i})" for i in range(10))
+    return f"""
+WITH base AS (
+  SELECT vec_id, {to_double_arr('embedding', d)} AS emb FROM {tbl('embeddings', d)}
+),
+normed AS (SELECT vec_id, emb, sqrt({dot('emb', 'emb', DIM, d)}) AS nrm FROM base),
+qs AS ({qsample('normed', 'vec_id', _PCH_SAMPLE)}),
+smp AS (SELECT n.* FROM normed n JOIN qs ON qs.vec_id = n.vec_id),
+pairs AS (
+  -- BROADCAST hint: the sampled side is a fixed 32 rows but TakeOrdered
+  -- output carries no stats, so Catalyst would otherwise plan the tiny
+  -- non-equi self-join as a CartesianProduct (a comment to DuckDB)
+  SELECT /*+ BROADCAST(a) */
+         least(CAST(floor(({dot('a.emb', 'b.emb', DIM, d)} / (a.nrm * b.nrm) + 1)
+                    * 5) AS BIGINT), CAST(9 AS BIGINT)) AS bin
+  FROM smp a JOIN smp b ON a.vec_id < b.vec_id
+),
+spine AS ({inline_values(bins, 'bn', 'bin', d)}),
+cnt AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY bin)
+SELECT CAST(sp.bin AS BIGINT) AS bin,
+       round(CAST(sp.bin AS DOUBLE) / 5 - 1, 1) AS cos_lo,
+       COALESCE(c.n, CAST(0 AS BIGINT)) AS n_pairs
+FROM spine sp LEFT JOIN cnt c ON c.bin = sp.bin
+ORDER BY bin
+"""
+
+
+@query("emb_pair_cosine_hist", oracle=_pair_hist_sql("duck"), tags=("llm", "similarity", "profiling"))
+def emb_pair_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine histogram over a fixed hash-rank sample — the
+    embedding-space geometry check (Ethayarajh 2019's anisotropy
+    observation, public): healthy spaces spread mass across bins; a
+    collapsed or anisotropic space piles into the top bins and ANN
+    recall/dedup thresholds silently degrade. The sample is fixed-k
+    (496 exact pairs at any corpus size — same qsample machinery as the
+    recall evals); floor() precedes the BIGINT bin cast; a 10-row literal
+    bin spine keeps empty bins visible."""
+    views(spark, sf_dir, "embeddings")
+    return spark.sql(_pair_hist_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# seq_user_path_topk — most common 3-step event paths.
+# ---------------------------------------------------------------------------
+
+
+def _path_topk_sql(d: str) -> str:
+    w = "PARTITION BY user_id ORDER BY ts, event_id"
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         LEAD(event_type, 1) OVER ({w}) AS e2,
+         LEAD(event_type, 2) OVER ({w}) AS e3
+  FROM {tbl('events', d)}
+),
+paths AS (
+  SELECT concat(e1, '>', e2, '>', e3) AS path
+  FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM paths
+GROUP BY path
+ORDER BY n_occurrences DESC, path
+LIMIT 10
+"""
+
+
+@query("seq_user_path_topk", oracle=_path_topk_sql("duck"), tags=("sequence", "agg", "topk"))
+def seq_user_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent 3-step user paths — the path-mining view next
+    to ``seq_markov_transitions`` (which models pairs; this surfaces the
+    actual frequent trigram journeys product teams read). Two stacked
+    LEADs ride ONE user-partitioned exchange; the path space collapses to
+    ≤ |types|³ groups before the TakeOrdered top-10."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_path_topk_sql("spark"))

@@ -283,6 +283,14 @@ def main() -> None:
         "text_bpe_compression_by_lang",
         "mm_crossmodal_joint_dedup",
         "data_dedup_keep_best",
+        # round-6 wave 2 (audits + retrieval polish)
+        "privacy_t_closeness",
+        "ref_slo_burn_rate",
+        "rag_mmr_rerank",
+        "text_unigram_kl_mix",
+        "lake_manifest_health",
+        "emb_pair_cosine_hist",
+        "seq_user_path_topk",
     ]
     # the ext showcase is held to the regression bar but is not the
     # headline: 3 trials (vs the headline's 4) keep total bench wall time
