@@ -137,6 +137,18 @@ def to_double_arr(expr: str, d: str) -> str:
     return f"list_transform({expr}, x -> CAST(x AS DOUBLE))"
 
 
+def hash64(expr: str, d: str) -> str:
+    """Deterministic 60-bit BIGINT key from a string — bit-identical across
+    dialects (md5 hex prefix). Use to replace long string shuffle/join keys
+    (shingles, canonical URLs) with 8-byte integers: at 1.4M keys the
+    collision probability is ~1e-7, and because BOTH engines hash the same
+    way a collision changes both sides identically — hash-exactness holds
+    regardless."""
+    if d == "spark":
+        return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+    return f"CAST(('0x' || substring(md5({expr}), 1, 15)) AS BIGINT)"
+
+
 def re_replace_all(expr: str, pat: str, rep: str, d: str) -> str:
     """Regex-replace EVERY match. Spark's regexp_replace is global by
     default with ``$1`` backreferences; DuckDB needs the ``'g'`` option and

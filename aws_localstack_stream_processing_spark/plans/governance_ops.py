@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import text
-from .dialect import arr_len, epoch_s, intdiv, tbl, unnest_fn, views
+from .dialect import arr_len, epoch_s, hash64, intdiv, tbl, unnest_fn, views
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -173,7 +173,13 @@ shing AS (
   FROM toks WHERE {arr_len('wd', d)} >= {_CONTAIN_K}
 ),
 exploded AS (
-  SELECT DISTINCT doc_id, {unnest_fn(d)}(sh) AS sg FROM shing
+  -- postings keyed by a 60-bit shingle hash, not the ~30-char shingle
+  -- text: the DISTINCT, the df guard, and the candidate self-join all
+  -- shuffle/compare 8-byte integers (see dialect.hash64 for the
+  -- cross-engine exactness argument)
+  SELECT DISTINCT doc_id, {hash64('sg_raw', d)} AS sg FROM (
+    SELECT doc_id, {unnest_fn(d)}(sh) AS sg_raw FROM shing
+  ) x
 ),
 ndocs AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM shing),
 hot AS (
@@ -202,7 +208,7 @@ inter AS (
     ON a.sg = b.sg AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
-SELECT i.doc_a, i.doc_b,
+SELECT /*+ BROADCAST(sa), BROADCAST(sb) */ i.doc_a, i.doc_b,
        round(CAST(i.n_shared AS DOUBLE) / sa.n, 6) AS c_a_in_b,
        round(CAST(i.n_shared AS DOUBLE) / sb.n, 6) AS c_b_in_a,
        round(CAST(i.n_shared AS DOUBLE) / (sa.n + sb.n - i.n_shared), 6)
@@ -247,13 +253,41 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     source's RARE shingles, so guard-surviving containment stays 1.0.
     The postings table sits at the top of a DIAMOND (self-join + sizes):
     plain CTE inlining would re-shingle the corpus four times, so the
-    Spark path persists it once (the graph_ops discipline) while the
-    oracle's single WITH lets DuckDB materialize it. At 100 TB the
-    postings join partitions on high-cardinality shingle text and stays
-    balanced."""
+    Spark path persists it once (the graph_ops discipline) and the
+    scoring side is DataFrame ops over the SAME DataFrame object —
+    SQL-over-a-temp-view was measured to MISS the plan cache for the
+    aggregated legs (grouping over the view re-planned the whole shingle
+    chain from parquet: 3 extra corpus passes, ~2x the query), while
+    DF-object reuse substitutes the InMemoryRelation reliably. The
+    oracle's single WITH lets DuckDB materialize the chain. At 100 TB
+    the postings join partitions on the high-cardinality 60-bit shingle
+    key and stays balanced; the doc-sized ``sizes`` legs broadcast."""
+    from pyspark.sql import functions as F
+
     views(spark, sf_dir, "documents")
     kept = spark.sql(
         f"WITH {_containment_kept_sql('spark')} SELECT * FROM kept"
     ).persist()
-    kept.createOrReplaceTempView("slsp_contain_kept")
-    return spark.sql(_containment_scoring_sql("slsp_contain_kept"))
+    sizes = kept.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "sg")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "sg")
+    inter = (
+        a.join(b, (a["sg"] == b["sg"]) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    sa = F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")))
+    sb = F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")))
+    ns = F.col("n_shared").cast("double")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where((ns / F.col("na") >= _CONTAIN_THRESHOLD) | (ns / F.col("nb") >= _CONTAIN_THRESHOLD))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(ns / F.col("na"), 6).alias("c_a_in_b"),
+            F.round(ns / F.col("nb"), 6).alias("c_b_in_a"),
+            F.round(ns / (F.col("na") + F.col("nb") - F.col("n_shared")), 6).alias("jaccard"),
+        )
+    )

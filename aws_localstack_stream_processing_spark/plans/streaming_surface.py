@@ -271,6 +271,10 @@ def stream_lru_keyring(spark: SparkSession, sf_dir: str) -> DataFrame:
     models the whole sharded rotation in SQL."""
     from ..catalog import load_table
 
+    # driver-side collect is BOUNDED by the key-ring size, not the data:
+    # the reference's ring is ~100 keys (seed-keys.ts seeds a fixed pool),
+    # and the ring must be broadcast-known to every stateful shard anyway —
+    # this is dimension collection, not a data-plane collect
     key_ids = [
         r.s_suppkey for r in load_table(spark, sf_dir, "supplier").select("s_suppkey").collect()
     ]

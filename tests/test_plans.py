@@ -871,3 +871,13 @@ def test_keep_best_single_cluster_exchange(spark):
     _, executed = _plan(spark, "data_dedup_keep_best")
     _assert_all_windows_partitioned(executed, "data_dedup_keep_best")
     assert executed.count("Exchange hashpartitioning") == 1
+
+
+def test_containment_scoring_reuses_persisted_postings(spark):
+    """The scoring diamond must read the persisted postings (InMemory
+    scans), never re-shingle the corpus per leg — SQL-over-a-temp-view
+    was measured to miss the plan cache for the aggregated legs, so the
+    scoring side is DataFrame ops over the same DF object."""
+    _, executed = _plan(spark, "dedup_containment")
+    assert "InMemoryTableScan" in executed
+    assert "CartesianProduct" not in executed
