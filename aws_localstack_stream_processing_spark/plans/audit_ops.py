@@ -462,3 +462,188 @@ def seq_user_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ |types|³ groups before the TakeOrdered top-10."""
     views(spark, sf_dir, "events")
     return spark.sql(_path_topk_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# dedup_cluster_size_hist — duplicate-cluster size distribution.
+# ---------------------------------------------------------------------------
+
+
+def _cluster_hist_sql(d: str) -> str:
+    from ..functions import hashing
+    from .llm_ops import _doc_corpus
+
+    return f"""
+WITH corpus AS ({_doc_corpus(d)}),
+cl AS (
+  SELECT {hashing.sha256_hex('text', d)} AS h, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM corpus GROUP BY {hashing.sha256_hex('text', d)}
+)
+SELECT sz AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs
+FROM cl GROUP BY sz ORDER BY sz
+"""
+
+
+@query("dedup_cluster_size_hist", oracle=_cluster_hist_sql("duck"), tags=("llm", "dedup", "profiling"))
+def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the audit that tells a dedup
+    campaign WHAT it is up against (web corpora show a power law: a few
+    megaclusters hold most duplicate mass, Lee et al. 2022 §4): exact-hash
+    clusters over the planted-dup verification corpus, folded twice
+    (content key → cluster sizes → size histogram). Two map-side-
+    combinable aggregations, no window, no join — at 100 TB this is the
+    cheapest question you can ask about duplication."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_cluster_hist_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# data_epoch_mix_plan — temperature-weighted token budget / epoch planner.
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 1_000_000  # planned training tokens
+
+
+def _epoch_mix_sql(d: str) -> str:
+    gen = "explode" if d == "spark" else "unnest"
+    return f"""
+WITH toks AS (
+  SELECT source, {gen}(split(text, ' ')) AS word FROM {tbl('documents', d)}
+),
+n AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM toks WHERE word <> '' GROUP BY source
+),
+w AS (
+  -- sqrt is IEEE-correctly-rounded (exact across engines); round-12 into
+  -- DECIMAL so the normalizing sum is order-independent
+  SELECT source, n_tokens,
+         CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 12) AS DECIMAL(28,12)) AS wt
+  FROM n
+),
+tot AS (SELECT SUM(wt) AS sw FROM w)
+SELECT w.source, w.n_tokens,
+       round(CAST(w.wt AS DOUBLE) / CAST(t.sw AS DOUBLE), 6) AS share,
+       CAST(floor({_MIX_BUDGET} * (CAST(w.wt AS DOUBLE) / CAST(t.sw AS DOUBLE)))
+            AS BIGINT) AS planned_tokens,
+       {intdiv(
+           f"(CAST(floor({_MIX_BUDGET} * (CAST(w.wt AS DOUBLE) / CAST(t.sw AS DOUBLE))) AS BIGINT) * 1000 + w.n_tokens - 1)",
+           "w.n_tokens", d)} AS epochs_x1000
+FROM w CROSS JOIN tot t
+ORDER BY w.source
+"""
+
+
+@query("data_epoch_mix_plan", oracle=_epoch_mix_sql("duck"), tags=("llm", "curation", "planning"))
+def data_epoch_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix epoch planner: given a token budget and temperature-
+    weighted source shares (w ∝ n^0.5 — the multilingual rebalancing rule
+    of data_temperature_sample, here applied to SOURCES), how many tokens
+    are drawn from each source and how many epochs of it does that imply
+    (epochs > 1000‰ = the source repeats — the over-epoching signal the
+    mix designer watches, per the data-constrained scaling literature).
+    sqrt is correctly-rounded IEEE (exact both engines); weights round-12
+    into a DECIMAL normalizing sum; floor() before every BIGINT cast;
+    the ceil is an integer (a+b-1) DIV b. One token-count aggregation,
+    one broadcast-sized weight table."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_epoch_mix_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# llm_quality_calibration — classifier score vs rule-gate agreement.
+# ---------------------------------------------------------------------------
+
+
+def _quality_calibration_sql(d: str) -> str:
+    from .corpus_ops import _qc_scores
+    from .quality_ops import _gopher_sql
+
+    # bin width 0.004 logit units: the length-normalized logits of the
+    # 20-term model live in roughly [-0.02, 0.05], so ~250x resolves them
+    bin_ = "least(CAST(12 AS BIGINT), greatest(CAST(-5 AS BIGINT), CAST(floor(logit * 250) AS BIGINT)))"
+    return f"""
+WITH {_qc_scores(d).lstrip()},
+gop AS (SELECT doc_id, keep AS gate_keep FROM ({_gopher_sql(d)}) g)
+SELECT {bin_} AS logit_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN gate_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_gate_pass,
+       round(CAST(SUM(CASE WHEN gate_keep THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS gate_pass_rate
+FROM qc JOIN gop ON gop.doc_id = qc.doc_id
+GROUP BY {bin_}
+ORDER BY logit_bin
+"""
+
+
+@query("llm_quality_calibration", oracle=_quality_calibration_sql("duck"), tags=("llm", "quality", "evaluation"))
+def llm_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-vs-rules calibration: bucket the linear quality
+    classifier's length-normalized logit into fixed-width bins and
+    measure the Gopher rule-gate pass rate per bin — the reliability
+    diagram that tells a curation team whether the cheap learned score
+    AGREES with the expensive rule stack before they swap one for the
+    other (CCNet pairs its fastText filter with rule gates the same
+    way). Fixed-width bins, not NTILE: no global window, just two
+    composed doc-level subqueries joined on the doc key."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_quality_calibration_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# privacy_pii_density — PII hits per 1k tokens per source.
+# ---------------------------------------------------------------------------
+
+
+def _pii_density_sql(d: str) -> str:
+    from .rag_ops import _EMAIL_PAT, _PHONE_PAT
+    from .dialect import s as _s
+
+    seeded = (
+        f"CASE WHEN doc_id % 7 = 0 THEN concat(text, ' contact user', "
+        f"{_s('doc_id', d)}, '@mail.example or call 555-01', "
+        f"{_s('doc_id % 100', d)}) ELSE text END"
+    )
+    if d == "spark":
+        def cnt(expr: str, pat: str) -> str:
+            return f"regexp_count({expr}, '{pat}')"
+    else:
+        def cnt(expr: str, pat: str) -> str:
+            return f"len(regexp_extract_all({expr}, '{pat}'))"
+
+    ntok = "size(split(seeded, ' '))" if d == "spark" else "len(string_split(seeded, ' '))"
+    return f"""
+WITH seeded_t AS (
+  SELECT doc_id, source, {seeded} AS seeded FROM {tbl('documents', d)}
+),
+per_doc AS (
+  SELECT source,
+         CAST({cnt('seeded', _EMAIL_PAT)} + {cnt('seeded', _PHONE_PAT)} AS BIGINT)
+           AS n_pii,
+         CAST({ntok} AS BIGINT) AS n_tokens
+  FROM seeded_t
+)
+SELECT source,
+       CAST(SUM(n_pii) AS BIGINT) AS n_pii,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       round(CAST(1000 AS DOUBLE) * SUM(n_pii) / SUM(n_tokens), 6)
+         AS pii_per_1k_tokens
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("privacy_pii_density", oracle=_pii_density_sql("duck"), tags=("privacy", "text", "profiling"))
+def privacy_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII density per source — the triage view BEFORE ``text_pii_redact``
+    runs: hits per 1000 tokens, per source, using the same email/phone
+    patterns (and the same deterministic seeding) as the redaction
+    operator, so the two queries reconcile exactly. A source whose
+    density spikes gets routed to the scrubber first; sources at zero
+    skip the regex pass entirely at 100 TB. One regexp projection +
+    one source-keyed aggregation; the only division is the final rate."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_pii_density_sql("spark"))

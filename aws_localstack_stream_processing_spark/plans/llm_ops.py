@@ -111,7 +111,11 @@ _JACCARD_THRESHOLD = 0.5
 
 def _ngram_postings_sql(d: str) -> str:
     """corpus → distinct (doc, 3-gram shingle) postings — the diamond-
-    reused subplan of the exact Jaccard verify."""
+    reused subplan of the exact Jaccard verify. Postings are keyed by the
+    60-bit shingle hash (dialect.hash64): the self-join and size
+    aggregations shuffle 8-byte integers, not shingle text."""
+    from .dialect import hash64
+
     return f"""
 corpus AS ({_doc_corpus(d)}),
 toks AS (SELECT doc_id, {text.words('text', d)} AS w FROM corpus),
@@ -119,7 +123,11 @@ shing AS (
   SELECT doc_id, {arr_distinct(text.shingles('w', 3, d), d)} AS sh
   FROM toks WHERE {arr_len('w', d)} >= 3
 ),
-exploded AS (SELECT doc_id, {unnest_fn(d)}(sh) AS s FROM shing)"""
+exploded AS (
+  SELECT doc_id, {hash64('s_raw', d)} AS s FROM (
+    SELECT doc_id, {unnest_fn(d)}(sh) AS s_raw FROM shing
+  ) x
+)"""
 
 
 def _ngram_jaccard_scoring_sql(postings_src: str) -> str:
@@ -153,16 +161,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (explode shingles → equi-join on shingle → count shared). The join is a
     shuffle on the shingle key — the scalable exact-verification backend for
     MinHash candidates. The postings table heads a diamond (self-join +
-    two size joins): the Spark path persists it once (the graph_ops
-    discipline) instead of re-shingling the corpus four times via CTE
-    inlining; the oracle's flat WITH lets DuckDB materialize it. Output
-    is unchanged — this is purely an execution-shape refinement."""
+    two size joins): the Spark path persists it once and the scoring is
+    DataFrame ops over the SAME DataFrame object — SQL through a temp
+    view was measured to miss the plan cache for the aggregated legs and
+    re-shingle the corpus per leg (the dedup_containment finding); the
+    oracle's flat WITH lets DuckDB materialize it. Output is unchanged —
+    this is purely an execution-shape refinement."""
     views(spark, sf_dir, "documents")
     postings = spark.sql(
         f"WITH {_ngram_postings_sql('spark')} SELECT * FROM exploded"
     ).persist()
-    postings.createOrReplaceTempView("slsp_jaccard_postings")
-    return spark.sql(_ngram_jaccard_scoring_sql("slsp_jaccard_postings"))
+    sizes = postings.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
+    a = postings.select(F.col("doc_id").alias("doc_a"), "s")
+    b = postings.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, (a["s"] == b["s"]) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    sa = F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")))
+    sb = F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_shared")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -291,6 +291,11 @@ def main() -> None:
         "lake_manifest_health",
         "emb_pair_cosine_hist",
         "seq_user_path_topk",
+        # round-6 wave 3 (curation audits)
+        "dedup_cluster_size_hist",
+        "data_epoch_mix_plan",
+        "llm_quality_calibration",
+        "privacy_pii_density",
     ]
     # the ext showcase is held to the regression bar but is not the
     # headline: 3 trials (vs the headline's 4) keep total bench wall time

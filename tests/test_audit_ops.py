@@ -64,3 +64,35 @@ def test_pair_cosine_hist_complete_partition(spark):
     rows = QUERIES["emb_pair_cosine_hist"].fn(spark, SF_DIR).collect()
     assert [r.bin for r in sorted(rows, key=lambda r: r.bin)] == list(range(10))
     assert sum(r.n_pairs for r in rows) == 32 * 31 // 2
+
+
+def test_cluster_size_hist_accounts_for_all_docs(spark):
+    """Σ(size × clusters) must equal the corpus row count (plants incl.)."""
+    rows = QUERIES["dedup_cluster_size_hist"].fn(spark, SF_DIR).collect()
+    assert rows and all(r.n_docs == r.cluster_size * r.n_clusters for r in rows)
+    assert any(r.cluster_size >= 2 for r in rows)  # planted dups visible
+
+
+def test_epoch_mix_plan_shares_and_budget(spark):
+    """Shares sum to ~1, planned tokens never exceed the budget, and a
+    source drawn above its size shows epochs > 1000 per-mille."""
+    rows = QUERIES["data_epoch_mix_plan"].fn(spark, SF_DIR).collect()
+    assert rows
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    assert sum(r.planned_tokens for r in rows) <= 1_000_000
+    assert all(r.epochs_x1000 >= 1 for r in rows)
+
+
+def test_quality_calibration_rates_bounded_and_informative(spark):
+    rows = QUERIES["llm_quality_calibration"].fn(spark, SF_DIR).collect()
+    assert len(rows) >= 3  # bins actually resolve the logit range
+    assert all(0.0 <= r.gate_pass_rate <= 1.0 for r in rows)
+    assert sum(r.n_docs for r in rows) > 0
+
+
+def test_pii_density_reconciles_with_redact(spark):
+    """Σ per-source PII hits must equal the redaction operator's total
+    (same patterns, same seeding) — the two views reconcile exactly."""
+    dens = QUERIES["privacy_pii_density"].fn(spark, SF_DIR).collect()
+    red = QUERIES["text_pii_redact"].fn(spark, SF_DIR).collect()
+    assert sum(r.n_pii for r in dens) == sum(r.n_emails + r.n_phones for r in red)
