@@ -15,6 +15,8 @@ high-cardinality keys or replaced by bounded LIMIT argmax.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .dialect import (
     dec_sum,
@@ -198,8 +200,23 @@ _MMR_CAND = 8
 _MMR_PICKS = 4  # unrolled greedy selections (λ = 1/2 — exact halving)
 
 
-def _mmr_sql(d: str) -> str:
+def _mmr_cand_sql(d: str) -> str:
+    """Top-``_MMR_CAND`` candidates by cosine to the hash-rank query vector
+    — the only corpus-scale piece of the MMR plan (TakeOrdered, no window)."""
     base = f"SELECT vec_id, {to_double_arr('embedding', d)} AS emb FROM {tbl('embeddings', d)}"
+    return f"""
+WITH base AS ({base}),
+normed AS (SELECT vec_id, emb, sqrt({dot('emb', 'emb', DIM, d)}) AS nrm FROM base),
+qs AS ({qsample('normed', 'vec_id', 1)}),
+q AS (SELECT n.* FROM normed n JOIN qs ON qs.vec_id = n.vec_id)
+SELECT n.vec_id AS nid, n.emb, n.nrm,
+       {dot('q.emb', 'n.emb', DIM, d)} / (q.nrm * n.nrm) AS rel
+FROM q JOIN normed n ON n.vec_id <> q.vec_id
+ORDER BY {dot('q.emb', 'n.emb', DIM, d)} / (q.nrm * n.nrm) DESC, n.vec_id
+LIMIT {_MMR_CAND}"""
+
+
+def _mmr_sql(d: str) -> str:
     cos = dot("a.emb", "b.emb", DIM, d)
     pick = []
     prev_sims = []
@@ -231,17 +248,7 @@ def _mmr_sql(d: str) -> str:
         )
     union = "\nUNION ALL\n".join(outs)
     return f"""
-WITH base AS ({base}),
-normed AS (SELECT vec_id, emb, sqrt({dot('emb', 'emb', DIM, d)}) AS nrm FROM base),
-qs AS ({qsample('normed', 'vec_id', 1)}),
-q AS (SELECT n.* FROM normed n JOIN qs ON qs.vec_id = n.vec_id),
-cand AS (
-  SELECT n.vec_id AS nid, n.emb, n.nrm,
-         {dot('q.emb', 'n.emb', DIM, d)} / (q.nrm * n.nrm) AS rel
-  FROM q JOIN normed n ON n.vec_id <> q.vec_id
-  ORDER BY {dot('q.emb', 'n.emb', DIM, d)} / (q.nrm * n.nrm) DESC, n.vec_id
-  LIMIT {_MMR_CAND}
-),
+WITH cand AS ({_mmr_cand_sql(d)}),
 sims AS (
   SELECT a.nid AS x, b.nid AS y, {cos} / (a.nrm * b.nrm) AS sim
   FROM cand a JOIN cand b ON a.nid <> b.nid
@@ -262,9 +269,56 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (LIMIT over one corpus pass — TakeOrdered, no window), so the greedy
     unroll touches only an 8×8 similarity table: each of the 4 picks is a
     bounded ORDER-BY-LIMIT-1 argmax, never a corpus operation. At 100 TB
-    only the candidate retrieval scales; the rerank stays constant-size."""
+    only the candidate retrieval scales; the rerank stays constant-size.
+
+    Execution shape: only the candidate retrieval is a corpus operation;
+    the greedy rerank runs on the CONSTANT-size candidate set (``_MMR_CAND``
+    rows regardless of corpus scale), collected to the coordinator exactly
+    as a production reranker would — the same documented bounded-collect
+    pattern as ``stream_lru_keyring``. Expressing the unrolled picks as one
+    SQL text was measured at 7.5 s (sf0.1): Catalyst inlines the ``cand``
+    CTE into every pick and every sims reference, re-running the corpus
+    scan combinatorially many times; a lazy DataFrame unroll still pays
+    ~10 s of tiny-stage scheduling. Driver-side greedy over 8 rows is
+    bit-faithful to the oracle (index-ordered IEEE dot folds, exact /2
+    halving) and the final round(…, 6) happens engine-side."""
     views(spark, sf_dir, "embeddings")
-    return spark.sql(_mmr_sql("spark"))
+    cand_df = spark.sql(_mmr_cand_sql("spark"))
+    rows = cand_df.collect()  # exactly _MMR_CAND rows at any corpus size
+
+    def cos(a, b) -> float:
+        acc = 0.0
+        for k in range(DIM):  # same index-ordered IEEE fold as dialect.dot
+            acc += a.emb[k] * b.emb[k]
+        return acc / (a.nrm * b.nrm)
+
+    sims = {
+        (a.nid, b.nid): cos(a, b) for a in rows for b in rows if a.nid != b.nid
+    }
+    first = min(rows, key=lambda r: (-r.rel, r.nid))
+    picked = [first.nid]
+    out = [(1, first.nid, first.rel)]
+    for i in range(2, _MMR_PICKS + 1):
+        best = min(
+            (r for r in rows if r.nid not in picked),
+            key=lambda r: (
+                -(r.rel / 2 - max(sims[(r.nid, p)] for p in picked) / 2),
+                r.nid,
+            ),
+        )
+        picked.append(best.nid)
+        out.append((i, best.nid, best.rel))
+
+    schema = T.StructType(
+        [
+            T.StructField("rnk", T.LongType(), False),
+            T.StructField("doc_id", cand_df.schema["nid"].dataType, True),
+            T.StructField("relevance", T.DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(out, schema).select(
+        "rnk", "doc_id", F.round("relevance", 6).alias("relevance")
+    )
 
 
 # ---------------------------------------------------------------------------
