@@ -1,0 +1,341 @@
+"""Round-6 wave 4: training-mix governance — the audits and gates that sit
+between a deduplicated corpus and an actual training run.
+
+* **Shuffle/shard audit** (``data_shuffle_shard_audit``): a training
+  pipeline's "global shuffle" is a deterministic hash assignment of every
+  document to an (epoch, shard); what matters operationally is whether the
+  shuffle actually MIXES — a shard dominated by one source reproduces the
+  source-run pathology shuffling exists to kill. Per-(epoch, shard) doc
+  counts, distinct sources, and the max single-source share, all from one
+  two-level aggregation over a seeded 60-bit hash.
+* **License gating** (``web_license_gate``): provenance-based keep/drop on
+  license markers (CC / public-domain vs all-rights-reserved) — the legal
+  sibling of the quality gates; classification must be deterministic and
+  cheap (pure LIKE-class predicates, no Python).
+* **Dup x quality interaction** (``dedup_quality_interaction``): do
+  duplicates concentrate in low-quality documents? Joint distribution of
+  the exact-dup flag (cluster size > 1 over the planted-dup corpus) and
+  the Gopher rule-gate verdict of each document's canonical original —
+  the cross-audit that tells a curation team whether dedup and quality
+  filtering remove the SAME rows (wasted passes) or different ones.
+* **Semantic-dedup threshold sweep** (``emb_dedup_threshold_sweep``):
+  pair yield and docs-affected at each candidate cosine threshold, in one
+  pass over LSH-bucketed candidates — the sensitivity curve a team reads
+  BEFORE committing a threshold to a 100 TB dedup campaign (SemDeDup-style
+  tuning), never an all-pairs scan.
+* **DP count release** (``privacy_dp_count_release``): Laplace-noised
+  per-group counts (Dwork et al. 2006) with a DETERMINISTIC seeded noise
+  draw — inverse-CDF over a 60-bit key hash — so the release is
+  reproducible and cross-engine exact (the house round-12-ln contract).
+
+Determinism contract as per the registry docstring: counts CAST to BIGINT,
+one trailing DOUBLE division per ratio, ln() terms round(…, 12), literal
+doubles written CAST(x AS DOUBLE) (Spark parses bare decimals as DECIMAL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import hashing
+from .dialect import dot, dot_const, hash64, inline_values, s, tbl, views
+from .llm_ops import DIM, _emb_corpus, _hyperplane_signs, _N_PLANES
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# data_shuffle_shard_audit — does the epoch shuffle actually mix sources?
+# ---------------------------------------------------------------------------
+
+_N_EPOCHS = 2
+_N_SHARDS = 8
+
+
+def _shuffle_audit_sql(d: str) -> str:
+    epochs = ", ".join(f"({e})" for e in range(1, _N_EPOCHS + 1))
+    shard_key = hash64(f"concat({s('doc_id', d)}, ':', {s('e.epoch', d)})", d)
+    return f"""
+WITH epochs AS ({inline_values(epochs, 'e', 'epoch', d)}),
+assigned AS (
+  SELECT e.epoch, ({shard_key}) % {_N_SHARDS} AS shard, doc.source
+  FROM {tbl('documents', d)} doc CROSS JOIN epochs e
+),
+by_src AS (
+  SELECT epoch, shard, source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM assigned GROUP BY epoch, shard, source
+)
+SELECT epoch, shard,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_sources,
+       round(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS max_source_share
+FROM by_src
+GROUP BY epoch, shard
+ORDER BY epoch, shard
+"""
+
+
+@query("data_shuffle_shard_audit", oracle=_shuffle_audit_sql("duck"), tags=("llm", "curation", "profiling"))
+def data_shuffle_shard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-shuffle shard audit: every document is deterministically
+    assigned to a shard per epoch via a salted 60-bit hash (the
+    hash-assignment that IS a training pipeline's global shuffle — re-keyed
+    per epoch so epochs see different orders), then each (epoch, shard)
+    reports its size, source diversity, and max single-source share. A
+    share near 1/n_sources means the shuffle mixes; a share near 1 means
+    source runs survived. Two map-side-combinable aggregations over a
+    projected (epoch, shard, source) triple — no window, no join beyond
+    the literal epoch spine; at 100 TB this is one shuffle keyed by
+    (epoch, shard, source), ~|shards|·|sources| groups."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_shuffle_audit_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# web_license_gate — license-marker keep/drop classification.
+# ---------------------------------------------------------------------------
+
+
+def _license_gate_sql(d: str) -> str:
+    # Deterministic seeding (the privacy_pii_density pattern): the driver's
+    # documents carry no license text, so plant markers on a fixed residue
+    # scheme — the classifier below then runs the REAL logic.
+    seeded = (
+        "CASE WHEN doc_id % 11 = 0 THEN concat(text, ' Licensed under the"
+        " Creative Commons Attribution 4.0 license.')"
+        " WHEN doc_id % 11 = 1 THEN concat(text, ' This work is dedicated"
+        " to the Public Domain.')"
+        " WHEN doc_id % 11 = 2 THEN concat(text, ' Copyright - All Rights"
+        " Reserved.')"
+        " ELSE text END"
+    )
+    return f"""
+WITH seeded_t AS (
+  SELECT doc_id, source, {seeded} AS text FROM {tbl('documents', d)}
+),
+classified AS (
+  SELECT doc_id, source,
+         CASE WHEN lower(text) LIKE '%creative commons%'
+                OR lower(text) LIKE '%cc-by%'          THEN 'cc'
+              WHEN lower(text) LIKE '%public domain%'  THEN 'public_domain'
+              WHEN lower(text) LIKE '%all rights reserved%' THEN 'restricted'
+              ELSE 'unmarked' END AS license
+  FROM seeded_t
+)
+SELECT source, license,
+       (license IN ('cc', 'public_domain')) AS keep,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM classified
+GROUP BY source, license
+ORDER BY source, license
+"""
+
+
+@query("web_license_gate", oracle=_license_gate_sql("duck"), tags=("web", "curation", "governance"))
+def web_license_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License-marker gate: classify each document by the rights markers in
+    its text (Creative-Commons / public-domain → keep; all-rights-reserved
+    → drop; unmarked → policy decision) and report the per-source keep/drop
+    mix — the provenance gate a compliant corpus build runs alongside the
+    quality gates. Markers are planted deterministically (the driver corpus
+    has none), the classifier is the real logic: ordered LIKE-class
+    predicates, pure codegen — at 100 TB this costs one text scan and a
+    tiny aggregation, no Python, no join."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_license_gate_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# dedup_quality_interaction — do duplicates concentrate in low quality?
+# ---------------------------------------------------------------------------
+
+
+def _dup_quality_sql(d: str) -> str:
+    from .llm_ops import _doc_corpus
+    from .quality_ops import _gopher_sql
+
+    return f"""
+WITH corpus AS ({_doc_corpus(d)}),
+hashed AS (
+  SELECT doc_id, {hashing.sha256_hex('text', d)} AS h FROM corpus
+),
+sizes AS (SELECT h, COUNT(*) AS sz FROM hashed GROUP BY h),
+flagged AS (
+  SELECT hashed.doc_id, (sizes.sz > 1) AS is_dup
+  FROM hashed JOIN sizes ON sizes.h = hashed.h
+),
+gop AS (SELECT doc_id, keep AS gate_keep FROM ({_gopher_sql(d)}) g),
+joined AS (
+  -- planted docs (+1M/+2M ids) inherit the verdict of their canonical
+  -- original: the audit asks about the ORIGINAL's quality
+  SELECT f.is_dup, g.gate_keep
+  FROM flagged f JOIN gop g ON g.doc_id = f.doc_id % 1000000
+)
+SELECT is_dup, gate_keep,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (), 6) AS share
+FROM joined
+GROUP BY is_dup, gate_keep
+ORDER BY is_dup, gate_keep
+"""
+
+
+@query("dedup_quality_interaction", oracle=_dup_quality_sql("duck"), tags=("llm", "dedup", "quality"))
+def dedup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint distribution of the exact-dup flag and the Gopher rule-gate
+    verdict — the interaction audit that tells a curation team whether
+    dedup and quality filtering remove the SAME documents (one pass could
+    subsume the other) or disjoint sets (both passes pay for themselves).
+    Dup flags come from content-hash cluster sizes over the planted-dup
+    corpus; quality verdicts from the canonical original (id mod 1e6).
+    The final share uses an empty-frame window over the 4-row aggregate —
+    constant-size, not a corpus window."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_dup_quality_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# emb_dedup_threshold_sweep — pair yield per candidate cosine threshold.
+# ---------------------------------------------------------------------------
+
+_SWEEP_THRESHOLDS = ["0.80", "0.85", "0.90", "0.95", "0.99"]
+
+
+def _sweep_pairs_sql(d: str) -> str:
+    """LSH-bucketed candidate pairs with exact cosine — the corpus-scale
+    piece of the sweep, shared by the oracle's WITH and the Spark path's
+    persisted diamond."""
+    bucket_bits = ", ".join(
+        f"(CASE WHEN {dot_const('emb', _hyperplane_signs(p), d)} >= 0 THEN '1' ELSE '0' END)"
+        for p in range(_N_PLANES)
+    )
+    return f"""
+WITH corpus AS ({_emb_corpus(d)}),
+normed AS (
+  SELECT vec_id, emb, sqrt({dot('emb', 'emb', DIM, d)}) AS nrm,
+         concat({bucket_bits}) AS bucket
+  FROM corpus
+)
+SELECT * FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {dot('a.emb', 'b.emb', DIM, d)} / (a.nrm * b.nrm) AS cos_sim
+  FROM normed a JOIN normed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) p
+WHERE cos_sim >= CAST({_SWEEP_THRESHOLDS[0]} AS DOUBLE)"""
+
+
+def _threshold_sweep_sql(d: str) -> str:
+    thr_rows = ", ".join(f"(CAST({t} AS DOUBLE))" for t in _SWEEP_THRESHOLDS)
+    return f"""
+WITH pairs AS ({_sweep_pairs_sql(d)}),
+thr AS ({inline_values(thr_rows, 't', 'threshold', d)}),
+hits AS (
+  SELECT t.threshold, p.vec_a, p.vec_b
+  FROM pairs p CROSS JOIN thr t
+  WHERE p.cos_sim >= t.threshold
+),
+docs AS (
+  SELECT threshold, vec_a AS v FROM hits
+  UNION
+  SELECT threshold, vec_b AS v FROM hits
+)
+SELECT t.threshold,
+       CAST((SELECT COUNT(*) FROM hits h WHERE h.threshold = t.threshold)
+            AS BIGINT) AS n_pairs,
+       CAST((SELECT COUNT(*) FROM docs x WHERE x.threshold = t.threshold)
+            AS BIGINT) AS n_docs_affected
+FROM thr t
+ORDER BY t.threshold
+"""
+
+
+@query("emb_dedup_threshold_sweep", oracle=_threshold_sweep_sql("duck"), tags=("llm", "dedup", "similarity"))
+def emb_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup sensitivity curve: candidate pairs come from ONE
+    hyperplane-LSH bucket join (the collision-bounded generator every
+    dedup op in this engine uses — never all-pairs), then a 5-row literal
+    threshold spine fans each candidate into the thresholds it clears,
+    yielding pair counts and docs-affected per threshold. This is the
+    curve a team reads before committing a cosine cutoff to a 100 TB
+    campaign: the cost is the candidate join plus a constant-factor spine
+    expansion of the (small) candidate set.
+
+    Execution shape: the candidate join heads a diamond (pair counts AND
+    docs-affected both read it), so the Spark path persists the pairs
+    frame once and fans out with DataFrame ops over that same object —
+    as one SQL text, CTE inlining re-ran the bucket join three times
+    (measured 20.5 s → ~1 s at sf0.1). Oracle keeps the flat WITH."""
+    from pyspark.sql import functions as F
+
+    views(spark, sf_dir, "embeddings")
+    pairs = spark.sql(_sweep_pairs_sql("spark")).persist()
+    thr = spark.createDataFrame(
+        [(float(t),) for t in _SWEEP_THRESHOLDS], "threshold double"
+    )
+    hits = pairs.crossJoin(F.broadcast(thr)).where(
+        F.col("cos_sim") >= F.col("threshold")
+    )
+    pc = hits.groupBy("threshold").agg(F.count("*").cast("bigint").alias("n_pairs"))
+    dc = (
+        hits.select("threshold", F.col("vec_a").alias("v"))
+        .union(hits.select("threshold", F.col("vec_b")))
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count("*").cast("bigint").alias("n_docs_affected"))
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        thr.join(pc, "threshold", "left")
+        .join(dc, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", zero).alias("n_pairs"),
+            F.coalesce("n_docs_affected", zero).alias("n_docs_affected"),
+        )
+        .orderBy("threshold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# privacy_dp_count_release — deterministic seeded Laplace count release.
+# ---------------------------------------------------------------------------
+
+_DP_EPSILON = "0.5"  # literal; sensitivity of a count is 1
+
+
+def _dp_release_sql(d: str) -> str:
+    # Inverse-CDF Laplace from a seeded uniform: u in (0,1) from the
+    # 60-bit key hash; noise = -(1/eps)*sign(u-1/2)*ln(1-2|u-1/2|).
+    u = f"((({hash64(s('event_type', d), d)}) % 1048576 + 0.5) / 1048576.0)"
+    lnterm = f"round(ln(1.0 - 2.0 * abs({u} - 0.5)), 12)"
+    noise = (
+        f"round((CASE WHEN {u} >= 0.5 THEN -1.0 ELSE 1.0 END)"
+        f" * (1.0 / {_DP_EPSILON}) * {lnterm}, 6)"
+    )
+    return f"""
+WITH counts AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM {tbl('events', d)} GROUP BY event_type
+)
+SELECT event_type,
+       true_count,
+       CAST({_DP_EPSILON} AS DOUBLE) AS epsilon,
+       round(CAST(true_count AS DOUBLE) + {noise}, 6) AS released_count
+FROM counts
+ORDER BY event_type
+"""
+
+
+@query("privacy_dp_count_release", oracle=_dp_release_sql("duck"), tags=("privacy", "governance"))
+def privacy_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-noised count release (Dwork et al. 2006; sensitivity 1,
+    ε = 0.5) with a DETERMINISTIC noise draw: the uniform comes from the
+    group key's 60-bit hash (inverse-CDF transform), so the release is
+    reproducible run-to-run and bit-identical across engines — the
+    auditable-release property a governed pipeline wants (a fresh salt
+    per release period re-randomizes). true_count stays engine-side for
+    the calibration view; only released_count crosses the trust boundary.
+    ln() is the one libm term — round-12 per the house contract. One
+    aggregation, constant-size projection arithmetic."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_dp_release_sql("spark"))

@@ -117,6 +117,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import slo_ops  # noqa: F401
     from . import web_ops  # noqa: F401
     from . import audit_ops  # noqa: F401
+    from . import mixture_ops  # noqa: F401
 
     counts = _correctness_counts()
     names = list(QUERIES)

@@ -296,6 +296,12 @@ def main() -> None:
         "data_epoch_mix_plan",
         "llm_quality_calibration",
         "privacy_pii_density",
+        # round-6 wave 4 (training-mix governance)
+        "data_shuffle_shard_audit",
+        "web_license_gate",
+        "dedup_quality_interaction",
+        "emb_dedup_threshold_sweep",
+        "privacy_dp_count_release",
     ]
     # the ext showcase is held to the regression bar but is not the
     # headline: 3 trials (vs the headline's 4) keep total bench wall time

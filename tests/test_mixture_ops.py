@@ -1,0 +1,77 @@
+"""Round-6 wave 4 invariants: laws of the training-mix governance ops that
+the oracle hash can't express by itself."""
+
+from __future__ import annotations
+
+from aws_localstack_stream_processing_spark.plans import all_queries
+
+from .conftest import SF_DIR
+
+QUERIES = all_queries()
+
+
+def test_shuffle_shard_audit_covers_and_mixes(spark):
+    """Every (epoch, shard) cell exists, per-epoch totals equal the corpus
+    size, and the hash shuffle actually mixes: no shard is single-source."""
+    rows = QUERIES["data_shuffle_shard_audit"].fn(spark, SF_DIR).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+        assert 0.0 < r.max_source_share <= 1.0
+        assert r.n_sources >= 2  # a one-source shard = the shuffle failed
+    assert set(by_epoch) == {1, 2}
+    n0 = sum(r.n_docs for r in by_epoch[1])
+    assert n0 == sum(r.n_docs for r in by_epoch[2]) > 0
+    assert all(len(v) == 8 for v in by_epoch.values())
+
+
+def test_license_gate_partitions_the_corpus(spark):
+    """Every doc lands in exactly one license class; keep is derived from
+    the class; seeding guarantees every class is populated."""
+    rows = QUERIES["web_license_gate"].fn(spark, SF_DIR).collect()
+    classes = {r.license for r in rows}
+    assert classes == {"cc", "public_domain", "restricted", "unmarked"}
+    for r in rows:
+        assert r.keep == (r.license in ("cc", "public_domain"))
+        assert r.n_docs > 0
+
+
+def test_dup_quality_interaction_shares_sum_to_one(spark):
+    rows = QUERIES["dedup_quality_interaction"].fn(spark, SF_DIR).collect()
+    assert rows
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    # planted duplicates guarantee both dup classes appear
+    assert {r.is_dup for r in rows} == {True, False}
+
+
+def test_threshold_sweep_monotone(spark):
+    """Raising the threshold can only shrink pair and doc counts, and the
+    planted near-identical pairs keep the top threshold non-empty."""
+    rows = sorted(
+        QUERIES["emb_dedup_threshold_sweep"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert [r.threshold for r in rows] == [0.80, 0.85, 0.90, 0.95, 0.99]
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.n_pairs >= hi.n_pairs
+        assert lo.n_docs_affected >= hi.n_docs_affected
+    assert rows[-1].n_pairs > 0
+    # each pair touches 2 docs; distinct docs never exceed 2x pairs
+    assert all(r.n_docs_affected <= 2 * r.n_pairs for r in rows)
+
+
+def test_dp_release_deterministic_and_bounded(spark):
+    """The seeded release is reproducible run-to-run, and the Laplace
+    noise magnitude is bounded by the inverse-CDF tail at the seed
+    granularity: |noise| <= (1/eps) * ln(1048576)."""
+    q = QUERIES["privacy_dp_count_release"].fn
+    r1 = {r.event_type: r.released_count for r in q(spark, SF_DIR).collect()}
+    r2 = {r.event_type: r.released_count for r in q(spark, SF_DIR).collect()}
+    assert r1 == r2 and r1
+    import math
+
+    bound = (1 / 0.5) * math.log(1048576) + 1e-6
+    rows = q(spark, SF_DIR).collect()
+    for r in rows:
+        assert abs(r.released_count - r.true_count) <= bound
+        assert r.epsilon == 0.5
