@@ -38,7 +38,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import hashing
-from .dialect import dot, dot_const, hash64, inline_values, s, tbl, views
+from .dialect import (
+    dot,
+    dot_const,
+    epoch_s,
+    hash64,
+    inline_values,
+    intdiv,
+    s,
+    tbl,
+    views,
+)
 from .llm_ops import DIM, _emb_corpus, _hyperplane_signs, _N_PLANES
 from .registry import query
 
@@ -339,3 +349,154 @@ def privacy_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, constant-size projection arithmetic."""
     views(spark, sf_dir, "events")
     return spark.sql(_dp_release_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ops_watermark_planner — out-of-orderness audit over arrival order.
+# ---------------------------------------------------------------------------
+
+_WM_CHUNK = 10_000  # arrival chunk: bounds the prefix table, not the windows
+
+
+def _watermark_planner_sql(d: str) -> str:
+    return f"""
+WITH ev AS (
+  SELECT event_id, event_type, {epoch_s('ts', d)} AS es
+  FROM {tbl('events', d)}
+),
+chunked AS (
+  SELECT event_id, event_type, es, {intdiv('event_id', str(_WM_CHUNK), d)} AS ck
+  FROM ev
+),
+runmax AS (
+  SELECT event_type, es, ck,
+         MAX(es) OVER (PARTITION BY ck ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS local_max
+  FROM chunked
+),
+chunk_max AS (SELECT ck, MAX(es) AS cmax FROM chunked GROUP BY ck),
+prefix AS (
+  SELECT a.ck, MAX(b.cmax) AS pmax
+  FROM chunk_max a LEFT JOIN chunk_max b ON b.ck < a.ck
+  GROUP BY a.ck
+),
+lat AS (
+  SELECT r.event_type,
+         greatest(r.local_max, coalesce(p.pmax, r.local_max)) - r.es AS late_s
+  FROM runmax r JOIN prefix p ON p.ck = r.ck
+)
+SELECT event_type,
+       CASE WHEN late_s <= 0    THEN '0_on_time'
+            WHEN late_s <= 60   THEN '1_le_1m'
+            WHEN late_s <= 600  THEN '2_le_10m'
+            WHEN late_s <= 1800 THEN '3_le_30m'
+            ELSE                     '4_gt_30m' END AS lateness_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(late_s) AS BIGINT) AS max_late_s
+FROM lat
+GROUP BY event_type, 2
+ORDER BY event_type, lateness_bucket
+"""
+
+
+@query("ops_watermark_planner", oracle=_watermark_planner_sql("duck"), tags=("streaming", "profiling"))
+def ops_watermark_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay planner: how late does data actually arrive? Each
+    row's lateness is (running max event-time over arrival order) - (its
+    own event-time) — arrival order is the event_id issue order — bucketed
+    into the delays a ``withWatermark`` clause would be set to. The
+    histogram is what an engineer reads to pick the delay: the bucket
+    where the curve flattens is the watermark that drops ~nothing. The
+    prefix max uses the house two-phase scheme (``ref_chunking``):
+    chunk-partitioned running max (high-cardinality windows) + a prefix
+    join over the SMALL per-chunk max table — no single-partition window,
+    survives a 100x scale-up. All arithmetic on BIGINT epoch seconds."""
+    views(spark, sf_dir, "events")
+    return spark.sql(_watermark_planner_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# data_split_leakage — same-content contamination across train/val/test.
+# ---------------------------------------------------------------------------
+
+
+def _split_leakage_sql(d: str) -> str:
+    from .llm_ops import _doc_corpus
+
+    bucket = f"({hashing.djb2(s('doc_id', d), d)} % 100)"
+    return f"""
+WITH corpus AS ({_doc_corpus(d)}),
+assigned AS (
+  SELECT {hashing.sha256_hex('text', d)} AS h,
+         CASE WHEN {bucket} < 80 THEN 'train'
+              WHEN {bucket} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM corpus
+),
+hs AS (SELECT DISTINCT h, split FROM assigned)
+SELECT a.split AS split_a, b.split AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_leaked_contents
+FROM hs a JOIN hs b ON a.h = b.h AND a.split < b.split
+GROUP BY a.split, b.split
+ORDER BY split_a, split_b
+"""
+
+
+@query("data_split_leakage", oracle=_split_leakage_sql("duck"), tags=("llm", "curation", "evaluation"))
+def data_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test same-content leakage: the split assignment is keyed
+    by doc_id (``llm_train_split``'s djb2 rule), so two documents with
+    IDENTICAL text can land in different splits — exactly the leak that
+    inflates held-out metrics, and the reason production splitters key on
+    a CONTENT hash instead. Counts distinct leaked contents per split
+    pair over the planted-dup corpus. The self-join on the content hash
+    is bounded: ≤3 distinct (hash, split) rows per content — never a
+    pairwise document blowup."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_split_leakage_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# dedup_survivorship_audit — which sources does dedup hit hardest?
+# ---------------------------------------------------------------------------
+
+
+def _survivorship_sql(d: str) -> str:
+    from .llm_ops import _doc_corpus
+
+    return f"""
+WITH corpus AS ({_doc_corpus(d)}),
+hashed AS (
+  SELECT doc_id, {hashing.sha256_hex('text', d)} AS h FROM corpus
+),
+keepers AS (SELECT h, MIN(doc_id) AS keep_id FROM hashed GROUP BY h),
+attributed AS (
+  SELECT doc.source, (k.keep_id = h.doc_id) AS kept
+  FROM hashed h
+  JOIN keepers k ON k.h = h.h
+  JOIN {tbl('documents', d)} doc ON doc.doc_id = h.doc_id % 1000000
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS survival_rate
+FROM attributed
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("dedup_survivorship_audit", oracle=_survivorship_sql("duck"), tags=("llm", "dedup", "profiling"))
+def dedup_survivorship_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship after exact dedup, by source: cluster on the content
+    hash, keep the canonical member (min doc_id), and report each
+    source's survival rate — the audit that catches a dedup campaign
+    silently gutting one source (mirrors/boilerplate-heavy crawls lose
+    most; curated sources should survive near 1.0). Source attribution
+    maps planted ids back to their canonical original (id mod 1e6), the
+    same convention as ``dedup_quality_interaction``. One content-key
+    aggregation + two hash joins — no window, no pairwise work."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_survivorship_sql("spark"))

@@ -302,6 +302,10 @@ def main() -> None:
         "dedup_quality_interaction",
         "emb_dedup_threshold_sweep",
         "privacy_dp_count_release",
+        # round-6 wave 5 (split/lateness audits)
+        "ops_watermark_planner",
+        "data_split_leakage",
+        "dedup_survivorship_audit",
     ]
     # the ext showcase is held to the regression bar but is not the
     # headline: 3 trials (vs the headline's 4) keep total bench wall time

@@ -75,3 +75,39 @@ def test_dp_release_deterministic_and_bounded(spark):
     for r in rows:
         assert abs(r.released_count - r.true_count) <= bound
         assert r.epsilon == 0.5
+
+
+def test_watermark_planner_buckets_complete_and_sane(spark):
+    """Bucket counts per type sum to the events row count; lateness is
+    non-negative by construction (running max >= own ts); every type has
+    an on-time row (each chunk's first-seen max is its own ts)."""
+    rows = QUERIES["ops_watermark_planner"].fn(spark, SF_DIR).collect()
+    assert rows
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert sum(r.n_events for r in rows) == n_events
+    assert all(r.max_late_s >= 0 for r in rows)
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, set()).add(r.lateness_bucket)
+    assert all("0_on_time" in v for v in by_type.values())
+
+
+def test_split_leakage_pairs_are_ordered_and_nonempty(spark):
+    """Planted exact twins (+2M ids) guarantee at least one cross-split
+    leak; pairs are canonical (split_a < split_b)."""
+    rows = QUERIES["data_split_leakage"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.split_a < r.split_b
+        assert r.n_leaked_contents > 0
+
+
+def test_survivorship_bounds_and_dup_mass(spark):
+    """Kept <= docs per source; the planted duplicates make the overall
+    survival rate strictly < 1; every rate is in (0, 1]."""
+    rows = QUERIES["dedup_survivorship_audit"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_kept <= r.n_docs
+        assert 0.0 < r.survival_rate <= 1.0
+    assert sum(r.n_kept for r in rows) < sum(r.n_docs for r in rows)
