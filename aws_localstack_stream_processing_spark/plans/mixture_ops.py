@@ -1,5 +1,10 @@
-"""Round-6 wave 4: training-mix governance — the audits and gates that sit
-between a deduplicated corpus and an actual training run.
+"""Round-6 waves 4–6: training-mix governance — the audits and gates that
+sit between a deduplicated corpus and an actual training run.
+
+Wave 5 adds the split/lateness audits (``ops_watermark_planner``,
+``data_split_leakage``, ``dedup_survivorship_audit``); wave 6 the release
+gates (``llm_classifier_threshold_sweep``, ``mm_scene_segments``,
+``privacy_k_suppression_curve``). Wave-4 inventory below.
 
 * **Shuffle/shard audit** (``data_shuffle_shard_audit``): a training
   pipeline's "global shuffle" is a deterministic hash assignment of every
@@ -178,13 +183,15 @@ joined AS (
   -- original: the audit asks about the ORIGINAL's quality
   SELECT f.is_dup, g.gate_keep
   FROM flagged f JOIN gop g ON g.doc_id = f.doc_id % 1000000
-)
-SELECT is_dup, gate_keep,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       round(CAST(COUNT(*) AS DOUBLE)
-             / SUM(COUNT(*)) OVER (), 6) AS share
-FROM joined
-GROUP BY is_dup, gate_keep
+),
+agg AS (
+  SELECT is_dup, gate_keep, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM joined GROUP BY is_dup, gate_keep
+),
+tot AS (SELECT SUM(n_docs) AS nt FROM agg)
+SELECT a.is_dup, a.gate_keep, a.n_docs,
+       round(CAST(a.n_docs AS DOUBLE) / t.nt, 6) AS share
+FROM agg a CROSS JOIN tot t
 ORDER BY is_dup, gate_keep
 """
 
@@ -197,8 +204,8 @@ def dedup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     subsume the other) or disjoint sets (both passes pay for themselves).
     Dup flags come from content-hash cluster sizes over the planted-dup
     corpus; quality verdicts from the canonical original (id mod 1e6).
-    The final share uses an empty-frame window over the 4-row aggregate —
-    constant-size, not a corpus window."""
+    The final share divides by a broadcast single-row total — no window
+    anywhere in the plan."""
     views(spark, sf_dir, "documents")
     return spark.sql(_dup_quality_sql("spark"))
 
@@ -500,3 +507,165 @@ def dedup_survivorship_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation + two hash joins — no window, no pairwise work."""
     views(spark, sf_dir, "documents")
     return spark.sql(_survivorship_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# llm_classifier_threshold_sweep — keep-volume / gate-agreement per cutoff.
+# ---------------------------------------------------------------------------
+
+# same fixed-width binning as llm_quality_calibration (audit_ops): the two
+# views reconcile bin-for-bin
+_QC_BIN = "least(CAST(12 AS BIGINT), greatest(CAST(-5 AS BIGINT), CAST(floor(logit * 250) AS BIGINT)))"
+
+
+def _classifier_sweep_sql(d: str) -> str:
+    from .corpus_ops import _qc_scores
+    from .quality_ops import _gopher_sql
+
+    return f"""
+WITH {_qc_scores(d).lstrip()},
+gop AS (SELECT doc_id, keep AS gate_keep FROM ({_gopher_sql(d)}) g),
+bins AS (
+  SELECT {_QC_BIN} AS b,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN gate_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_gate
+  FROM qc JOIN gop ON gop.doc_id = qc.doc_id
+  GROUP BY {_QC_BIN}
+),
+tot AS (SELECT SUM(n) AS nt FROM bins),
+cum AS (
+  -- triangular self-join on the <=18-row bin table; the broadcast hint
+  -- (a comment to DuckDB) stops Spark's stats-less inner non-equi join
+  -- from degenerating into a CartesianProduct
+  SELECT /*+ BROADCAST(bn) */ a.b AS cutoff_bin,
+         CAST(SUM(bn.n) AS BIGINT) AS n_keep,
+         CAST(SUM(bn.n_gate) AS BIGINT) AS n_gate_agree
+  FROM bins a JOIN bins bn ON bn.b >= a.b
+  GROUP BY a.b
+)
+SELECT c.cutoff_bin, c.n_keep,
+       round(CAST(c.n_keep AS DOUBLE) / t.nt, 6) AS keep_rate,
+       round(CAST(c.n_gate_agree AS DOUBLE) / c.n_keep, 6) AS gate_agreement
+FROM cum c CROSS JOIN tot t
+ORDER BY cutoff_bin
+"""
+
+
+@query("llm_classifier_threshold_sweep", oracle=_classifier_sweep_sql("duck"), tags=("llm", "quality", "evaluation"))
+def llm_classifier_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-cutoff sweep: for every candidate logit threshold, how
+    much of the corpus survives and how often the survivors also pass the
+    Gopher rule gate — the volume-vs-agreement curve a curation team
+    reads to SET the cutoff (``llm_quality_calibration`` shows per-bin
+    reliability; this is its cumulative sibling, same fixed-width bins so
+    the two reconcile). Scale shape: the corpus collapses to ≤18 bin
+    rows FIRST (one map-side-combinable fold); the cumulative sums are a
+    triangular self-join on that constant-size bin table — never a
+    per-document window or a corpus × spine expansion."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_classifier_sweep_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# mm_scene_segments — shot/scene segmentation over sampled frames.
+# ---------------------------------------------------------------------------
+
+_SCENE_CUT = 96  # luminance jump that starts a new scene (0..255 scale)
+
+
+def _scene_segments_sql(d: str) -> str:
+    if d == "spark":
+        blen = "octet_length(CAST(text AS BINARY))"
+        gen = "explode(sequence(CAST(0 AS BIGINT), n_frames - 1))"
+    else:
+        blen = "octet_length(CAST(text AS BLOB))"
+        gen = "unnest(generate_series(CAST(0 AS BIGINT), n_frames - 1))"
+    key = f"concat({s('doc_id', d)}, ':', {s('frame_idx', d)})"
+    lum = f"({hash64(key, d)}) % 256"
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST({blen} % 7 + 1 AS BIGINT) AS n_frames
+  FROM {tbl('documents', d)}
+),
+frames AS (SELECT doc_id, {gen} AS frame_idx FROM base),
+feat AS (SELECT doc_id, frame_idx, {lum} AS lum FROM frames),
+flagged AS (
+  SELECT doc_id, frame_idx,
+         CASE WHEN LAG(lum) OVER w IS NULL THEN 1
+              WHEN abs(lum - LAG(lum) OVER w) >= {_SCENE_CUT} THEN 1
+              ELSE 0 END AS is_cut
+  FROM feat
+  WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+),
+scened AS (
+  SELECT doc_id, frame_idx,
+         SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS scene_id
+  FROM flagged
+)
+SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(MIN(frame_idx) AS BIGINT) AS start_frame,
+       CAST(MAX(frame_idx) AS BIGINT) AS end_frame
+FROM scened
+GROUP BY doc_id, scene_id
+ORDER BY doc_id, scene_id
+"""
+
+
+@query("mm_scene_segments", oracle=_scene_segments_sql("duck"), tags=("llm", "multimodal"))
+def mm_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene/shot segmentation over sampled video frames: per-frame
+    features (here the deterministic fake luminance the multimodal stubs
+    use — a real decoder drops in without changing the plan) are compared
+    to their predecessor per asset; a jump ≥ the cut threshold starts a
+    new scene, and gaps-and-islands (running sum of cut flags) turns cut
+    points into (scene, frame-range) segments — the clip-boundary
+    operator a video curation pipeline runs before captioning/embedding
+    each scene once instead of every frame. Both windows partition on the
+    high-cardinality asset key with ≤7 frames per partition; cost ∝ total
+    frames at any corpus size."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_scene_segments_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# privacy_k_suppression_curve — the utility cost of k-anonymity enforcement.
+# ---------------------------------------------------------------------------
+
+
+def _k_suppression_sql(d: str) -> str:
+    ks = ", ".join(f"({k})" for k in (2, 5, 10, 20))
+    return f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS grp_n
+  FROM {tbl('customer', d)}
+  GROUP BY c_nationkey, c_mktsegment
+),
+tot AS (SELECT SUM(grp_n) AS nt FROM g),
+ks AS ({inline_values(ks, 'k', 'k', d)})
+SELECT k.k,
+       CAST(SUM(CASE WHEN g.grp_n < k.k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_classes_suppressed,
+       CAST(SUM(CASE WHEN g.grp_n < k.k THEN g.grp_n ELSE 0 END) AS BIGINT)
+         AS n_rows_suppressed,
+       round(CAST(SUM(CASE WHEN g.grp_n < k.k THEN g.grp_n ELSE 0 END)
+                  AS DOUBLE) / t.nt, 6) AS suppressed_row_share
+FROM g CROSS JOIN ks k CROSS JOIN tot t
+GROUP BY k.k, t.nt
+ORDER BY k.k
+"""
+
+
+@query("privacy_k_suppression_curve", oracle=_k_suppression_sql("duck"), tags=("privacy", "governance"))
+def privacy_k_suppression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enforcement sibling of ``privacy_k_anonymity``: suppressing every
+    quasi-identifier class smaller than k is the standard k-anonymity
+    remedy, and this curve prices it — classes and rows lost at each
+    candidate k (2/5/10/20). The release team picks the k where the
+    suppressed-row share is still acceptable. The QI classes collapse to
+    a tiny grouped table first; the k spine and total are broadcast
+    literals — the per-k sweep never touches row-level data again."""
+    views(spark, sf_dir, "customer")
+    return spark.sql(_k_suppression_sql("spark"))

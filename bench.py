@@ -306,6 +306,10 @@ def main() -> None:
         "ops_watermark_planner",
         "data_split_leakage",
         "dedup_survivorship_audit",
+        # round-6 wave 6 (release gates)
+        "llm_classifier_threshold_sweep",
+        "mm_scene_segments",
+        "privacy_k_suppression_curve",
     ]
     # the ext showcase is held to the regression bar but is not the
     # headline: 3 trials (vs the headline's 4) keep total bench wall time

@@ -111,3 +111,55 @@ def test_survivorship_bounds_and_dup_mass(spark):
         assert 0 < r.n_kept <= r.n_docs
         assert 0.0 < r.survival_rate <= 1.0
     assert sum(r.n_kept for r in rows) < sum(r.n_docs for r in rows)
+
+
+def test_classifier_sweep_reconciles_with_calibration(spark):
+    """Cumulative keep counts must equal the suffix sums of the
+    calibration histogram (same bins), keep_rate is monotone decreasing,
+    and the lowest cutoff keeps everything."""
+    sweep = sorted(
+        QUERIES["llm_classifier_threshold_sweep"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.cutoff_bin,
+    )
+    calib = QUERIES["llm_quality_calibration"].fn(spark, SF_DIR).collect()
+    total = sum(r.n_docs for r in calib)
+    assert sweep[0].n_keep == total
+    for r in sweep:
+        assert r.n_keep == sum(c.n_docs for c in calib if c.logit_bin >= r.cutoff_bin)
+        assert 0.0 <= r.gate_agreement <= 1.0
+    for lo, hi in zip(sweep, sweep[1:]):
+        assert lo.n_keep >= hi.n_keep
+
+
+def test_scene_segments_partition_frames(spark):
+    """Scenes tile each asset's frames: contiguous, disjoint, complete —
+    and scene count never exceeds frame count (<= 7 frames/asset)."""
+    rows = QUERIES["mm_scene_segments"].fn(spark, SF_DIR).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc, segs in by_doc.items():
+        segs.sort(key=lambda r: r.scene_id)
+        assert segs[0].start_frame == 0
+        for a, b in zip(segs, segs[1:]):
+            assert b.start_frame == a.end_frame + 1
+        assert all(s.n_frames == s.end_frame - s.start_frame + 1 for s in segs)
+        assert sum(s.n_frames for s in segs) <= 7
+
+
+def test_k_suppression_curve_monotone(spark):
+    """Suppression cost is monotone in k and consistent with the
+    k-anonymity audit's class sizes."""
+    rows = sorted(
+        QUERIES["privacy_k_suppression_curve"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.k,
+    )
+    assert [r.k for r in rows] == [2, 5, 10, 20]
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.n_classes_suppressed <= hi.n_classes_suppressed
+        assert lo.n_rows_suppressed <= hi.n_rows_suppressed
+    ka = QUERIES["privacy_k_anonymity"].fn(spark, SF_DIR).collect()
+    for r in rows:
+        assert r.n_rows_suppressed == sum(g.grp_n for g in ka if g.grp_n < r.k)
+        assert 0.0 <= r.suppressed_row_share <= 1.0
