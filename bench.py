@@ -63,6 +63,12 @@ BENCH_EXCLUDED = {
         "same wedge machinery as triangle counting (plus per-node "
         "normalization); excluded for the same O(E^1.5) reason"
     ),
+    "dedup_embedding_cosine": (
+        "brute-force all-pairs exact baseline by documented design "
+        "(O(n^2) dot products; ~37 s at sf0.1) — the scale paths it "
+        "baselines (sim_ann_lsh/ivf, emb_ivfpq_search) are what the "
+        "bench times"
+    ),
 }
 
 
