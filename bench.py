@@ -85,12 +85,18 @@ def _load_prev_bench() -> tuple[str, dict[str, float]] | None:
 
     root = os.path.dirname(os.path.abspath(__file__))
     sidecar = os.path.join(root, "BENCH_DETAIL.json")
+    try:
+        sf_now = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf_now = -1.0
     if os.path.exists(sidecar):
         try:
             with open(sidecar) as f:
                 raw = json.load(f)
             times = {**raw.get("queries", {}), **raw.get("queries_ext", {})}
-            if times:
+            # a sidecar from a different scale factor (e.g. a local sf0.001
+            # smoke run) would make every vs_prev ratio nonsense — skip it
+            if times and raw.get("sf") == sf_now:
                 return ("BENCH_DETAIL.json", times)
         except (OSError, ValueError):
             pass
