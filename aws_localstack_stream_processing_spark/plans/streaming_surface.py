@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..streaming.keyring import lru_keyring_assign
 from ..streaming.source import events_stream
-from .dialect import tbl, ts_str, ts_str_us
+from .dialect import inline_values, tbl, ts_str, ts_str_us
 from .reference_ops import (
     _alarm_sql,
     _ingest_sql,
@@ -916,3 +916,98 @@ def stream_kv_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n_signed")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_watermark_late_drop — EXACT late-data drop semantics, oracle-checked.
+# ---------------------------------------------------------------------------
+
+_LATE_BATCHES = 3
+_LATE_DELAY_DAYS = 7
+
+
+def _late_drop_sql(d: str) -> str:
+    """Closed form of Structured Streaming's append-mode watermark
+    semantics over the deterministic 3-batch replay (empirically pinned
+    against Spark 4.1.2's progress/evicted counters, two arrival orders):
+
+    - wm in effect during batch b = max(event time over batches < b) − delay
+      (−inf for batch 0; a trailing no-data batch K+1 runs, so the final
+      wm sees every batch);
+    - window W is emitted (and its state evicted) at the end of the FIRST
+      batch e(W) whose in-effect wm ≥ W.end — including that batch's own
+      contributions (input merges before end-of-batch eviction);
+    - rows of W arriving in batches > e(W) find no state and are dropped;
+    - W never emits if even the final wm < W.end (tail windows stay in
+      state when the bounded replay ends).
+    """
+    day_fmt = (
+        "date_format(wstart, 'yyyy-MM-dd')"
+        if d == "spark"
+        else "strftime(wstart, '%Y-%m-%d')"
+    )
+    spine = ", ".join(f"({b})" for b in range(_LATE_BATCHES + 2))
+    return f"""
+WITH ev AS (
+  SELECT event_id % {_LATE_BATCHES} AS b, ts,
+         date_trunc('day', ts) AS wstart,
+         date_trunc('day', ts) + INTERVAL 1 DAY AS wend
+  FROM {tbl('events', d)}
+),
+bm AS (SELECT b, MAX(ts) AS mx FROM ev GROUP BY b),
+wmd AS (
+  -- wm in effect during batch b (b = 0..K+1, incl. the no-data flush)
+  SELECT bb.b, MAX(bm.mx) - INTERVAL {_LATE_DELAY_DAYS} DAY AS wm
+  FROM ({inline_values(spine, 'bb', 'b', d)}) bb
+  LEFT JOIN bm ON bm.b < bb.b
+  GROUP BY bb.b
+),
+ew AS (
+  -- e(W): the batch whose end emits-and-evicts window W
+  SELECT w.wend, MIN(wmd.b) AS eb
+  FROM (SELECT DISTINCT wend FROM ev) w
+  JOIN wmd ON wmd.wm >= w.wend
+  GROUP BY w.wend
+)
+SELECT {day_fmt} AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM ev e JOIN ew ON ew.wend = e.wend AND e.b <= ew.eb
+GROUP BY {day_fmt}
+ORDER BY day
+"""
+
+
+@query("stream_watermark_late_drop", oracle=_late_drop_sql("duck"), tags=("streaming", "watermark"))
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 with teeth: a REAL multi-micro-batch watermark run whose late
+    DROPS are exact and oracle-checked — not a single-drain stream where
+    nothing is ever late. The events table is staged as 3 files replayed
+    one per trigger (batch = event_id mod 3 — deterministic arrival), a
+    7-day watermark gates a 1-day tumbling count in append mode, and the
+    memory-sink result must equal the closed-form oracle in
+    :func:`_late_drop_sql`: every emitted window carries contributions
+    from batches ≤ e(W) only; every later arrival is dropped; tail
+    windows past the final watermark never emit. At scale the staging is
+    the lake itself (files ARE micro-batches); state is bounded by
+    delay × window-rate, the exact knob this query demonstrates."""
+    from ..session import apply_runtime_confs
+    from ..streaming.source import staged_event_batches
+
+    apply_runtime_confs(spark)
+    stage = staged_event_batches(sf_dir, _LATE_BATCHES)
+    schema = spark.read.parquet(f"{stage}/b0.parquet").schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        ev.withWatermark("ts", f"{_LATE_DELAY_DAYS} days")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "n_events",
+        )
+    )
+    return _to_memory(agg, "append")

@@ -52,3 +52,42 @@ def lake_stream(spark: SparkSession, lake_dir: str, schema) -> DataFrame:
     (SURVEY §2.6 T8): re-running a batch query over ``raw/`` IS replay."""
     apply_runtime_confs(spark)
     return spark.readStream.schema(schema).parquet(lake_dir)
+
+
+def staged_event_batches(sf_dir: str, n_batches: int = 3) -> str:
+    """Stage the ``events`` table as ``n_batches`` single-parquet files
+    (batch k = rows with ``event_id % n_batches = k``) with strictly
+    increasing modification times, so the file-stream source replays them
+    as a DETERMINISTIC micro-batch sequence (``maxFilesPerTrigger=1``).
+
+    This is the harness for exact late-data semantics: because batch
+    membership and arrival order are pure functions of ``event_id``, the
+    watermark trajectory — and therefore the exact set of dropped late
+    rows — is deterministic and SQL-expressible (see
+    ``stream_watermark_late_drop``). Staged once per (sf, n) under /tmp
+    and reused; the marker file commits the staging atomically."""
+    import os
+    import time
+
+    import numpy as np  # noqa: F401  (imported for the mask dtype)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = sf_dir.rstrip("/")
+    tag = os.path.basename(base)
+    stage = f"/tmp/slsp_late_stage_{tag}_{n_batches}"
+    marker = os.path.join(stage, "_STAGED")
+    if os.path.exists(marker):
+        return stage
+    os.makedirs(stage, exist_ok=True)
+    t = pq.read_table(f"{base}/events.parquet")
+    ids = t["event_id"].to_numpy()
+    mtime = time.time() - 3600
+    for k in range(n_batches):
+        path = os.path.join(stage, f"b{k}.parquet")
+        pq.write_table(t.filter(pa.array(ids % n_batches == k)), path)
+        # arrival order = batch index: the file source lists by mtime
+        os.utime(path, (mtime + 10 * k, mtime + 10 * k))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return stage

@@ -322,6 +322,8 @@ def main() -> None:
         "llm_classifier_threshold_sweep",
         "mm_scene_segments",
         "privacy_k_suppression_curve",
+        # round-6 wave 7 (exact late-data semantics)
+        "stream_watermark_late_drop",
     ]
     # the ext showcase is held to the regression bar but is not the
     # headline: 3 trials (vs the headline's 4) keep total bench wall time

@@ -284,3 +284,32 @@ def test_mv_stream_replay_idempotent(spark, tmp):
     run_mv_stream(spark, stream(), f"{tmp}/mv", f"{tmp}/ckpt2")
     second = {(r.event_type): (r.sum_value, r.n_events) for r in read_mv(spark, f"{tmp}/mv").collect()}
     assert first == second
+
+
+def test_late_drop_query_semantics(spark):
+    """The oracle-checked late-drop query must show REAL drops: emitted
+    windows carry strictly fewer rows than the batch table holds for
+    those days (batch-2 arrivals for evicted windows are dropped), and
+    tail windows past the final watermark never emit."""
+    from pyspark.sql import functions as F
+
+    from aws_localstack_stream_processing_spark.plans import all_queries
+
+    rows = (
+        all_queries()["stream_watermark_late_drop"].fn(spark, SF_DIR).collect()
+    )
+    assert rows
+    emitted = {r.day: r.n_events for r in rows}
+    batch = {
+        r.day: r.n
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # every emitted window exists in the batch view and lost late rows
+    assert sum(emitted.values()) < sum(batch[d] for d in emitted)
+    assert all(emitted[d] <= batch[d] for d in emitted)
+    assert any(emitted[d] < batch[d] for d in emitted)
+    # tail windows (inside the 7-day delay of the max event time) not emitted
+    assert len(emitted) < len(batch)
