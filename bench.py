@@ -324,6 +324,7 @@ def main() -> None:
         "privacy_k_suppression_curve",
         # round-6 wave 7 (exact late-data semantics)
         "stream_watermark_late_drop",
+        "stream_dedup_ttl_boundary",
     ]
     # the ext showcase is held to the regression bar but is not the
     # headline: 3 trials (vs the headline's 4) keep total bench wall time

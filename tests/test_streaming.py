@@ -313,3 +313,24 @@ def test_late_drop_query_semantics(spark):
     assert any(emitted[d] < batch[d] for d in emitted)
     # tail windows (inside the 7-day delay of the max event time) not emitted
     assert len(emitted) < len(batch)
+
+
+def test_dedup_ttl_boundary_semantics(spark):
+    """TTL-bounded dedup: early batches (0,1 — before the lagged filter
+    has a watermark) emit fully, later batches lose their too-late rows,
+    and the days-late redelivered duplicates never re-emit (emitted
+    count stays <= the distinct id count)."""
+    from pyspark.sql import functions as F
+
+    from aws_localstack_stream_processing_spark.plans import all_queries
+
+    rows = (
+        all_queries()["stream_dedup_ttl_boundary"].fn(spark, SF_DIR).collect()
+    )
+    assert rows
+    n_emitted = sum(r.n_emitted for r in rows)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_total = ev.count()
+    n_early = ev.filter(F.col("event_id") % 6 <= 1).count()
+    # drops happened (TTL price) but never below the fully-kept early batches
+    assert n_early <= n_emitted < n_total
