@@ -669,3 +669,84 @@ def privacy_k_suppression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals — the per-k sweep never touches row-level data again."""
     views(spark, sf_dir, "customer")
     return spark.sql(_k_suppression_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# llm_dataset_card — the per-source dataset card, one row per source.
+# ---------------------------------------------------------------------------
+
+
+def _dataset_card_sql(d: str) -> str:
+    from .quality_ops import _gopher_sql
+
+    gen = "explode" if d == "spark" else "unnest"
+    docs = tbl("documents", d)
+    sha = hashing.sha256_hex("text", d)
+    return f"""
+WITH base AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM {docs} GROUP BY source
+),
+tok AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM (SELECT source, {gen}(split(text, ' ')) AS w FROM {docs}) x
+  WHERE w <> '' GROUP BY source
+),
+ch AS (SELECT {sha} AS h, COUNT(*) AS cnt FROM {docs} GROUP BY {sha}),
+dup AS (
+  SELECT dd.source,
+         CAST(SUM(CASE WHEN ch.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM {docs} dd JOIN ch ON ch.h = {hashing.sha256_hex('dd.text', d)}
+  GROUP BY dd.source
+),
+gop AS (
+  SELECT dd.source,
+         CAST(SUM(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ({_gopher_sql(d)}) g JOIN {docs} dd ON dd.doc_id = g.doc_id
+  GROUP BY dd.source
+),
+pii AS ({_pii_density_sql_ref(d)}),
+lic AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN keep THEN n_docs ELSE 0 END) AS BIGINT) AS n_keep,
+         CAST(SUM(n_docs) AS BIGINT) AS n
+  FROM ({_license_gate_sql(d)}) l
+  GROUP BY source
+)
+SELECT b.source, b.n_docs, tok.n_tokens,
+       round(CAST(dup.n_dup AS DOUBLE) / dup.n, 6) AS dup_rate,
+       round(CAST(gop.n_keep AS DOUBLE) / gop.n, 6) AS gopher_keep_rate,
+       pii.pii_per_1k_tokens,
+       round(CAST(lic.n_keep AS DOUBLE) / lic.n, 6) AS license_keep_rate
+FROM base b
+JOIN tok ON tok.source = b.source
+JOIN dup ON dup.source = b.source
+JOIN gop ON gop.source = b.source
+JOIN pii ON pii.source = b.source
+JOIN lic ON lic.source = b.source
+ORDER BY b.source
+"""
+
+
+def _pii_density_sql_ref(d: str) -> str:
+    """The privacy_pii_density query as a nestable subquery (the proven
+    full-WITH-as-subquery composition pattern)."""
+    from .audit_ops import _pii_density_sql
+
+    return f"SELECT * FROM ({_pii_density_sql(d)}) p"
+
+
+@query("llm_dataset_card", oracle=_dataset_card_sql("duck"), tags=("llm", "curation", "profiling"))
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: one row per source rolling up the audits a data
+    release ships with — size, token mass, exact-dup rate, Gopher-gate
+    keep rate, PII density, license keep rate — each term REUSING the
+    exact SQL of its standalone audit (``dedup_*``, ``text_gopher_rules``,
+    ``privacy_pii_density``, ``web_license_gate``), so the card provably
+    reconciles with the detailed views (pinned in tests). Five corpus
+    passes joined on the tiny source key — the composition pattern every
+    summary dashboard in this engine uses; at 100 TB each pass is
+    map-side-combinable and the joins are broadcast-sized."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_dataset_card_sql("spark"))

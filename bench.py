@@ -319,6 +319,7 @@ def main() -> None:
         "data_split_leakage",
         "dedup_survivorship_audit",
         # round-6 wave 6 (release gates)
+        "llm_dataset_card",
         "llm_classifier_threshold_sweep",
         "mm_scene_segments",
         "privacy_k_suppression_curve",

@@ -163,3 +163,24 @@ def test_k_suppression_curve_monotone(spark):
     for r in rows:
         assert r.n_rows_suppressed == sum(g.grp_n for g in ka if g.grp_n < r.k)
         assert 0.0 <= r.suppressed_row_share <= 1.0
+
+
+def test_dataset_card_reconciles_with_detail_views(spark):
+    """Every card column must equal the standalone audit it reuses."""
+    card = {r.source: r for r in QUERIES["llm_dataset_card"].fn(spark, SF_DIR).collect()}
+    assert card
+    # PII density reconciles exactly (same SQL nested)
+    pii = {r.source: r.pii_per_1k_tokens
+           for r in QUERIES["privacy_pii_density"].fn(spark, SF_DIR).collect()}
+    assert all(card[s].pii_per_1k_tokens == pii[s] for s in card)
+    # license keep rate reconciles with web_license_gate's grouped counts
+    lic = {}
+    for r in QUERIES["web_license_gate"].fn(spark, SF_DIR).collect():
+        n_keep, n = lic.get(r.source, (0, 0))
+        lic[r.source] = (n_keep + (r.n_docs if r.keep else 0), n + r.n_docs)
+    for s in card:
+        assert abs(card[s].license_keep_rate - round(lic[s][0] / lic[s][1], 6)) < 1e-9
+    # rates bounded, tokens positive
+    for r in card.values():
+        assert 0.0 <= r.dup_rate <= 1.0 and 0.0 <= r.gopher_keep_rate <= 1.0
+        assert r.n_tokens > 0 and r.n_docs > 0
