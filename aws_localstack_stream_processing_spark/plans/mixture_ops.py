@@ -750,3 +750,160 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable and the joins are broadcast-sized."""
     views(spark, sf_dir, "documents")
     return spark.sql(_dataset_card_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_ivf_nprobe_curve — recall as a function of probes: the ANN tuner.
+# ---------------------------------------------------------------------------
+
+_NPROBE_SPINE = (1, 2, 4)
+_NPROBE_NQ = 8
+_NPROBE_K = 5
+
+
+def _nprobe_curve_sql(d: str) -> str:
+    from .dialect import qsample, to_double_arr
+    from .llm_ops import _IVF_CENT_MOD, _IVF_QUERY_MOD
+
+    spine = ", ".join(f"({n})" for n in _NPROBE_SPINE)
+    max_np = max(_NPROBE_SPINE)
+    return f"""
+WITH base AS (SELECT vec_id, {to_double_arr('embedding', d)} AS emb FROM {tbl('embeddings', d)}),
+normed AS (SELECT vec_id, emb, sqrt({dot('emb', 'emb', DIM, d)}) AS nrm FROM base),
+cents AS (
+  SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM normed
+  WHERE vec_id % {_IVF_CENT_MOD} = 0
+),
+assign AS (
+  SELECT vec_id, emb, nrm, cid FROM (
+    SELECT n.vec_id, n.emb, n.nrm, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY {dot('n.emb', 'c.cemb', DIM, d)} / (n.nrm * c.cnrm) DESC, c.cid
+           ) AS crnk
+    FROM normed n CROSS JOIN cents c
+  ) a WHERE crnk = 1
+),
+qs AS ({qsample('normed', 'vec_id', _NPROBE_NQ, f'vec_id % {_IVF_QUERY_MOD} = 0')}),
+qv AS (SELECT n.* FROM normed n JOIN qs ON qs.vec_id = n.vec_id),
+qprobe AS (
+  SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm, cid, crnk FROM (
+    SELECT n.vec_id, n.emb, n.nrm, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY {dot('n.emb', 'c.cemb', DIM, d)} / (n.nrm * c.cnrm) DESC, c.cid
+           ) AS crnk
+    FROM qv n CROSS JOIN cents c
+  ) p WHERE crnk <= {max_np}
+),
+cand AS (
+  SELECT q.qid, q.crnk, a.vec_id AS nid,
+         {dot('q.qemb', 'a.emb', DIM, d)} / (q.qnrm * a.nrm) AS cos_sim
+  FROM qprobe q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.qid
+),
+spine AS ({inline_values(spine, 's', 'np', d)}),
+ranked AS (
+  SELECT s.np, c.qid, c.nid,
+         ROW_NUMBER() OVER (PARTITION BY s.np, c.qid
+                            ORDER BY c.cos_sim DESC, c.nid) AS rnk
+  FROM cand c JOIN spine s ON c.crnk <= s.np
+),
+ivf AS (SELECT np, qid, nid FROM ranked WHERE rnk <= {_NPROBE_K}),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {dot('q.emb', 'n.emb', DIM, d)} / (q.nrm * n.nrm) DESC,
+                      n.vec_id
+           ) AS rnk
+    FROM qv q JOIN normed n ON q.vec_id <> n.vec_id
+  ) r WHERE rnk <= {_NPROBE_K}
+)
+SELECT s.np AS nprobe,
+       CAST(COUNT(i.nid) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS BIGINT) AS n_possible,
+       round(CAST(COUNT(i.nid) AS DOUBLE) / COUNT(*), 6) AS recall_at_k
+FROM spine s CROSS JOIN exact e
+LEFT JOIN ivf i ON i.np = s.np AND i.qid = e.query_id AND i.nid = e.neighbor_id
+GROUP BY s.np
+ORDER BY nprobe
+"""
+
+
+@query("sim_ann_ivf_nprobe_curve", oracle=_nprobe_curve_sql("duck"), tags=("llm", "similarity", "evaluation"))
+def sim_ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuner's dial: recall@k at nprobe ∈ {1, 2, 4} in ONE pass —
+    centroid ranks are computed once per query up to the max probe count,
+    then a literal spine slices the SAME candidate set per nprobe (a
+    candidate's centroid rank decides which curve points see it). This is
+    the latency/recall trade-off curve a serving team reads before fixing
+    nprobe in production (the FAISS tuning workflow), the probe-side
+    sibling of ``emb_dedup_threshold_sweep``. The exact side brute-forces
+    only the fixed 8-query hash-rank cohort (k·N at any corpus size);
+    corpus-scale windows partition on the vector key. Note on the
+    assignment step: this offline EVAL rides the oracle-shared SQL (one
+    N×C exchange, windowed on the high-cardinality vector key) for
+    cross-engine exactness; the SERVING path (``sim_ann_ivf``) uses the
+    map-side-combinable struct-argmax — tuning runs once, serving runs
+    always, so the extra exchange lives on the right side."""
+    views(spark, sf_dir, "embeddings")
+    return spark.sql(_nprobe_curve_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_filtered_topk — attribute-filtered vector search (pre-filter).
+# ---------------------------------------------------------------------------
+
+_FILTERED_K = 5
+_FILTERED_NQ = 8
+_FILTERED_CATS = 4
+
+
+def _filtered_topk_sql(d: str) -> str:
+    from .dialect import qsample, to_double_arr
+
+    return f"""
+WITH base AS (
+  SELECT vec_id, vec_id % {_FILTERED_CATS} AS category,
+         {to_double_arr('embedding', d)} AS emb
+  FROM {tbl('embeddings', d)}
+),
+normed AS (
+  SELECT vec_id, category, emb, sqrt({dot('emb', 'emb', DIM, d)}) AS nrm
+  FROM base
+),
+qs AS ({qsample('normed', 'vec_id', _FILTERED_NQ)}),
+qv AS (SELECT n.* FROM normed n JOIN qs ON qs.vec_id = n.vec_id)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk,
+       round(cos_sim, 6) AS cosine
+FROM (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         {dot('q.emb', 'n.emb', DIM, d)} / (q.nrm * n.nrm) AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {dot('q.emb', 'n.emb', DIM, d)} / (q.nrm * n.nrm) DESC,
+                    n.vec_id
+         ) AS rnk
+  FROM qv q JOIN normed n
+    ON n.category = q.category AND n.vec_id <> q.vec_id
+) r
+WHERE rnk <= {_FILTERED_K}
+ORDER BY query_id, rnk
+"""
+
+
+@query("sim_ann_filtered_topk", oracle=_filtered_topk_sql("duck"), tags=("llm", "similarity", "topk"))
+def sim_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-filtered vector search with PRE-filter semantics: the
+    category predicate (tenant / language / collection — here a
+    deterministic ``vec_id % 4`` attribute) restricts the corpus BEFORE
+    ranking, so every query gets its full k within its filter — the
+    correctness property post-filtering (rank first, filter after)
+    silently violates when matching neighbors are sparse, which is why
+    filtered-ANN engines push the predicate into the index. The filter
+    rides the equi-join key (category) ahead of the dot products, so
+    Spark prunes non-matching pairs before any arithmetic; the per-query
+    rank window is bounded by the fixed 8-query cohort."""
+    views(spark, sf_dir, "embeddings")
+    return spark.sql(_filtered_topk_sql("spark"))

@@ -326,6 +326,9 @@ def main() -> None:
         # round-6 wave 7 (exact late-data semantics)
         "stream_watermark_late_drop",
         "stream_dedup_ttl_boundary",
+        # round-6 wave 8 (ANN serving polish)
+        "sim_ann_ivf_nprobe_curve",
+        "sim_ann_filtered_topk",
     ]
     # the ext showcase is held to the regression bar but is not the
     # headline: 3 trials (vs the headline's 4) keep total bench wall time

@@ -184,3 +184,33 @@ def test_dataset_card_reconciles_with_detail_views(spark):
     for r in card.values():
         assert 0.0 <= r.dup_rate <= 1.0 and 0.0 <= r.gopher_keep_rate <= 1.0
         assert r.n_tokens > 0 and r.n_docs > 0
+
+
+def test_nprobe_curve_monotone(spark):
+    """Recall can only improve with more probes; denominators are the
+    fixed cohort x k; probing every centroid a query's neighbors live in
+    keeps recall in (0, 1]."""
+    rows = sorted(
+        QUERIES["sim_ann_ivf_nprobe_curve"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 4]
+    assert all(r.n_possible == 8 * 5 for r in rows)
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.recall_at_k <= hi.recall_at_k
+    assert 0.0 < rows[-1].recall_at_k <= 1.0
+
+
+def test_filtered_topk_respects_predicate(spark):
+    """Pre-filter semantics: every neighbor shares its query's category,
+    never the query itself, and each query gets its full k (the property
+    post-filtering silently violates)."""
+    rows = QUERIES["sim_ann_filtered_topk"].fn(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.neighbor_id % 4 == r.query_id % 4
+        assert r.neighbor_id != r.query_id
+    assert len(by_q) == 8
+    for q, rs in by_q.items():
+        assert sorted(r.rnk for r in rs) == [1, 2, 3, 4, 5]
