@@ -75,7 +75,12 @@ def staged_event_batches(sf_dir: str, n_batches: int = 3) -> str:
 
     base = sf_dir.rstrip("/")
     tag = os.path.basename(base)
-    stage = f"/tmp/slsp_late_stage_{tag}_{n_batches}"
+    # key the stage by the SOURCE file's identity (size + mtime): if the
+    # driver regenerates the testdata, a stale staged copy would silently
+    # diverge from the oracle's view of the same table
+    st = os.stat(f"{base}/events.parquet")
+    fp = f"{st.st_size}_{int(st.st_mtime)}"
+    stage = f"/tmp/slsp_late_stage_{tag}_{fp}_{n_batches}"
     marker = os.path.join(stage, "_STAGED")
     if os.path.exists(marker):
         return stage
@@ -108,7 +113,12 @@ def staged_redelivery_batches(sf_dir: str, n_batches: int = 6) -> str:
 
     base = sf_dir.rstrip("/")
     tag = os.path.basename(base)
-    stage = f"/tmp/slsp_redeliv_stage_{tag}_{n_batches}"
+    # key the stage by the SOURCE file's identity (size + mtime): if the
+    # driver regenerates the testdata, a stale staged copy would silently
+    # diverge from the oracle's view of the same table
+    st = os.stat(f"{base}/events.parquet")
+    fp = f"{st.st_size}_{int(st.st_mtime)}"
+    stage = f"/tmp/slsp_redeliv_stage_{tag}_{fp}_{n_batches}"
     marker = os.path.join(stage, "_STAGED")
     if os.path.exists(marker):
         return stage
