@@ -48,6 +48,40 @@ from pyspark.sql.datasource import (
 )
 
 _MARKER = "_COMMITTED"
+_TOMBSTONE = "_SUPERSEDED.json"
+
+
+def _read_tombstone(path: str) -> dict | None:
+    """The overwrite tombstone, if one is pending: ``{"survivor": id,
+    "superseded": [ids]}``. Only *meaningful* once the survivor batch is
+    committed — before that, the old store is still authoritative."""
+    import json
+
+    t = os.path.join(path, _TOMBSTONE)
+    if not os.path.exists(t):
+        return None
+    with open(t) as f:
+        return json.load(f)
+
+
+def _finish_overwrite(path: str) -> None:
+    """Complete a crashed overwrite: if a tombstone exists and its
+    survivor batch is committed, remove the superseded batch directories
+    and clear the tombstone. Idempotent; called by the next commit."""
+    import shutil
+
+    tomb = _read_tombstone(path)
+    if tomb is None:
+        return
+    survivor = os.path.join(path, f"batch={tomb['survivor']}", _MARKER)
+    if not os.path.exists(survivor):
+        # crash happened BEFORE publish completed: the overwrite never
+        # took effect — drop the stale intent, old store stands
+        os.remove(os.path.join(path, _TOMBSTONE))
+        return
+    for b in tomb["superseded"]:
+        shutil.rmtree(os.path.join(path, f"batch={b}"), ignore_errors=True)
+    os.remove(os.path.join(path, _TOMBSTONE))
 
 
 class _StagedFile(WriterCommitMessage):
@@ -109,15 +143,23 @@ class _KVWriter(DataSourceArrowWriter):
         """Batch-mode publish honoring the save mode. ``append`` allocates
         the next unused batch id so prior upserts survive (the
         last-writer-wins read resolves keys across batches). ``overwrite``
-        publishes the new data FIRST (also under the next id — readers
+        records its intent in a ``_SUPERSEDED.json`` tombstone (atomic
+        rename), publishes the new data (under the next id — readers
         resolve by marker + last-writer-wins, so ids need not restart at
-        0), then removes the superseded batches: a crash anywhere in the
-        sequence leaves either the old store or a complete new one, never
+        0), then removes the superseded batches and clears the tombstone.
+        Crash recovery at every point in that sequence: before the
+        survivor's marker lands, the tombstone is inert (old store
+        authoritative, next commit discards it); after the marker lands,
+        readers skip the superseded ids via the tombstone and the next
+        commit finishes the removal — never a merged old+new store, never
         an empty directory. Stray non-``batch=<int>`` entries (manual
         copies, editor backups) are ignored rather than failing the
         commit."""
+        import json
         import shutil
 
+        if os.path.isdir(self._path):
+            _finish_overwrite(self._path)  # drain any crashed prior overwrite
         existing = []
         for d in os.listdir(self._path) if os.path.isdir(self._path) else []:
             if not d.startswith("batch="):
@@ -126,12 +168,20 @@ class _KVWriter(DataSourceArrowWriter):
                 existing.append(int(d.split("=", 1)[1]))
             except ValueError:
                 continue
-        self._publish(messages, max(existing, default=-1) + 1)
-        if self._overwrite:
+        new_id = max(existing, default=-1) + 1
+        if self._overwrite and existing:
+            tomb = os.path.join(self._path, _TOMBSTONE)
+            tmp = f"{tomb}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump({"survivor": new_id, "superseded": existing}, f)
+            os.replace(tmp, tomb)  # intent durable BEFORE any publish
+        self._publish(messages, new_id)
+        if self._overwrite and existing:
             for b in existing:
                 shutil.rmtree(
                     os.path.join(self._path, f"batch={b}"), ignore_errors=True
                 )
+            os.remove(os.path.join(self._path, _TOMBSTONE))
 
     def abort(self, messages) -> None:
         self._sweep(messages)
@@ -168,12 +218,23 @@ def register_kv_sink(spark: SparkSession) -> None:
 
 
 def committed_batches(path: str) -> list[str]:
+    """Marker-bearing batch directories, minus any an effective overwrite
+    tombstone supersedes (effective = its survivor batch is committed):
+    a reader that arrives inside the crash window between publish and
+    superseded-batch removal sees exactly the new store, not a merge."""
     if not os.path.isdir(path):
         return []
+    dead: set[str] = set()
+    tomb = _read_tombstone(path)
+    if tomb is not None and os.path.exists(
+        os.path.join(path, f"batch={tomb['survivor']}", _MARKER)
+    ):
+        dead = {f"batch={b}" for b in tomb["superseded"]}
     return sorted(
         os.path.join(path, d)
         for d in os.listdir(path)
         if d.startswith("batch=")
+        and d not in dead
         and os.path.exists(os.path.join(path, d, _MARKER))
     )
 

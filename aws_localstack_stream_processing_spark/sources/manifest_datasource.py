@@ -59,30 +59,56 @@ def append_manifest(
     ``commit_id=None`` allocates the next number; streaming writers pass
     their batch id so a replayed batch atomically overwrites its own
     commit instead of double-publishing. Row counts are captured here,
-    once, from the parquet footers — readers never touch metadata."""
+    once, from the parquet footers — readers never touch metadata.
+
+    Auto-allocation is concurrency-safe: the commit file is claimed with
+    an exclusive-create (``O_EXCL``), so two concurrent writers that race
+    to the same next id cannot clobber each other — the loser retries
+    with the following id. An *explicit* ``commit_id`` still uses
+    ``os.replace`` on purpose: that path is the streaming replay
+    (epoch-owned batch ids, single writer per id by Spark's commit
+    protocol), where overwrite-on-replay is the idempotence mechanism."""
     import pyarrow.parquet as pq
 
     mdir = manifest_dir(lake_dir)
     os.makedirs(mdir, exist_ok=True)
-    if commit_id is None:
-        commit_id = max(
-            (
-                int(f.split(".", 1)[0])
-                for f in os.listdir(mdir)
-                if f.split(".", 1)[0].isdigit() and f.endswith(".json")
-            ),
-            default=-1,
-        ) + 1
     entries = []
     for f in files:
         rel = os.path.relpath(os.path.abspath(f), os.path.abspath(lake_dir))
         entries.append({"path": rel, "rows": pq.ParquetFile(f).metadata.num_rows})
-    out = os.path.join(mdir, f"{commit_id:010d}.json")
-    tmp = f"{out}.tmp.{os.getpid()}"
+    payload = json.dumps(entries)
+    if commit_id is not None:
+        out = os.path.join(mdir, f"{commit_id:010d}.json")
+        tmp = f"{out}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+        os.replace(tmp, out)
+        return commit_id
+    next_id = max(
+        (
+            int(f.split(".", 1)[0])
+            for f in os.listdir(mdir)
+            if f.split(".", 1)[0].isdigit() and f.endswith(".json")
+        ),
+        default=-1,
+    ) + 1
+    # full payload goes to a tmp file first; os.link() then publishes it
+    # atomically AND exclusively — readers never observe a partial commit,
+    # and a concurrent writer racing to the same id loses loudly
+    tmp = os.path.join(mdir, f".alloc.tmp.{os.getpid()}")
     with open(tmp, "w") as fh:
-        json.dump(entries, fh)
-    os.replace(tmp, out)
-    return commit_id
+        fh.write(payload)
+    try:
+        while True:
+            out = os.path.join(mdir, f"{next_id:010d}.json")
+            try:
+                os.link(tmp, out)
+            except FileExistsError:
+                next_id += 1  # lost the race — claim the following id
+                continue
+            return next_id
+    finally:
+        os.unlink(tmp)
 
 
 def read_manifest(lake_dir: str) -> list[tuple[str, int, int]]:

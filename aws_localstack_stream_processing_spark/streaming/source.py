@@ -79,7 +79,7 @@ def staged_event_batches(sf_dir: str, n_batches: int = 3) -> str:
     # driver regenerates the testdata, a stale staged copy would silently
     # diverge from the oracle's view of the same table
     st = os.stat(f"{base}/events.parquet")
-    fp = f"{st.st_size}_{int(st.st_mtime)}"
+    fp = f"{st.st_size}_{st.st_mtime_ns}"
     stage = f"/tmp/slsp_late_stage_{tag}_{fp}_{n_batches}"
     marker = os.path.join(stage, "_STAGED")
     if os.path.exists(marker):
@@ -117,7 +117,7 @@ def staged_redelivery_batches(sf_dir: str, n_batches: int = 6) -> str:
     # driver regenerates the testdata, a stale staged copy would silently
     # diverge from the oracle's view of the same table
     st = os.stat(f"{base}/events.parquet")
-    fp = f"{st.st_size}_{int(st.st_mtime)}"
+    fp = f"{st.st_size}_{st.st_mtime_ns}"
     stage = f"/tmp/slsp_redeliv_stage_{tag}_{fp}_{n_batches}"
     marker = os.path.join(stage, "_STAGED")
     if os.path.exists(marker):
@@ -154,7 +154,7 @@ def staged_join_sides(sf_dir: str) -> tuple[str, str]:
     base = sf_dir.rstrip("/")
     tag = os.path.basename(base)
     st = os.stat(f"{base}/events.parquet")
-    fp = f"{st.st_size}_{int(st.st_mtime)}"
+    fp = f"{st.st_size}_{st.st_mtime_ns}"
     left = f"/tmp/slsp_join_left_{tag}_{fp}"
     right = f"/tmp/slsp_join_right_{tag}_{fp}"
     marker = os.path.join(left, "_STAGED")

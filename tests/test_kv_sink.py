@@ -230,3 +230,77 @@ def test_uncommitted_batch_invisible_to_reader(spark, tmp_path):
     pq.write_table(pa.table({"key": ["x"]}), f"{out}/batch=0/part-0.parquet")
     # no _COMMITTED marker → crash mid-commit; reader must not see it
     assert committed_batches(out) == []
+
+
+def test_overwrite_crash_after_publish_before_removal(spark, tmp_path):
+    """ADVICE r6: crash AFTER the overwrite's new batch is committed but
+    BEFORE the superseded batches are removed. Without the tombstone the
+    reader would merge old+new stores (keys absent from the new dataset
+    resurrect). With it: the reader sees exactly the new store, and the
+    next commit finishes the removal."""
+    import json
+    import shutil
+
+    from aws_localstack_stream_processing_spark.sources.kv_sink_datasource import (
+        _TOMBSTONE,
+    )
+
+    register_kv_sink(spark)
+    out = str(tmp_path / "store")
+    old = spark.createDataFrame([("gone", 1), ("kept", 1)], "key string, v int")
+    old.write.format("kv_upsert").option("path", out).mode("append").save()
+    new = spark.createDataFrame([("kept", 2)], "key string, v int")
+
+    # simulate the crash window: let overwrite run fully, then restore the
+    # superseded dir and the tombstone exactly as they stood pre-removal
+    saved = str(tmp_path / "saved_batch0")
+    shutil.copytree(f"{out}/batch=0", saved)
+    new.write.format("kv_upsert").option("path", out).mode("overwrite").save()
+    shutil.copytree(saved, f"{out}/batch=0")
+    with open(f"{out}/{_TOMBSTONE}", "w") as f:
+        json.dump({"survivor": 1, "superseded": [0]}, f)
+
+    # reader inside the crash window: new store only — 'gone' must NOT resurrect
+    assert [os.path.basename(d) for d in committed_batches(out)] == ["batch=1"]
+    assert {r.key: r.v for r in read_kv_table(spark, out, "key").collect()} == {
+        "kept": 2
+    }
+    # next commit drains the crashed overwrite: dir removed, tombstone cleared
+    more = spark.createDataFrame([("k3", 3)], "key string, v int")
+    more.write.format("kv_upsert").option("path", out).mode("append").save()
+    assert not os.path.isdir(f"{out}/batch=0")
+    assert not os.path.exists(f"{out}/{_TOMBSTONE}")
+    assert {r.key: r.v for r in read_kv_table(spark, out, "key").collect()} == {
+        "kept": 2,
+        "k3": 3,
+    }
+
+
+def test_overwrite_tombstone_inert_before_survivor_commits(spark, tmp_path):
+    """Crash BEFORE the survivor's marker lands: the tombstone is inert —
+    the old store stays authoritative and the next commit discards the
+    stale intent instead of deleting live data."""
+    import json
+
+    from aws_localstack_stream_processing_spark.sources.kv_sink_datasource import (
+        _TOMBSTONE,
+    )
+
+    register_kv_sink(spark)
+    out = str(tmp_path / "store")
+    old = spark.createDataFrame([("a", 1)], "key string, v int")
+    old.write.format("kv_upsert").option("path", out).mode("append").save()
+    with open(f"{out}/{_TOMBSTONE}", "w") as f:
+        json.dump({"survivor": 1, "superseded": [0]}, f)  # batch=1 never landed
+
+    assert [os.path.basename(d) for d in committed_batches(out)] == ["batch=0"]
+    assert {r.key: r.v for r in read_kv_table(spark, out, "key").collect()} == {
+        "a": 1
+    }
+    more = spark.createDataFrame([("b", 2)], "key string, v int")
+    more.write.format("kv_upsert").option("path", out).mode("append").save()
+    assert not os.path.exists(f"{out}/{_TOMBSTONE}")
+    assert {r.key: r.v for r in read_kv_table(spark, out, "key").collect()} == {
+        "a": 1,
+        "b": 2,
+    }

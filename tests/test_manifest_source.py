@@ -112,3 +112,45 @@ def test_checkpoint_restart_resumes_growing_manifest(spark, tmp_path):
     run_once()
     ids = sorted(r.event_id for r in spark.read.parquet(str(out)).collect())
     assert ids == list(range(45))  # every id exactly once, incl. the new 15
+
+
+def test_append_manifest_auto_alloc_race(tmp_path):
+    """ADVICE r6: two writers racing to the same auto-allocated commit id
+    must not clobber each other — the loser retries with the next id.
+    Simulated by pre-claiming the id the allocator would pick."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_localstack_stream_processing_spark.sources.manifest_datasource import (
+        append_manifest,
+        manifest_dir,
+        read_manifest,
+    )
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    f1, f2 = f"{lake}/a.parquet", f"{lake}/b.parquet"
+    pq.write_table(pa.table({"x": [1, 2]}), f1)
+    pq.write_table(pa.table({"x": [3]}), f2)
+    cid0 = append_manifest(lake, [f1])
+    # a rival writer lands the id our next auto-allocation would compute
+    rival = os.path.join(manifest_dir(lake), f"{cid0 + 1:010d}.json")
+    with open(rival, "w") as fh:
+        json.dump([{"path": "a.parquet", "rows": 2}], fh)
+    cid1 = append_manifest(lake, [f2])  # must NOT clobber the rival
+    assert cid1 == cid0 + 2
+    with open(rival) as fh:  # rival's commit intact, byte for byte
+        assert json.load(fh) == [{"path": "a.parquet", "rows": 2}]
+    plan = read_manifest(lake)
+    assert [os.path.basename(p) for p, _, _ in plan] == [
+        "a.parquet",
+        "a.parquet",
+        "b.parquet",
+    ]
+    # no tmp litter left behind
+    assert all(
+        not f.startswith(".alloc") for f in os.listdir(manifest_dir(lake))
+    )
