@@ -350,7 +350,13 @@ def _register(spark, cls) -> None:
     """Idempotent DataSource registration that does NOT swallow real
     failures: only the duplicate-registration error is ignored; anything
     else (API change, bad class) propagates instead of resurfacing later
-    as an unrelated 'format not found'."""
+    as an unrelated 'format not found'. Ships the package zip first: the
+    registered class is pickled by reference, so the Python plan runner
+    and every worker must be able to import this module whatever the
+    driver's cwd (VERDICT r6 #4)."""
+    from ..session import ship_package
+
+    ship_package(spark)
     try:
         spark.dataSource.register(cls)
     except Exception as exc:  # noqa: BLE001 - filtered below
