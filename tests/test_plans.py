@@ -881,3 +881,39 @@ def test_containment_scoring_reuses_persisted_postings(spark):
     _, executed = _plan(spark, "dedup_containment")
     assert "InMemoryTableScan" in executed
     assert "CartesianProduct" not in executed
+
+
+def test_q18_aggregate_reuse_rewrite_equals_textbook():
+    """The hand-applied aggregate-reuse rewrite of Q18 must be
+    row-identical to the textbook double-scan formulation (checked in
+    DuckDB so the comparison is engine-independent)."""
+    import duckdb
+
+    from aws_localstack_stream_processing_spark.plans.dialect import dec_sum, ts_str
+    from aws_localstack_stream_processing_spark.plans.tpch import _q18_sql
+
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+        )
+    textbook = f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       {ts_str('o.o_orderdate', 'duck')} AS orderdate, o.o_totalprice,
+       {dec_sum('l.l_quantity')} AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(28,6))) > 150
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey,
+         {ts_str('o.o_orderdate', 'duck')}, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+    a = con.execute(textbook).fetchall()
+    b = con.execute(_q18_sql("duck")).fetchall()
+    assert a == b and len(a) > 0
