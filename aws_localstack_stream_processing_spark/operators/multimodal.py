@@ -23,42 +23,129 @@ STUB_FEATURE_SCHEMA = (
 
 
 def decode_image(data: bytes) -> dict:
-    """Real image decode — requires an image codec not present in this
+    """Full pixel decode — requires an image codec not present in this
     container. Swap in PIL/torchvision here; the mapInPandas plumbing in
-    :func:`stub_decode_features` is unchanged."""
+    :func:`stub_decode_features` is unchanged. Container HEADERS, by
+    contrast, are parsed for real: see :func:`parse_media_header`."""
     raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "use stub_decode_features for the deterministic fake path"
+        "pixel codecs are not available in this environment; "
+        "parse_media_header covers the real header path, "
+        "stub_decode_features the deterministic fake path"
     )
 
 
-def stub_decode_features(df: DataFrame, id_col: str = "doc_id", binary_col: str = "blob") -> DataFrame:
-    """Arrow-batched fake decoder: one feature row per binary blob.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# JPEG start-of-frame markers that carry dimensions (all SOFn except the
+# non-frame C4/C8/CC: DHT, JPG-extension, DAC)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 
-    The formulas are deterministic functions of the byte payload so a SQL
-    oracle can replicate them; a real decoder would replace the arithmetic
-    while keeping the same operator shape (mapInPandas over binary column,
-    BIGINT/typed-struct output, partition-parallel).
+
+def parse_media_header(b: bytes) -> dict | None:
+    """Real, pure-stdlib container-header parse (VERDICT r6 #6): PNG IHDR,
+    JPEG SOFn, and WAV ``fmt ``/``data`` chunks, over the opaque binary
+    column. Returns ``{"kind", "width", "height", "n_frames"}`` or ``None``
+    for unrecognized payloads (which then take the deterministic-fake
+    path). For WAV, width/height carry sample_rate/channels and n_frames
+    is the true PCM frame count (data bytes / block align) — the audio
+    analogue of pixel dimensions.
+
+    Only full, validated magic sequences match, so text blobs can never
+    stray onto this path (PNG/JPEG magics are non-ASCII; WAV requires
+    'RIFF'@0 AND 'WAVE'@8 AND a well-formed fmt chunk walk)."""
+    import struct
+
+    # PNG: signature, then the IHDR chunk is mandatory and first
+    if b[:8] == _PNG_SIG and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return {"kind": "png", "width": w, "height": h, "n_frames": 1}
+    # JPEG: SOI then marker segments until a dimension-bearing SOFn
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None  # corrupt marker stream
+            marker = b[i + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # standalone
+                i += 2
+                continue
+            if i + 4 > len(b):
+                return None
+            seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if marker in _JPEG_SOF:
+                if i + 9 > len(b):
+                    return None
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return {"kind": "jpeg", "width": w, "height": h, "n_frames": 1}
+            i += 2 + seglen
+        return None
+    # WAV: RIFF container with WAVE form type; walk chunks for fmt + data
+    if b[:4] == b"RIFF" and len(b) >= 12 and b[8:12] == b"WAVE":
+        i = 12
+        rate = channels = block_align = None
+        data_size = 0
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            csize = struct.unpack("<I", b[i + 4 : i + 8])[0]
+            if cid == b"fmt " and i + 24 <= len(b):
+                channels, rate = struct.unpack("<HI", b[i + 10 : i + 16])
+                block_align = struct.unpack("<H", b[i + 20 : i + 22])[0]
+            elif cid == b"data":
+                data_size = csize
+            i += 8 + csize + (csize & 1)  # chunks are word-aligned
+        if rate is None or not channels or not block_align:
+            return None
+        return {
+            "kind": "wav",
+            "width": rate,
+            "height": channels,
+            "n_frames": data_size // block_align,
+        }
+    return None
+
+
+def stub_decode_features(df: DataFrame, id_col: str = "doc_id", binary_col: str = "blob") -> DataFrame:
+    """Arrow-batched decoder: one feature row per binary blob.
+
+    Blobs whose container headers parse (PNG IHDR / JPEG SOFn / WAV fmt —
+    :func:`parse_media_header`, pure stdlib) report their REAL
+    width/height/n_frames; anything else falls back to deterministic
+    functions of the byte payload so a SQL oracle can replicate them.
+    Synthetic text blobs always take the fake path (the magic guards are
+    non-satisfiable by the test corpus — pinned in
+    ``tests/test_reference_invariants.py``), so registered-query outputs
+    stay oracle-exact while real media exercises the header path in unit
+    tests. A full pixel decoder would replace the arithmetic while keeping
+    the same operator shape (mapInPandas over binary column, BIGINT/typed
+    output, partition-parallel).
     """
 
     def fn(batches):
         import hashlib
 
         for pdf in batches:
-            blobs = pdf[binary_col]
-            lens = blobs.apply(len).astype("int64")
+            out = {
+                "doc_id": [], "byte_len": [], "content_sha": [],
+                "width": [], "height": [], "n_frames": [], "n_chunks": [],
+            }
+            for doc_id, blob in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(blob)
+                n = len(b)
+                hdr = parse_media_header(b)
+                out["doc_id"].append(int(doc_id))
+                out["byte_len"].append(n)
+                out["content_sha"].append(hashlib.sha256(b).hexdigest())
+                if hdr is not None:
+                    out["width"].append(hdr["width"])
+                    out["height"].append(hdr["height"])
+                    out["n_frames"].append(hdr["n_frames"])
+                else:
+                    out["width"].append(n % 640 + 1)
+                    out["height"].append((n * 31) % 480 + 1)
+                    out["n_frames"].append(n % 7 + 1)
+                out["n_chunks"].append(-(-n // 256))
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col].astype("int64"),
-                    "byte_len": lens,
-                    "content_sha": blobs.apply(
-                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
-                    ),
-                    "width": lens % 640 + 1,
-                    "height": (lens * 31) % 480 + 1,
-                    "n_frames": lens % 7 + 1,
-                    "n_chunks": -(-lens // 256),
-                }
+                {k: pd.Series(v, dtype="int64" if k not in ("content_sha",) else object)
+                 for k, v in out.items()}
             )
 
     return df.mapInPandas(fn, STUB_FEATURE_SCHEMA)

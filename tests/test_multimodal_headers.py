@@ -1,0 +1,129 @@
+"""Real container-header decode (VERDICT r6 #6): PNG IHDR / JPEG SOFn /
+WAV fmt parsed from genuine file bytes with the pure-stdlib parser, plus
+the guard that the synthetic text corpus can never stray onto the real
+path (keeping registered-query outputs oracle-exact)."""
+
+import struct
+import zlib
+
+import pytest
+
+from aws_localstack_stream_processing_spark.operators.multimodal import (
+    parse_media_header,
+    stub_decode_features,
+)
+
+
+def make_png(w: int, h: int) -> bytes:
+    """A complete, spec-valid minimal PNG (signature, IHDR, IDAT, IEND,
+    real CRCs) — decodable by any real PNG library."""
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + b"\x00\x00\x00" * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_jpeg(w: int, h: int) -> bytes:
+    """Minimal JPEG marker stream: SOI, JFIF APP0, DQT, SOF0(h, w), EOI."""
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\x00" + bytes(64)
+    sof0 = struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"
+    out = b"\xff\xd8"
+    for marker, payload in ((b"\xff\xe0", app0), (b"\xff\xdb", dqt), (b"\xff\xc0", sof0)):
+        out += marker + struct.pack(">H", len(payload) + 2) + payload
+    return out + b"\xff\xd9"
+
+
+def make_wav(rate: int, channels: int, n_frames: int, bits: int = 16) -> bytes:
+    """Canonical 44-byte PCM WAV header + silence."""
+    block = channels * bits // 8
+    data = bytes(n_frames * block)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_png_ihdr():
+    assert parse_media_header(make_png(640, 480)) == {
+        "kind": "png", "width": 640, "height": 480, "n_frames": 1,
+    }
+    assert parse_media_header(make_png(1, 1))["width"] == 1
+
+
+def test_jpeg_sof0():
+    assert parse_media_header(make_jpeg(1024, 768)) == {
+        "kind": "jpeg", "width": 1024, "height": 768, "n_frames": 1,
+    }
+
+
+def test_jpeg_progressive_sof2():
+    b = bytearray(make_jpeg(320, 200))
+    i = b.index(b"\xff\xc0")
+    b[i + 1] = 0xC2  # progressive DCT frame marker
+    assert parse_media_header(bytes(b))["width"] == 320
+
+
+def test_wav_fmt_and_frame_count():
+    got = parse_media_header(make_wav(44100, 2, 1000))
+    assert got == {"kind": "wav", "width": 44100, "height": 2, "n_frames": 1000}
+
+
+def test_truncated_and_garbage_fall_through():
+    assert parse_media_header(b"") is None
+    assert parse_media_header(b"hello world, plain text") is None
+    assert parse_media_header(make_png(10, 10)[:15]) is None  # cut inside IHDR
+    assert parse_media_header(b"\xff\xd8\x00\x00") is None  # corrupt markers
+    assert parse_media_header(b"RIFFxxxxWAVE") is None  # no fmt chunk
+    # RIFF-looking *text* (the corpus-safety property, in miniature)
+    assert parse_media_header(b"RIFF is a container; WAVE too.") is None
+
+
+def test_decode_operator_mixes_real_and_fake(spark):
+    rows = [
+        (1, bytearray(make_png(64, 32))),
+        (2, bytearray(make_jpeg(100, 50))),
+        (3, bytearray(make_wav(16000, 1, 321))),
+        (4, bytearray(b"just some text payload")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, blob binary")
+    got = {r.doc_id: r for r in stub_decode_features(df).collect()}
+    assert (got[1].width, got[1].height, got[1].n_frames) == (64, 32, 1)
+    assert (got[2].width, got[2].height) == (100, 50)
+    assert (got[3].width, got[3].height, got[3].n_frames) == (16000, 1, 321)
+    n = len(b"just some text payload")
+    assert (got[4].width, got[4].height, got[4].n_frames) == (
+        n % 640 + 1, (n * 31) % 480 + 1, n % 7 + 1,
+    )
+    # invariants shared by both paths
+    for r in got.values():
+        assert r.byte_len > 0 and len(r.content_sha) == 64
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_text_corpus_never_parses_as_media(sf):
+    """The oracle-exactness guard: no document text at any SF can satisfy
+    the container magics, so mm_decode_features stays on the fake
+    (SQL-replicable) path for every registered-query input."""
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        "SELECT COUNT(*) FROM read_parquet(?) "
+        "WHERE text LIKE 'RIFF%' OR text LIKE '\xff\xd8%' OR text LIKE '\x89PNG%'",
+        [f"/root/testdata/{sf}/documents.parquet"],
+    ).fetchone()[0]
+    assert n == 0
