@@ -29,6 +29,7 @@ from .registry import query
 # ..streaming.planlog (batch queries can be plan-inspected lazily, but a
 # streaming plan only exists while its query runs).
 from ..streaming.planlog import note_plan as _note_plan
+from ..streaming.statelog import note_state_metrics as _note_state
 
 
 def _to_memory(df: DataFrame, mode: str) -> DataFrame:
@@ -53,6 +54,7 @@ def _to_memory(df: DataFrame, mode: str) -> DataFrame:
         )
         q.awaitTermination()
         _note_plan(q)
+        _note_state(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
@@ -820,6 +822,7 @@ def stream_alarm_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         _note_plan(q)
+        _note_state(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return alarm_actions_view(spark, store)
@@ -912,6 +915,7 @@ def stream_kv_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     _note_plan(q)
+    _note_state(q)
     back = read_kv_table(spark, store, "key")
     return back.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n_signed")

@@ -42,8 +42,10 @@ def run_mv_stream(
     )
     q.awaitTermination()
     from .planlog import note_plan
+    from .statelog import note_state_metrics
 
     note_plan(q)
+    note_state_metrics(q)
 
 
 def read_mv(spark: SparkSession, mv_dir: str) -> DataFrame:
