@@ -69,6 +69,12 @@ BENCH_EXCLUDED = {
         "baselines (sim_ann_lsh/ivf, emb_ivfpq_search) are what the "
         "bench times"
     ),
+    "text_bpe_train_k": (
+        "k=8 training iterations = 8 full corpus scans by definition "
+        "(~8 s at sf0.1) — a tokenizer-TRAINING batch job, not a "
+        "latency-bound query; its single-scan serving siblings "
+        "(text_bpe_encode, text_bpe_compression_by_lang) are benched"
+    ),
 }
 
 

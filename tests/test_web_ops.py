@@ -129,3 +129,98 @@ def test_keep_best_prefers_longer_member(spark):
     assert rows
     assert all(r.kept_doc < 2000000 for r in rows)  # originals win
     assert all(r.n_members >= 2 for r in rows)
+
+
+def _classic_bpe_train(words: list[str], k: int) -> list[tuple[str, str, int]]:
+    """Textbook BPE trainer (Sennrich et al. 2016): k rounds of
+    naive adjacent-pair counting over the current corpus tokenization,
+    deterministic argmax (count DESC, then lexicographic), merge
+    everywhere left-to-right non-overlapping."""
+    toks = [list(w) for w in words if w]
+    merges = []
+    for _ in range(k):
+        counts: dict[tuple[str, str], int] = {}
+        for t in toks:
+            for i in range(len(t) - 1):
+                counts[(t[i], t[i + 1])] = counts.get((t[i], t[i + 1]), 0) + 1
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, n))
+        for t in toks:
+            i = 0
+            while i < len(t) - 1:
+                if t[i] == a and t[i + 1] == b:
+                    t[i : i + 2] = [a + b]
+                i += 1
+    return merges
+
+
+def test_bpe_train_k_matches_classic_trainer(spark):
+    """VERDICT r6 #7 equivalence, half 1: the relational k-round trainer
+    must produce exactly the merge table (pairs, order, counts) of the
+    textbook in-memory trainer over the same corpus words."""
+    from aws_localstack_stream_processing_spark.plans.web_ops import (
+        _BPE_TRAIN_K,
+    )
+
+    got = [
+        (r.left_tok, r.right_tok, r.n_occ)
+        for r in QUERIES["text_bpe_train_k"]
+        .fn(spark, SF_DIR)
+        .orderBy("rank")
+        .collect()
+    ]
+    con = duckdb.connect()
+    words = [
+        w[0]
+        for w in con.execute(
+            f"SELECT unnest(string_split(text, ' ')) FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet')"
+        ).fetchall()
+    ]
+    assert got == _classic_bpe_train(words, _BPE_TRAIN_K)
+
+
+def test_bpe_trained_table_encodes_as_classic_greedy(spark):
+    """Half 2: applying the TRAINED table through the production replace
+    chain (text_bpe_encode's mechanism) equals classic greedy BPE with
+    that table — i.e. the trainer's output satisfies the causal-order
+    precondition the encoder relies on, end to end."""
+    rows = (
+        QUERIES["text_bpe_train_k"].fn(spark, SF_DIR).orderBy("rank").collect()
+    )
+    merges = [(f"{r.left_tok} {r.right_tok}", r.merged) for r in rows]
+    # causal order: no rule's input token is produced by a LATER rule
+    produced_later = set()
+    for pair, out in reversed(merges):
+        a, b = pair.rsplit(" ", 1)
+        assert a not in produced_later and b not in produced_later, (
+            f"rule ({a},{b}) consumes a token produced by a later rule"
+        )
+        produced_later.add(out)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    words = [
+        r[0]
+        for r in con.execute(
+            "SELECT DISTINCT unnest(string_split(text, ' ')) FROM documents"
+        ).fetchall()
+        if r[0]
+    ]
+    # run the duck-dialect replace chain with the TRAINED table
+    enc = "concat(regexp_replace(word, '(.)', '|\\1', 'g'), '|')"
+    for pair, out in merges:
+        pat = "|" + pair.replace(" ", "|") + "|"
+        rep = "|" + out + "|"
+        enc = f"replace({enc}, '{pat}', '{rep}')"
+        enc = f"replace({enc}, '{pat}', '{rep}')"
+    con.execute("CREATE TABLE w(word VARCHAR)")
+    con.executemany("INSERT INTO w VALUES (?)", [(w,) for w in words])
+    chain = {
+        w: [t for t in e.split("|") if t]
+        for w, e in con.execute(f"SELECT word, {enc} FROM w").fetchall()
+    }
+    for w in words:
+        assert chain[w] == _classic_bpe(w, merges), w
