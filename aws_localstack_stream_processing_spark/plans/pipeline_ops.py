@@ -488,7 +488,7 @@ _IVFPQ_TOPK = 5
 _IVFPQ_EVAL_NQ = 12
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_oracle(topk: int = _IVFPQ_TOPK) -> str:
     d = "duck"
     l2full = _l2sq_range("v.emb", "c.cemb", 0, _PQ_M * _PQ_SUB, d)
     dq_cols = ", ".join(
@@ -564,7 +564,7 @@ FROM (
   SELECT qid, nid, adc_d,
          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_d, nid) AS rnk
   FROM adc
-) r WHERE rnk <= {_IVFPQ_TOPK}
+) r WHERE rnk <= {topk}
 ORDER BY query_id, rnk
 """
 
@@ -660,22 +660,11 @@ FROM {tbl('embeddings', 'spark')}
     )
 
 
-@query("emb_ivfpq_search", oracle=_ivfpq_oracle(), tags=("llm", "similarity"))
-def emb_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed FAISS IVF-PQ search path: coarse-quantize the corpus
-    into inverted lists, store each vector as M=4 PQ codes (via the
-    ``emb_pq_codes`` operator), then answer queries by scanning only the
-    nprobe=2 probed cells and scoring candidates with ASYMMETRIC
-    distance computation — each query precomputes a (codebook-entry x
-    subspace) distance table and a candidate costs 4 table lookups
-    instead of a 64-dim distance. This is how a billion-vector index
-    actually serves: the scan reads 4-byte codes, not raw vectors.
-
-    Scale shape: centroids and the per-query distance tables broadcast
-    (|q| x K x M doubles); candidate scoring is equi-joins on (cell) and
-    (code) keys — the corpus-sized tables never shuffle for a window;
-    per-query top-k ranks probed candidates only. Every distance is a
-    fixed-order L2 sum, so ranks are bit-identical to the oracle."""
+def _ivfpq_adc_topk(spark: SparkSession, sf_dir: str, topk: int) -> DataFrame:
+    """The shared IVF-PQ ADC pipeline, ranked and cut at ``topk`` per
+    query: (query_id, neighbor_id, rnk, adc_dist). ``emb_ivfpq_search``
+    serves it directly at k=5; ``emb_ivfpq_refine`` pulls a wider cut
+    (4k) as the candidate pool for exact re-ranking."""
     views(spark, sf_dir, "embeddings")
     base = spark.sql(
         f"""
@@ -755,12 +744,112 @@ FROM {tbl('embeddings', 'spark')}
     return (
         adc.withColumn("adc_d", adc_col)
         .withColumn("rnk", F.row_number().over(wr))
-        .filter(F.col("rnk") <= _IVFPQ_TOPK)
+        .filter(F.col("rnk") <= topk)
         .select(
             F.col("qid").alias("query_id"),
             F.col("nid").alias("neighbor_id"),
             F.col("rnk").cast("bigint").alias("rnk"),
             F.round("adc_d", 6).alias("adc_dist"),
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+@query("emb_ivfpq_search", oracle=_ivfpq_oracle(), tags=("llm", "similarity"))
+def emb_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed FAISS IVF-PQ search path: coarse-quantize the corpus
+    into inverted lists, store each vector as M=4 PQ codes (via the
+    ``emb_pq_codes`` operator), then answer queries by scanning only the
+    nprobe=2 probed cells and scoring candidates with ASYMMETRIC
+    distance computation — each query precomputes a (codebook-entry x
+    subspace) distance table and a candidate costs 4 table lookups
+    instead of a 64-dim distance. This is how a billion-vector index
+    actually serves: the scan reads 4-byte codes, not raw vectors.
+
+    Scale shape: centroids and the per-query distance tables broadcast
+    (|q| x K x M doubles); candidate scoring is equi-joins on (cell) and
+    (code) keys — the corpus-sized tables never shuffle for a window;
+    per-query top-k ranks probed candidates only. Every distance is a
+    fixed-order L2 sum, so ranks are bit-identical to the oracle."""
+    return _ivfpq_adc_topk(spark, sf_dir, _IVFPQ_TOPK)
+
+
+_REFINE_R = 4 * _IVFPQ_TOPK  # exact-rescore pool: the standard 4k cut
+
+
+def _ivfpq_refine_oracle() -> str:
+    d = "duck"
+    l2 = _l2sq_range("q.emb", "n.emb", 0, _PQ_M * _PQ_SUB, d)
+    return f"""
+WITH pool AS ({_ivfpq_oracle(_REFINE_R)}),
+base AS (
+  SELECT vec_id, {to_double_arr('embedding', d)} AS emb FROM {tbl('embeddings', d)}
+),
+ex AS (
+  SELECT p.query_id, p.neighbor_id, p.adc_dist, {l2} AS exact_d
+  FROM pool p
+  JOIN base q ON q.vec_id = p.query_id
+  JOIN base n ON n.vec_id = p.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk,
+       round(exact_d, 6) AS exact_dist, adc_dist
+FROM (
+  SELECT query_id, neighbor_id, adc_dist, exact_d,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY exact_d, neighbor_id) AS rnk
+  FROM ex
+) r WHERE rnk <= {_IVFPQ_TOPK}
+ORDER BY query_id, rnk
+"""
+
+
+@query("emb_ivfpq_refine", oracle=_ivfpq_refine_oracle(), tags=("llm", "similarity"))
+def emb_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact-rescore refine (VERDICT r6 #8) — the standard FAISS
+    ``IndexRefineFlat`` serving stack: the ADC stage returns a WIDER top-4k
+    pool per query (candidate-bounded by construction: |q| x 4k rows, the
+    PQ scan already did the heavy pruning), then ONLY those candidates'
+    raw vectors are fetched for an exact L2 re-rank that emits the final
+    top-k. This repairs the PQ distance distortion that dominates the
+    coarse codebook's recall loss (floor pinned strictly above the
+    PQ-only number in tests/test_approx.py) while reading |q| x 4k raw
+    vectors instead of the corpus. The pool broadcasts into the
+    vector-table joins — the corpus never shuffles; the exact distance is
+    the same fixed-order L2 fold, so ranks are bit-identical to the
+    oracle."""
+    from pyspark.sql import Window
+
+    pool = F.broadcast(
+        _ivfpq_adc_topk(spark, sf_dir, _REFINE_R).select(
+            "query_id", "neighbor_id", "adc_dist"
+        )
+    )
+    base = spark.sql(
+        f"""
+SELECT vec_id, {to_double_arr('embedding', 'spark')} AS emb
+FROM {tbl('embeddings', 'spark')}
+"""
+    )
+    qv = base.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
+    nv = base.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb")
+    )
+    l2 = F.expr(_l2sq_range("qemb", "nemb", 0, _PQ_M * _PQ_SUB, "spark"))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("exact_d"), F.col("neighbor_id")
+    )
+    return (
+        pool.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("exact_d", l2)
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _IVFPQ_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.round("exact_d", 6).alias("exact_dist"),
+            "adc_dist",
         )
         .orderBy("query_id", "rnk")
     )

@@ -336,6 +336,8 @@ def main() -> None:
         # round-6 wave 8 (ANN serving polish)
         "sim_ann_ivf_nprobe_curve",
         "sim_ann_filtered_topk",
+        # round-7 (exact-rescore refine stage)
+        "emb_ivfpq_refine",
     ]
     # the ext showcase is held to the regression bar but is not the
     # headline: 3 trials (vs the headline's 4) keep total bench wall time
