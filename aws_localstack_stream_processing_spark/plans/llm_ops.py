@@ -865,17 +865,11 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     |q| * N/cells * nprobe instead of |q| * N — the standard billion-scale
     ANN layout (FAISS IVF) expressed relationally.
 
-    One window computation on the (vector × centroid) product serves BOTH
-    sides of the search: rank-1 rows are the cell assignment (members,
-    payload already attached — no join back to the vector table), rank ≤
-    nprobe rows filtered to the query ids are the probe list. That is a
-    single vec_id exchange where the agg-then-join-back formulation paid a
-    SortAggregate exchange (max over struct is not hash-aggregable), a
-    second full scored subtree, and a members join — and Spark's
-    WindowGroupLimit pushdown caps the per-key sort at nprobe rows, so the
-    window is top-k, not a full N·C sort, at any scale. Identical winner
-    to the oracle's ROW_NUMBER (cos DESC, cid ASC): cosines are bit-exact
-    across engines."""
+    The assignment argmax is an aggregation ``max(struct(cos, -cid))`` —
+    map-side combinable, no sort, no shuffle of the (vector × centroid)
+    product (unlike a window rank, which would sort all N·C rows). Windows
+    remain only on the tiny query side. Identical winner to the oracle's
+    ROW_NUMBER (cos DESC, cid ASC): cosines are bit-exact across engines."""
     views(spark, sf_dir, "embeddings")
     normed = spark.sql(
         f"""
@@ -883,7 +877,7 @@ SELECT vec_id, emb, sqrt({dot('emb', 'emb', DIM, 'spark')}) AS nrm
 FROM (SELECT vec_id, {to_double_arr('embedding', 'spark')} AS emb
       FROM {tbl('embeddings', 'spark')})
 """
-    )
+    ).persist()
     cents = F.broadcast(
         normed.filter(F.col("vec_id") % _IVF_CENT_MOD == 0).select(
             F.col("vec_id").alias("cid"),
@@ -892,23 +886,28 @@ FROM (SELECT vec_id, {to_double_arr('embedding', 'spark')} AS emb
         )
     )
     cos = F.expr(dot("emb", "cemb", DIM, "spark")) / (F.col("nrm") * F.col("cnrm"))
-    scored = normed.join(cents).select(
-        "vec_id", "emb", "nrm", "cid", cos.alias("ccos")
+    scored = normed.join(cents).withColumn("ccos", cos)
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("ccos"), (-F.col("cid")).alias("nc"))).alias("b"))
+        .select("vec_id", (-F.col("b.nc")).alias("cid"))
     )
-    wv = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
-    ranked = (
-        scored.withColumn("crnk", F.row_number().over(wv))
+    # cell members with payloads (assign is slim; join back to normed)
+    members = assign.join(normed, "vec_id")
+    # query side: top-nprobe cells by the same ordering (tiny: window is fine)
+    qscored = scored.filter(F.col("vec_id") % _IVF_QUERY_MOD == 0)
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cid")
+    )
+    qprobe = (
+        qscored.withColumn("crnk", F.row_number().over(wq))
         .filter(F.col("crnk") <= _IVF_NPROBE)
-        .persist()
-    )
-    members = ranked.filter(F.col("crnk") == 1).select(
-        "vec_id", "cid", "emb", "nrm"
-    )
-    qprobe = ranked.filter(F.col("vec_id") % _IVF_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("emb").alias("qemb"),
-        F.col("nrm").alias("qnrm"),
-        "cid",
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("emb").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+            "cid",
+        )
     )
     qcos = F.expr(dot("qemb", "emb", DIM, "spark")) / (
         F.col("qnrm") * F.col("nrm")
