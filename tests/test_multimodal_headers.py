@@ -127,3 +127,35 @@ def test_text_corpus_never_parses_as_media(sf):
         [f"/root/testdata/{sf}/documents.parquet"],
     ).fetchone()[0]
     assert n == 0
+
+
+def test_parser_total_on_arbitrary_bytes():
+    """The parser runs over untrusted binary columns at scale: it must be
+    TOTAL — parse or return None, never raise — on arbitrary byte
+    strings, including truncations of valid files and mutations of the
+    magic regions (hypothesis fuzz)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    valid = [make_png(3, 7), make_jpeg(9, 4), make_wav(8000, 1, 5)]
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=200))
+    def fuzz_raw(b):
+        r = parse_media_header(b)
+        assert r is None or set(r) == {"kind", "width", "height", "n_frames"}
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.sampled_from(valid),
+        st.integers(min_value=0, max_value=120),
+        st.binary(max_size=6),
+    )
+    def fuzz_mutated(base, cut, splice):
+        b = base[:cut] + splice + base[cut:]
+        r = parse_media_header(b)
+        assert r is None or set(r) == {"kind", "width", "height", "n_frames"}
+        parse_media_header(base[:cut])  # truncation never raises either
+
+    fuzz_raw()
+    fuzz_mutated()
