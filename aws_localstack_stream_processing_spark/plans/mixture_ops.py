@@ -81,7 +81,15 @@ by_src AS (
 SELECT epoch, shard,
        CAST(SUM(n) AS BIGINT) AS n_docs,
        CAST(COUNT(*) AS BIGINT) AS n_sources,
-       round(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS max_source_share
+       -- share rounded half-up at 6 decimals in INTEGER arithmetic:
+       -- round(CAST(MAX(n) AS DOUBLE)/SUM(n), 6) diverges across engines
+       -- when the exact ratio lands on a rounding tie (41/640 = .0640625
+       -- at sf0.1: Spark's shortest-decimal HALF_UP says .064063, DuckDB's
+       -- scaled-double says .064062). (a*2M + b) DIV (2b) is the same
+       -- half-up rule with no doubles anywhere near a tie; the final /1e6
+       -- is one IEEE division of identical integers — bit-exact.
+       CAST({intdiv('(MAX(n) * 2000000 + SUM(n))', '(2 * SUM(n))', d)} AS DOUBLE)
+         / 1000000 AS max_source_share
 FROM by_src
 GROUP BY epoch, shard
 ORDER BY epoch, shard
