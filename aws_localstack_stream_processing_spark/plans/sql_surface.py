@@ -1150,3 +1150,48 @@ FROM win
 WHERE is_probe = 1 AND attr IS NOT NULL AND pday <= cur_vt
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4's WITH RECURSIVE) — iterative fixpoint closure.
+# ---------------------------------------------------------------------------
+
+
+def _recursive_closure_sql(d: str) -> str:
+    par = intdiv("c.c_custkey", "10", d)
+    return f"""
+WITH RECURSIVE chain(custkey, root, depth) AS (
+  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT)
+  FROM {tbl('customer', d)} WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, ch.root, ch.depth + 1
+  FROM {tbl('customer', d)} c JOIN chain ch ON ch.custkey = {par}
+  WHERE c.c_custkey >= 10
+)
+SELECT depth,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT root) AS BIGINT) AS n_roots,
+       CAST(MIN(custkey) AS BIGINT) AS min_custkey,
+       CAST(MAX(custkey) AS BIGINT) AS max_custkey
+FROM chain GROUP BY depth ORDER BY depth
+"""
+
+
+@query(
+    "sql_recursive_closure",
+    oracle=_recursive_closure_sql("duck"),
+    tags=("sql", "recursive", "iterative"),
+)
+def sql_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH RECURSIVE`` transitive closure — the iterative-fixpoint SQL
+    surface Spark gained in 4.x, exercised on a derived customer forest
+    (parent = custkey DIV 10, so depth = digit count and the recursion
+    terminates in ~log10 N rounds). Each round is one distributed
+    equi-join of the frontier against the base table — exactly how an
+    iterative closure should execute on a cluster: the frontier shrinks
+    per level, no driver-side loop, no collect. Per-depth rollup keeps
+    the output bounded at any SF. DuckDB runs the identical statement as
+    the oracle (both engines implement standard SQL:1999 recursion;
+    UNION ALL semantics, base-case types pinned with explicit CASTs)."""
+    views(spark, sf_dir, "customer")
+    return spark.sql(_recursive_closure_sql("spark"))
