@@ -80,3 +80,33 @@ def test_worker_imports_from_any_cwd():
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert "ROWS" in r.stdout, r.stdout
+
+
+def test_package_zip_content_addressed(tmp_path, monkeypatch):
+    """The executor-shipped zip self-invalidates: same tree → same cached
+    archive; any module edit (mtime/size) → a NEW filename, so a running
+    fleet can never import a stale package copy."""
+    import zipfile
+
+    from aws_localstack_stream_processing_spark import session as S
+
+    z1 = S._package_zip()
+    assert S._package_zip() == z1  # cache hit, no rebuild
+    with zipfile.ZipFile(z1) as z:
+        names = z.namelist()
+    # archive rooted at the package dir (importable via sys.path entry)
+    assert "aws_localstack_stream_processing_spark/__init__.py" in names
+    assert all(n.startswith("aws_localstack_stream_processing_spark/") for n in names)
+    assert not any("__pycache__" in n for n in names)
+    # touching any module must change the fingerprint (new filename)
+    import os
+
+    mod = os.path.join(os.path.dirname(S.__file__), "__init__.py")
+    st = os.stat(mod)
+    os.utime(mod, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    try:
+        z2 = S._package_zip()
+        assert z2 != z1
+    finally:
+        os.utime(mod, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert S._package_zip() == z1  # restored tree → original archive again
