@@ -82,3 +82,20 @@ FROM slsp_state_health GROUP BY operator
 """
     ).collect()
     assert len(row) == 1 and row[0].peak_rows > 0 and row[0].peak_mem > 0
+
+
+def test_state_curve_deterministic_under_replay(spark):
+    """The staged replay's claim is determinism — extend it to the state
+    metrics themselves: two runs of the TTL-dedup boundary must produce
+    the IDENTICAL per-batch (state_rows, dropped) curve, not just the
+    same emitted rows. (memory_used_bytes is store-internal and may
+    wobble; row counts may not.)"""
+    a = [
+        (r.batch_id, r.operator, r.state_rows, r.rows_dropped_by_watermark)
+        for r in _curve(spark, "stream_dedup_ttl_boundary")
+    ]
+    b = [
+        (r.batch_id, r.operator, r.state_rows, r.rows_dropped_by_watermark)
+        for r in _curve(spark, "stream_dedup_ttl_boundary")
+    ]
+    assert a == b and len(a) == 6
