@@ -64,8 +64,14 @@ def parse_media_header(b: bytes) -> dict | None:
         while i + 4 <= len(b):
             if b[i] != 0xFF:
                 return None  # corrupt marker stream
+            # spec-legal fill: any number of 0xFF pad bytes may precede a marker
+            while i + 1 < len(b) and b[i + 1] == 0xFF:
+                i += 1
+            if i + 4 > len(b):
+                return None
             marker = b[i + 1]
-            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # standalone
+            if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
+                # standalone markers carry no length field (SOI/EOI/TEM/RSTn)
                 i += 2
                 continue
             if i + 4 > len(b):
@@ -112,7 +118,8 @@ def stub_decode_features(df: DataFrame, id_col: str = "doc_id", binary_col: str 
     functions of the byte payload so a SQL oracle can replicate them.
     Synthetic text blobs always take the fake path (the magic guards are
     non-satisfiable by the test corpus — pinned in
-    ``tests/test_reference_invariants.py``), so registered-query outputs
+    ``tests/test_multimodal_headers.py::test_text_corpus_never_parses_as_media``),
+    so registered-query outputs
     stay oracle-exact while real media exercises the header path in unit
     tests. A full pixel decoder would replace the arithmetic while keeping
     the same operator shape (mapInPandas over binary column, BIGINT/typed

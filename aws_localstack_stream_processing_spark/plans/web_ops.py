@@ -480,13 +480,18 @@ WHERE word <> ''
             )
             .select("p.a", "p.b")
         )
-        best = (
+        best_rows = (
             pairs.groupBy("a", "b")
             .agg(F.count("*").cast("bigint").alias("n"))
             .orderBy(F.col("n").desc(), "a", "b")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not best_rows:
+            # corpus has no adjacent token pairs left (empty/single-char
+            # words only) — a shorter merge table IS the trained model
+            break
+        best = best_rows[0]
         merges.append((r, best.a, best.b, best.a + best.b, best.n))
         pat, rep = f"|{best.a}|{best.b}|", f"|{best.a}{best.b}|"
         # F.replace with Column literals: token bytes never touch SQL text,

@@ -94,8 +94,14 @@ def append_manifest(
     ) + 1
     # full payload goes to a tmp file first; os.link() then publishes it
     # atomically AND exclusively — readers never observe a partial commit,
-    # and a concurrent writer racing to the same id loses loudly
-    tmp = os.path.join(mdir, f".alloc.tmp.{os.getpid()}")
+    # and a concurrent writer racing to the same id loses loudly. The tmp
+    # name carries the thread id too: two threads of one driver process
+    # appending concurrently must not clobber each other's payload.
+    import threading
+
+    tmp = os.path.join(
+        mdir, f".alloc.tmp.{os.getpid()}.{threading.get_ident()}"
+    )
     with open(tmp, "w") as fh:
         fh.write(payload)
     try:
@@ -106,6 +112,18 @@ def append_manifest(
             except FileExistsError:
                 next_id += 1  # lost the race — claim the following id
                 continue
+            except OSError:
+                # filesystem without hard links (network/FAT mounts):
+                # O_EXCL open is the same exclusive-claim primitive,
+                # minus the readers-see-full-payload guarantee hard
+                # links give for free — acceptable on such mounts.
+                try:
+                    fd = os.open(out, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+                except FileExistsError:
+                    next_id += 1
+                    continue
+                with os.fdopen(fd, "w") as ofh:
+                    ofh.write(payload)
             return next_id
     finally:
         os.unlink(tmp)

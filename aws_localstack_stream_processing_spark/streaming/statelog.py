@@ -12,6 +12,13 @@ progress objects vanish with the query), so tests and operators can run
     run_query(...); df = state_metrics_df(spark)
     df.groupBy("operator").agg(F.max("state_rows"), ...)
 
+The capture reads ``q.recentProgress``, which Spark caps at
+``spark.sql.streaming.numRecentProgressUpdates`` (default 100) — a
+bounded run with more micro-batches than the cap would silently lose
+the oldest batches from the curve. The engine's session builder raises
+the conf to 1000 (``session.RUNTIME_CONFS``); callers on a foreign
+session with >100-batch runs must do the same.
+
 The boundedness invariant this enables — TTL-dedup and interval-join
 state row counts stay bounded across the staged 6-batch replay instead
 of accumulating the whole input — is pinned in

@@ -77,6 +77,21 @@ def test_jpeg_progressive_sof2():
     assert parse_media_header(bytes(b))["width"] == 320
 
 
+def test_jpeg_fill_bytes_and_standalone_markers():
+    """Spec-legal 0xFF pad bytes between segments must be skipped, and
+    EOI/TEM/RSTn are standalone (no length field) — ADVICE r7."""
+    base = make_jpeg(800, 600)
+    i = base.index(b"\xff\xdb")  # inject fill bytes before DQT
+    padded = base[:i] + b"\xff\xff\xff" + base[i:]
+    assert parse_media_header(padded)["width"] == 800
+    # TEM (0x01) and RST0 (0xD0) standalone markers before the SOF
+    inter = base[:i] + b"\xff\x01\xff\xd0" + base[i:]
+    assert parse_media_header(inter)["height"] == 600
+    # premature EOI before any SOF: parses as no-dimension stream → None
+    soi_eoi = b"\xff\xd8\xff\xd9"
+    assert parse_media_header(soi_eoi) is None
+
+
 def test_wav_fmt_and_frame_count():
     got = parse_media_header(make_wav(44100, 2, 1000))
     assert got == {"kind": "wav", "width": 44100, "height": 2, "n_frames": 1000}

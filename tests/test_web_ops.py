@@ -180,6 +180,29 @@ def test_bpe_train_k_matches_classic_trainer(spark):
     assert got == _classic_bpe_train(words, _BPE_TRAIN_K)
 
 
+def test_bpe_train_k_degenerate_corpus_short_table(spark, tmp_path):
+    """ADVICE r7: a corpus with no adjacent token pairs (single-char
+    words only) must yield a SHORT merge table, not an IndexError from
+    the per-round argmax collect."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": ["a b c", "a c"],
+                "lang": ["en", "en"],
+                "source": ["t", "t"],
+                "n_chars": pa.array([5, 3], type=pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = QUERIES["text_bpe_train_k"].fn(spark, str(tmp_path)).collect()
+    assert out == []  # zero mergeable pairs → zero-row table, no crash
+
+
 def test_bpe_trained_table_encodes_as_classic_greedy(spark):
     """Half 2: applying the TRAINED table through the production replace
     chain (text_bpe_encode's mechanism) equals classic greedy BPE with
