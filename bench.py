@@ -170,7 +170,27 @@ def main() -> None:
             "python_sec": round(min(py_trials), 3),
         }
 
+    # Quiet-window gate (round-7 lesson: BENCH_r07 was snapshotted in a
+    # ~2x CPU-degraded window — calib jvm 0.358 vs quiet 0.17-0.19 — and
+    # recorded 37 phantom regressions). A run whose opening calib exceeds
+    # CALIB_MAX is not a measurement of the engine, so don't take it:
+    # sleep out the steal window and re-probe, up to a bounded number of
+    # retries. If the window never quiets, still publish (the driver
+    # needs its one JSON line) but stamp calib_ok=false so the record
+    # self-identifies as degraded instead of masquerading as a regression.
+    calib_max = float(os.environ.get("SPARK_GRAFT_CALIB_MAX", "0.25"))
+    calib_retries = int(os.environ.get("SPARK_GRAFT_CALIB_RETRIES", "8"))
     calib = _calibrate()
+    retries_used = 0
+    while calib["jvm_sec"] > calib_max and retries_used < calib_retries:
+        retries_used += 1
+        print(
+            f"calib jvm {calib['jvm_sec']} > {calib_max}: degraded window, "
+            f"retry {retries_used}/{calib_retries} in 45s",
+            file=sys.stderr,
+        )
+        time.sleep(45)
+        calib = _calibrate()
     wu = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
     (
         wu.join(wu.selectExpr("s_suppkey AS k", "s_acctbal AS b"),
@@ -385,6 +405,14 @@ def main() -> None:
         "excluded": sorted(BENCH_EXCLUDED),
         "calib": calib,
     }
+    # closing probe: a window that degraded MID-run fools the opening gate;
+    # calib_ok asserts the whole measurement sat inside a quiet window
+    calib_end = _calibrate()
+    detail["calib_end"] = calib_end
+    detail["calib_retries"] = retries_used
+    detail["calib_ok"] = (
+        calib["jvm_sec"] <= calib_max and calib_end["jvm_sec"] <= calib_max
+    )
     regressions: list[str] = []
     if prev_bench:
         ref_name, prev_times = prev_bench
@@ -411,6 +439,7 @@ def main() -> None:
             "metric", "value", "unit", "queries", "value_ext", "sf",
             "trials_per_query", "trials_per_ext_query", "stat",
             "noise_med_over_min", "excluded", "calib",
+            "calib_end", "calib_retries", "calib_ok",
         )
     }
     report["n_ext"] = len(ext_times)
