@@ -1,0 +1,69 @@
+"""Executed-plan fingerprints: the shape of a query plan as a small
+count vector (VERDICT r7 #5).
+
+The round-7 lesson (PLANS.md) is that wall-clock on this host is only
+trustworthy inside verified-quiet windows, while PLAN SHAPE is always
+trustworthy: a regression that adds an exchange or downgrades a
+broadcast join to a sort-merge join shows up as a node-count delta
+regardless of VM noise. So every registered batch query's fingerprint —
+counts of the scale-relevant physical nodes (exchanges, join
+strategies, windows, aggregates, Python-eval nodes, scans) — is pinned
+in the checked-in ``PLANFP.json``; ``tests/test_plan_fingerprints.py``
+diffs live plans against it and fails on ANY drift. Intentional plan
+changes regenerate the file in the same commit
+(``SPARK_GRAFT_REGEN_PLANFP=1 python -m pytest
+tests/test_plan_fingerprints.py``), so a reviewer sees the plan-shape
+diff next to the code that caused it.
+"""
+
+from __future__ import annotations
+
+import re
+
+# node-name prefixes worth pinning, normalized (Exec suffix dropped by the
+# tokenizer; AQE wrapper and codegen markers are stripped, not counted).
+# Each entry maps a fingerprint key to the exact node-name prefixes that
+# count toward it — prefix match so parameterized forms group together.
+_NODE_KEYS: dict[str, tuple[str, ...]] = {
+    "exchange_hash": ("Exchange hashpartitioning",),
+    "exchange_range": ("Exchange rangepartitioning",),
+    "exchange_single": ("Exchange SinglePartition",),
+    "broadcast_exchange": ("BroadcastExchange",),
+    "broadcast_hash_join": ("BroadcastHashJoin",),
+    "sort_merge_join": ("SortMergeJoin",),
+    "shuffled_hash_join": ("ShuffledHashJoin",),
+    "broadcast_nl_join": ("BroadcastNestedLoopJoin",),
+    "cartesian": ("CartesianProduct",),
+    "window": ("Window ", "Window["),
+    "window_group_limit": ("WindowGroupLimit",),
+    "hash_aggregate": ("HashAggregate",),
+    "object_hash_aggregate": ("ObjectHashAggregate",),
+    "sort_aggregate": ("SortAggregate",),
+    "take_ordered": ("TakeOrderedAndProject",),
+    "scan_parquet": ("Scan parquet", "FileScan parquet"),
+    "scan_memory": ("InMemoryTableScan",),
+    "python_arrow_eval": ("ArrowEvalPython",),
+    "python_row_eval": ("BatchEvalPython",),
+    "pandas_group_map": ("FlatMapGroupsInPandas",),
+    "pandas_map": ("MapInPandas", "PythonMapInArrow", "MapInArrow"),
+    "generate": ("Generate ",),
+    "expand": ("Expand",),
+}
+
+# strips tree-drawing prefixes and the whole-stage-codegen "*(3) " marker
+_LINE_PREFIX = re.compile(r"^[\s:+\-]*(\*\(\d+\)\s*)?")
+
+
+def fingerprint(executed_plan: str) -> dict[str, int]:
+    """Count scale-relevant physical nodes in a plan's ``toString()``.
+
+    Only non-zero counts are returned, so fingerprints diff cleanly and
+    the checked-in JSON stays readable."""
+    counts: dict[str, int] = {}
+    for raw in executed_plan.splitlines():
+        line = _LINE_PREFIX.sub("", raw)
+        for key, prefixes in _NODE_KEYS.items():
+            if line.startswith(prefixes):
+                counts[key] = counts.get(key, 0) + 1
+                break
+    return counts

@@ -1210,3 +1210,143 @@ def stream_join_state_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matched.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n_matched")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_chained_stateful — dedup THEN windowed aggregate in ONE query.
+# ---------------------------------------------------------------------------
+
+_CHAIN_BATCHES = 6
+_CHAIN_DELAY_DAYS = 3
+
+
+def _chained_stateful_sql(d: str) -> str:
+    """Closed form of the CHAINED stateful pipeline
+    ``dropDuplicatesWithinWatermark -> tumbling-window count/sum`` over the
+    deterministic 6-batch redelivery replay — the composition the r6
+    trilogy pinned only operator-by-operator (VERDICT r7 #4; reference
+    shape: E2 dedup feeding A1 metric windows). Spark 4.x runs multiple
+    stateful operators in one query by late-filtering EVERY operator with
+    the PREVIOUS microbatch's watermark (one batch behind eviction) so a
+    downstream operator never sees a row its upstream already aged out:
+
+    - dedup stage (``_dedup_ttl_sql`` semantics): survivors = first
+      occurrences whose ts clears the lagged filter
+      wm_f(b) = max(event time over batches <= b-2) - delay; a survivor
+      passes downstream IN its arrival batch b (dedup emits immediately);
+    - aggregate stage (``_late_drop_sql`` semantics): window W emits (and
+      evicts) at the end of the first batch e(W) whose in-effect
+      wm(b) = max(event time over batches < b) - delay is >= W.end,
+      counting survivors with arrival batch <= e(W); survivors arriving
+      later are dropped; tail windows past the final wm never emit.
+      Admission b <= e(W) subsumes the aggregate's own lagged filter:
+      wm_f(b) <= wm(b) < W.end for every batch b < e(W), and at b = e(W)
+      the lagged filter trails the emitting watermark by one batch.
+
+    The watermark schedule is driven by SOURCE event times (withWatermark
+    sits upstream of dedup), so dedup-dropped rows still advance it —
+    which is why bm scans ev, not the survivor set.
+    """
+    from .dialect import dec_sum
+
+    day_fmt = (
+        "date_format(e.wstart, 'yyyy-MM-dd')"
+        if d == "spark"
+        else "strftime(e.wstart, '%Y-%m-%d')"
+    )
+    spine = ", ".join(f"({b})" for b in range(_CHAIN_BATCHES + 2))
+    return f"""
+WITH ev AS (
+  SELECT event_id, event_type, value, ts,
+         event_id % {_CHAIN_BATCHES} AS b,
+         date_trunc('day', ts) AS wstart,
+         date_trunc('day', ts) + INTERVAL 1 DAY AS wend
+  FROM {tbl('events', d)}
+),
+bm AS (SELECT b, MAX(ts) AS mx FROM ev GROUP BY b),
+wmf AS (
+  -- dedup late-input filter: watermark lagging one batch behind eviction
+  SELECT bb.b, MAX(bm.mx) - INTERVAL {_CHAIN_DELAY_DAYS} DAY AS wm
+  FROM ({inline_values(spine, 'bb', 'b', d)}) bb
+  LEFT JOIN bm ON bm.b <= bb.b - 2
+  GROUP BY bb.b
+),
+wmd AS (
+  -- in-effect wm during batch b, for window emission/eviction
+  SELECT bb.b, MAX(bm.mx) - INTERVAL {_CHAIN_DELAY_DAYS} DAY AS wm
+  FROM ({inline_values(spine, 'bb', 'b', d)}) bb
+  LEFT JOIN bm ON bm.b < bb.b
+  GROUP BY bb.b
+),
+ded AS (
+  -- dedup survivors at their arrival batch (originals always precede
+  -- redeliveries here, and a redelivered copy can never re-emit: see
+  -- _dedup_ttl_sql's boundary proof)
+  SELECT e.* FROM ev e JOIN wmf ON wmf.b = e.b
+  WHERE wmf.wm IS NULL OR e.ts >= wmf.wm
+),
+ew AS (
+  SELECT w.wend, MIN(wmd.b) AS eb
+  FROM (SELECT DISTINCT wend FROM ded) w
+  JOIN wmd ON wmd.wm >= w.wend
+  GROUP BY w.wend
+)
+SELECT {day_fmt} AS day, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {dec_sum('e.value')} AS sum_value
+FROM ded e JOIN ew ON ew.wend = e.wend AND e.b <= ew.eb
+GROUP BY {day_fmt}, e.event_type
+ORDER BY day, event_type
+"""
+
+
+@query(
+    "stream_chained_stateful",
+    oracle=_chained_stateful_sql("duck"),
+    tags=("streaming", "dedup", "watermark", "agg"),
+)
+def stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real pipeline shape: exactly-once dedup and windowed metrics in
+    ONE streaming query — two stateful operators sharing one watermark,
+    Spark 4.x multi-stateful support (the r6 trilogy pinned each
+    operator's boundary semantics separately; this pins the COMPOSITION,
+    closed form in :func:`_chained_stateful_sql`). Over the staged
+    6-batch redelivery replay: ``dropDuplicatesWithinWatermark`` removes
+    the late redelivered copies with TTL-bounded state, the surviving
+    first-occurrences flow straight into a 1-day tumbling count/sum in
+    append mode, and the emitted windows must equal the composed oracle.
+    Both operators' per-batch state curves land in
+    ``streaming/statelog.py`` (pinned in tests/test_state_metrics.py).
+    At 100 TB this is the E2->A1 production topology: one checkpoint, one
+    shuffle per stateful boundary, state bounded by delay x arrival rate
+    (dedup) plus delay x window-rate (agg)."""
+    from ..session import apply_runtime_confs
+    from ..streaming.source import staged_redelivery_batches
+
+    apply_runtime_confs(spark)
+    stage = staged_redelivery_batches(sf_dir, _CHAIN_BATCHES)
+    schema = spark.read.parquet(f"{stage}/b0.parquet").schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    chained = (
+        ev.withWatermark("ts", f"{_CHAIN_DELAY_DAYS} days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _to_memory(chained, "append")

@@ -223,10 +223,26 @@ def main() -> None:
     # steal-window decorrelation it was meant to buy, and broke
     # comparability with rounds 1-4. Consecutive min-of-N is the
     # round-over-round comparable stat.
+    # Mid-run probes close the bracket gate's blind spot: a window can
+    # degrade BETWEEN quiet open/close probes (observed r8: both brackets
+    # quiet, 14 phantom ~1.3x regressions mid-run). One single-trial jvm
+    # probe every ~15 queries; a probe > 0.30 s (quiet singles run
+    # 0.17-0.22) marks the run degraded even if the brackets were clean.
+    calib_probes: list[float] = []
+
+    def _mid_probe() -> None:
+        t0 = time.perf_counter()
+        spark.range(100_000_000).selectExpr(
+            "sum(pmod(id * 2654435761, 1048576))"
+        ).collect()
+        calib_probes.append(round(time.perf_counter() - t0, 3))
+
     n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "4"))
     times: dict[str, float] = {}
     noise: list[float] = []
     for name in HEADLINE:
+        if len(times) % 15 == 14:
+            _mid_probe()
         trials: list[float] = []
         for _ in range(n_trials):
             t0 = time.perf_counter()
@@ -368,6 +384,8 @@ def main() -> None:
     n_ext_trials = min(n_trials, int(os.environ.get("SPARK_GRAFT_BENCH_EXT_TRIALS", "3")))
     ext_times: dict[str, float] = {}
     for name in ext_names:
+        if len(ext_times) % 15 == 14:
+            _mid_probe()
         trials = []
         for _ in range(n_ext_trials):
             t0 = time.perf_counter()
@@ -409,9 +427,12 @@ def main() -> None:
     # calib_ok asserts the whole measurement sat inside a quiet window
     calib_end = _calibrate()
     detail["calib_end"] = calib_end
+    detail["calib_mid_probes"] = calib_probes
     detail["calib_retries"] = retries_used
     detail["calib_ok"] = (
-        calib["jvm_sec"] <= calib_max and calib_end["jvm_sec"] <= calib_max
+        calib["jvm_sec"] <= calib_max
+        and calib_end["jvm_sec"] <= calib_max
+        and all(p <= 0.30 for p in calib_probes)
     )
     regressions: list[str] = []
     if prev_bench:
@@ -439,7 +460,7 @@ def main() -> None:
             "metric", "value", "unit", "queries", "value_ext", "sf",
             "trials_per_query", "trials_per_ext_query", "stat",
             "noise_med_over_min", "excluded", "calib",
-            "calib_end", "calib_retries", "calib_ok",
+            "calib_end", "calib_mid_probes", "calib_retries", "calib_ok",
         )
     }
     report["n_ext"] = len(ext_times)

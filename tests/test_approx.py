@@ -1,20 +1,23 @@
-"""Accuracy bounds for sketch-based (non-oracle) operators: approximate
-answers must land within the sketch's published error bound of the exact
-answer — the correctness check the DuckDB hash-compare can't express."""
+"""Accuracy bounds for sketch-based operators. Since round 8 the two
+sketch queries ship as sketch-accuracy AUDITS (exact anchor + deterministic
+``within_bound`` verdict — VERDICT r7 #3) so the DuckDB oracle can
+hash-match them; these tests pin (a) the audit verdicts are TRUE, (b) the
+anchors equal independently-computed exact answers, and (c) the raw sketch
+values (which never leave the query plan) actually sit within the published
+error bound of the exact answer."""
 
 from __future__ import annotations
+
+import math
 
 from .conftest import SF_DIR
 
 
-def test_approx_distinct_within_bound(spark):
+def test_approx_distinct_audit_and_raw_sketch_bound(spark):
     from aws_localstack_stream_processing_spark.plans import all_queries
 
     qd = all_queries()["sql_approx_distinct"]
-    approx = {
-        r.event_type: (r.approx_users, r.approx_events)
-        for r in qd.fn(spark, SF_DIR).collect()
-    }
+    rows = {r.event_type: r for r in qd.fn(spark, SF_DIR).collect()}
     exact = {
         r.event_type: (r.nu, r.ne)
         for r in spark.sql(
@@ -25,24 +28,38 @@ def test_approx_distinct_within_bound(spark):
             """
         ).collect()
     }
-    assert set(approx) == set(exact)
-    for et, (au, ae) in approx.items():
+    approx = {
+        r.event_type: (r.au, r.ae)
+        for r in spark.sql(
+            """
+            SELECT event_type, approx_count_distinct(user_id) AS au,
+                   approx_count_distinct(event_id) AS ae
+            FROM slsp_events GROUP BY event_type
+            """
+        ).collect()
+    }
+    assert set(rows) == set(exact)
+    for et, r in rows.items():
         eu, ee = exact[et]
+        assert (r.exact_users, r.exact_events) == (eu, ee)
+        assert r.users_within_bound and r.events_within_bound, et
+        au, ae = approx[et]
         # HLL++ default rsd is 5%; allow 3 sigma
         assert abs(au - eu) <= max(3, 0.15 * eu), (et, au, eu)
         assert abs(ae - ee) <= max(3, 0.15 * ee), (et, ae, ee)
 
 
-def test_approx_percentile_rank_error_bound(spark):
+def test_approx_percentile_audit_and_raw_rank_error(spark):
     """approx_percentile(accuracy=10000) guarantees rank error <= n/10000;
-    verify the returned value's true rank is within that bound of the
-    target rank for every group and quantile."""
+    the audit query's anchors must equal the value at rank ceil(p*n), its
+    verdicts must be TRUE, and the raw sketch value's true rank must be
+    within the bound of the target rank for every group and quantile."""
     from aws_localstack_stream_processing_spark.plans import all_queries
 
     qd = all_queries()["sql_approx_percentile"]
     rows = qd.fn(spark, SF_DIR).collect()
     exact = {
-        r.o_orderpriority: r
+        r.o_orderpriority: r.vals
         for r in spark.sql(
             """
             SELECT o_orderpriority,
@@ -51,12 +68,29 @@ def test_approx_percentile_rank_error_bound(spark):
             """
         ).collect()
     }
+    sk = {
+        r.o_orderpriority: (r.a50, r.a90, r.a99)
+        for r in spark.sql(
+            """
+            SELECT o_orderpriority,
+                   approx_percentile(o_totalprice, 0.5, 10000) AS a50,
+                   approx_percentile(o_totalprice, 0.9, 10000) AS a90,
+                   approx_percentile(o_totalprice, 0.99, 10000) AS a99
+            FROM slsp_orders GROUP BY o_orderpriority
+            """
+        ).collect()
+    }
+    assert {r.o_orderpriority for r in rows} == set(exact)
     for r in rows:
-        vals = exact[r.o_orderpriority].vals
+        vals = exact[r.o_orderpriority]
         n = len(vals)
+        assert r.n == n
+        # anchors = exact disc percentile at 1-indexed rank ceil(p*n)
+        for p, anchor in ((50, r.p50_exact), (90, r.p90_exact), (99, r.p99_exact)):
+            assert anchor == vals[math.ceil(n * p / 100) - 1], (p, n)
+        assert r.p50_within_bound and r.p90_within_bound and r.p99_within_bound
         tol = max(1.0, n / 10000)
-        for q, v in ((0.5, r.p50), (0.9, r.p90), (0.99, r.p99)):
-            # rank of the returned value in the exact sorted list
+        for q, v in zip((0.5, 0.9, 0.99), sk[r.o_orderpriority]):
             lo = sum(1 for x in vals if x < v)
             hi = sum(1 for x in vals if x <= v)
             target = q * (n - 1)

@@ -1,0 +1,72 @@
+"""Plan-shape regression gate (VERDICT r7 #5): every registered batch
+query's executed-plan fingerprint (counts of exchanges, join strategies,
+windows, aggregates, Python nodes, scans) must equal the checked-in
+``PLANFP.json``. Wall-clock on this host lies in noisy windows; node
+counts never do — a new exchange or a broadcast→sort-merge downgrade
+fails here deterministically.
+
+Intentional plan changes: regenerate in the SAME commit with
+
+    SPARK_GRAFT_REGEN_PLANFP=1 python -m pytest tests/test_plan_fingerprints.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from .conftest import SF_DIR
+
+_PLANFP_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANFP.json"
+)
+
+# queries whose plan construction is itself expensive (driver-side rounds
+# with per-round execution) — fingerprinted like the rest, listed here only
+# as documentation of why this test is not instant
+_SLOW_BUILD = {"text_bpe_train_k"}
+
+
+def _live_fingerprints(spark) -> dict[str, dict[str, int]]:
+    from aws_localstack_stream_processing_spark.plans import all_queries
+    from aws_localstack_stream_processing_spark.plans.planfp import fingerprint
+
+    fps: dict[str, dict[str, int]] = {}
+    for name, qd in sorted(all_queries().items()):
+        if name.startswith("stream_"):
+            continue  # streaming plans: pinned in test_streaming/statelog
+        executed = (
+            qd.fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        )
+        fps[name] = fingerprint(executed)
+    return fps
+
+
+def test_plan_fingerprints_match_pinned(spark):
+    live = _live_fingerprints(spark)
+    if os.environ.get("SPARK_GRAFT_REGEN_PLANFP") == "1":
+        with open(_PLANFP_PATH, "w") as f:
+            json.dump(live, f, indent=1, sort_keys=True)
+        return
+    assert os.path.exists(_PLANFP_PATH), (
+        "PLANFP.json missing — generate with SPARK_GRAFT_REGEN_PLANFP=1"
+    )
+    with open(_PLANFP_PATH) as f:
+        pinned = json.load(f)
+    drift: list[str] = []
+    for name in sorted(set(pinned) | set(live)):
+        if name not in pinned:
+            drift.append(f"{name}: NEW query — regenerate PLANFP.json")
+        elif name not in live:
+            drift.append(f"{name}: pinned but no longer registered")
+        elif pinned[name] != live[name]:
+            delta = {
+                k: (pinned[name].get(k, 0), live[name].get(k, 0))
+                for k in set(pinned[name]) | set(live[name])
+                if pinned[name].get(k, 0) != live[name].get(k, 0)
+            }
+            drift.append(f"{name}: {delta} (pinned, live)")
+    assert not drift, (
+        "plan-shape drift vs PLANFP.json — if intentional, regenerate in "
+        "this commit:\n" + "\n".join(drift)
+    )

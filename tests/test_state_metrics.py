@@ -99,3 +99,28 @@ def test_state_curve_deterministic_under_replay(spark):
         for r in _curve(spark, "stream_dedup_ttl_boundary")
     ]
     assert a == b and len(a) == 6
+
+
+def test_chained_stateful_both_operator_curves(spark):
+    """VERDICT r7 #4: the chained dedup->window query runs TWO stateful
+    operators in one streaming query, and the statelog must carry a
+    bounded per-batch curve for EACH (dedup state TTL-evicts; aggregate
+    state holds only un-emitted windows, shrinking as windows close)."""
+    n = _events_count()
+    curve = _curve(spark, "stream_chained_stateful")
+    ops = {r.operator for r in curve}
+    assert "dedupeWithinWatermark" in ops
+    agg_op = next(o for o in ops if o != "dedupeWithinWatermark")
+    dedup = [r for r in curve if r.operator == "dedupeWithinWatermark"]
+    agg = [r for r in curve if r.operator == agg_op]
+    assert len(dedup) >= 6 and len(agg) >= 6  # one row per micro-batch each
+    # dedup state bounded by the delay window, never the whole id set
+    peak_dedup = max(r.state_rows for r in dedup)
+    assert peak_dedup < n // 3, f"dedup state unbounded: {peak_dedup} vs {n}"
+    # aggregate state = open (day, type) windows — far below row count, and
+    # append-mode emission must visibly evict at least once
+    peak_agg = max(r.state_rows for r in agg)
+    assert peak_agg < n // 3, f"agg state unbounded: {peak_agg}"
+    assert any(b.state_rows < a.state_rows for a, b in zip(agg, agg[1:]))
+    # the late redelivery is dropped by SOME stage's watermark filter
+    assert sum(r.rows_dropped_by_watermark for r in curve) > 0
