@@ -49,6 +49,7 @@ from pyspark.sql.datasource import (
 
 _MARKER = "_COMMITTED"
 _TOMBSTONE = "_SUPERSEDED.json"
+_FAILPOINT_BEFORE_MARKER = "_FAILPOINT_CRASH_BEFORE_MARKER"
 
 
 def _read_tombstone(path: str) -> dict | None:
@@ -131,6 +132,16 @@ class _KVWriter(DataSourceArrowWriter):
                 continue
             os.replace(m.path, os.path.join(out, f"part-{i:05d}.parquet"))
             i += 1
+        # fault-injection seam (one-shot, claimed by deletion): a planted
+        # flag file crashes the exact window the commit protocol claims to
+        # survive — files renamed into the batch dir, marker not yet
+        # written. Real streaming commits run in a separate Python worker
+        # where a test monkeypatch can't reach; a filesystem failpoint can.
+        # Used by tests/test_e2e_exactly_once.py.
+        fp = os.path.join(self._path, _FAILPOINT_BEFORE_MARKER)
+        if os.path.exists(fp):
+            os.remove(fp)
+            raise OSError("failpoint: injected crash before marker write")
         with open(os.path.join(out, _MARKER), "w") as f:
             f.write(str(i))  # marker LAST: readers never see partial batches
 
