@@ -237,22 +237,53 @@ def main() -> None:
         ).collect()
         calib_probes.append(round(time.perf_counter() - t0, 3))
 
+    # Hypervisor-steal ground truth (/proc/stat field 8): the probes infer
+    # interference from a timing; steal jiffies MEASURE it. A controlled
+    # idle-window experiment (r8) showed probes right after heavy queries
+    # read 0.10-0.20 s, so an elevated probe is real contamination — and
+    # per-trial steal deltas let min-of-N ignore stolen trials outright.
+    def _steal() -> tuple[int, int]:
+        try:
+            vals = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+            return vals[7], sum(vals)
+        except (OSError, ValueError, IndexError):
+            return 0, 0
+
+    run_steal0, run_total0 = _steal()
+
+    def _timed_trials(fn, n: int) -> tuple[list[float], list[int]]:
+        """n trials of fn; returns (seconds, per-trial steal jiffies)."""
+        secs, steals = [], []
+        for _ in range(n):
+            s0, _t = _steal()
+            t0 = time.perf_counter()
+            fn()
+            secs.append(time.perf_counter() - t0)
+            s1, _t = _steal()
+            steals.append(s1 - s0)
+            spark.catalog.clearCache()
+        return secs, steals
+
+    def _clean_min(secs: list[float], steals: list[int]) -> float:
+        """Min over trials with <100 steal jiffies (~1 stolen cpu-second);
+        if every trial was stolen, fall back to the plain min."""
+        clean = [s for s, j in zip(secs, steals) if j < 100]
+        return min(clean) if clean else min(secs)
+
     n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "4"))
     times: dict[str, float] = {}
     noise: list[float] = []
     for name in HEADLINE:
         if len(times) % 15 == 14:
             _mid_probe()
-        trials: list[float] = []
-        for _ in range(n_trials):
-            t0 = time.perf_counter()
-            df = qs[name].fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            trials.append(time.perf_counter() - t0)
-            # queries that materialize intermediates (persist) pay for them
-            # inside their own timing; drop the cache so trials stay isolated
-            spark.catalog.clearCache()
-        times[name] = round(min(trials), 3)
+        # queries that materialize intermediates (persist) pay for them
+        # inside their own timing; _timed_trials drops the cache per trial
+        trials, trial_steals = _timed_trials(
+            lambda: qs[name].fn(spark, SF_DIR)
+            .write.format("noop").mode("overwrite").save(),
+            n_trials,
+        )
+        times[name] = round(_clean_min(trials, trial_steals), 3)
         med = sorted(trials)[len(trials) // 2]
         noise.append(med / max(min(trials), 1e-9))
 
@@ -386,13 +417,12 @@ def main() -> None:
     for name in ext_names:
         if len(ext_times) % 15 == 14:
             _mid_probe()
-        trials = []
-        for _ in range(n_ext_trials):
-            t0 = time.perf_counter()
-            qs[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            trials.append(time.perf_counter() - t0)
-            spark.catalog.clearCache()
-        ext_times[name] = round(min(trials), 3)
+        trials, trial_steals = _timed_trials(
+            lambda: qs[name].fn(spark, SF_DIR)
+            .write.format("noop").mode("overwrite").save(),
+            n_ext_trials,
+        )
+        ext_times[name] = round(_clean_min(trials, trial_steals), 3)
 
     total = round(sum(times.values()), 3)
     try:
@@ -426,13 +456,22 @@ def main() -> None:
     # closing probe: a window that degraded MID-run fools the opening gate;
     # calib_ok asserts the whole measurement sat inside a quiet window
     calib_end = _calibrate()
+    run_steal1, run_total1 = _steal()
+    steal_pct = (
+        round(100.0 * (run_steal1 - run_steal0)
+              / max(run_total1 - run_total0, 1), 3)
+        if run_total1 > run_total0
+        else 0.0
+    )
     detail["calib_end"] = calib_end
     detail["calib_mid_probes"] = calib_probes
     detail["calib_retries"] = retries_used
+    detail["steal_pct"] = steal_pct
     detail["calib_ok"] = (
         calib["jvm_sec"] <= calib_max
         and calib_end["jvm_sec"] <= calib_max
         and all(p <= 0.30 for p in calib_probes)
+        and steal_pct <= 0.5
     )
     regressions: list[str] = []
     if prev_bench:
@@ -461,6 +500,7 @@ def main() -> None:
             "trials_per_query", "trials_per_ext_query", "stat",
             "noise_med_over_min", "excluded", "calib",
             "calib_end", "calib_mid_probes", "calib_retries", "calib_ok",
+            "steal_pct",
         )
     }
     report["n_ext"] = len(ext_times)
