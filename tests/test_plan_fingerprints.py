@@ -35,10 +35,18 @@ def _live_fingerprints(spark) -> dict[str, dict[str, int]]:
     for name, qd in sorted(all_queries().items()):
         if name.startswith("stream_"):
             continue  # streaming plans: pinned in test_streaming/statelog
+        # CacheManager rewrites any subplan previously persisted ANYWHERE
+        # in the session into InMemoryTableScan, so a query's plan shape
+        # depends on session cache history (discovered when the full-suite
+        # run drifted vs the fresh-session pin). Clearing per query makes
+        # the fingerprint a function of the query alone: it sees only its
+        # OWN persists.
+        spark.catalog.clearCache()
         executed = (
             qd.fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         )
         fps[name] = fingerprint(executed)
+    spark.catalog.clearCache()
     return fps
 
 
