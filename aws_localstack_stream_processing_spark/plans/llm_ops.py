@@ -2112,3 +2112,78 @@ FROM (SELECT vec_id, {to_double_arr('embedding', 'spark')} AS emb
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — n-gram overlap against a held-out eval set.
+# ---------------------------------------------------------------------------
+
+_DECON_EVAL_MOD = 37  # deterministic eval split: doc_id % 37 = 0
+_DECON_K = 5  # word n-gram size (the Brown et al. 13-gram idea at corpus scale)
+
+
+def _decontaminate_sql(d: str) -> str:
+    """GPT-3-style training-set decontamination (Brown et al. 2020 App. C,
+    public): a training document is CONTAMINATED if it shares any word
+    n-gram with a held-out evaluation set. Eval = the deterministic
+    ``doc_id % 37`` slice of the dup-injected corpus; train = the rest.
+    The provenance breakdown proves the mechanism: planted exact copies
+    (+2M ids) and prefix-marked near-dups (+1M ids) of eval-slice
+    originals MUST flag, organic overlap is the base rate. Postings are
+    60-bit shingle hashes (8-byte join keys); the eval shingle set is
+    DISTINCT and ~1/37th of the corpus, so the probe is one
+    broadcast-sized semi-join — at 100 TB the eval set (benchmarks are
+    MBs, corpora are TBs) broadcasts and the corpus never shuffles."""
+    from .dialect import hash64
+
+    return f"""
+WITH corpus AS ({_doc_corpus(d)}),
+toks AS (SELECT doc_id, {text.words('text', d)} AS w FROM corpus),
+shing AS (
+  SELECT doc_id, {arr_distinct(text.shingles('w', _DECON_K, d), d)} AS sh
+  FROM toks WHERE {arr_len('w', d)} >= {_DECON_K}
+),
+exploded AS (
+  SELECT doc_id, {hash64('s_raw', d)} AS s FROM (
+    SELECT doc_id, {unnest_fn(d)}(sh) AS s_raw FROM shing
+  ) x
+),
+eval_sh AS (
+  SELECT DISTINCT s FROM exploded WHERE doc_id % {_DECON_EVAL_MOD} = 0
+),
+flagged AS (
+  SELECT DISTINCT p.doc_id
+  FROM exploded p JOIN eval_sh e ON p.s = e.s
+  WHERE p.doc_id % {_DECON_EVAL_MOD} <> 0
+),
+train AS (
+  SELECT doc_id,
+         CASE WHEN doc_id >= 2000000 THEN 'exact_copy'
+              WHEN doc_id >= 1000000 THEN 'near_dup'
+              ELSE 'organic' END AS provenance
+  FROM corpus WHERE doc_id % {_DECON_EVAL_MOD} <> 0
+)
+SELECT t.provenance,
+       CAST(COUNT(*) AS BIGINT) AS n_train,
+       CAST(COUNT(f.doc_id) AS BIGINT) AS n_flagged
+FROM train t LEFT JOIN flagged f ON f.doc_id = t.doc_id
+GROUP BY t.provenance
+ORDER BY t.provenance
+"""
+
+
+@query(
+    "llm_decontaminate_eval",
+    oracle=_decontaminate_sql("duck"),
+    tags=("llm", "dedup", "governance"),
+)
+def llm_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination by shared word-5-grams — the standard
+    pre-training hygiene step the dedup family was missing: near-dup
+    dedup removes train-train redundancy, `data_split_leakage` catches
+    same-content split straddles, and THIS flags training documents that
+    would leak evaluation data into the training mix (Brown et al. 2020's
+    n-gram decontamination, run relationally). See
+    :func:`_decontaminate_sql` for the scale shape."""
+    views(spark, sf_dir, "documents")
+    return spark.sql(_decontaminate_sql("spark"))
