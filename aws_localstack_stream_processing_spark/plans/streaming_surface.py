@@ -1380,3 +1380,145 @@ def stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _to_memory(chained, "append")
+
+
+# ---------------------------------------------------------------------------
+# stream_chained_join_agg — interval join THEN windowed aggregate, ONE query.
+# ---------------------------------------------------------------------------
+
+
+def _chained_join_agg_sql(d: str) -> str:
+    """Closed form of the chained ``interval join -> tumbling count``
+    (the second multi-stateful composition; the first, dedup->agg, is
+    ``_chained_stateful_sql``). Matched pairs follow
+    :func:`_join_boundary_sql` exactly — a pair emits from the join at
+    batch max(bl, br) — and the downstream 1-day window W emits at the
+    first batch whose PROPAGATED ts-watermark reaches W.end, counting
+    matches with arrival batch <= e(W).
+
+    The propagated post-join watermark was pinned by a discriminating
+    micro-case sweep (r8, /tmp-staged synthetic days; three candidates):
+    wm_out(b) = combined wm (min of sides, lagged one batch) MINUS the
+    join's 2-hour upper range bound — NOT the raw combined wm (falsified
+    at offset 2.0h) and NOT min(lwm, rwm − 2h) per-side (falsified at
+    offset 2.75h); positively confirmed at offsets 3.1h/3.5h. Spark must
+    hold the aggregate's windows open 2 extra hours because a future
+    right-side row can still join a left row up to 2 h older than the
+    right watermark — the range bound rides the watermark, exactly as
+    SPARK-42376's simulation computes."""
+    spine8 = ", ".join(f"({b})" for b in range(8))
+    guard = (
+        "CASE WHEN MAX(lm.mx) IS NULL OR MAX(rm.mx) IS NULL THEN NULL "
+        "ELSE least(MAX(lm.mx), MAX(rm.mx)) END"
+    )
+    day_fmt = (
+        "date_format(m.wstart, 'yyyy-MM-dd')"
+        if d == "spark"
+        else "strftime(m.wstart, '%Y-%m-%d')"
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_id AS id, event_type, ts, ts + INTERVAL 30 MINUTE AS rts,
+         event_id % 3 AS bl,
+         CASE WHEN event_id % 5 = 0 THEN event_id % 3 + 3
+              ELSE event_id % 3 END AS br,
+         date_trunc('day', ts) AS wstart,
+         date_trunc('day', ts) + INTERVAL 1 DAY AS wend
+  FROM {tbl('events', d)}
+),
+lmax AS (SELECT bl AS b, MAX(ts) AS mx FROM ev GROUP BY bl),
+rmax AS (SELECT br AS b, MAX(rts) AS mx FROM ev GROUP BY br),
+spine AS ({inline_values(spine8, 's', 'b', d)}),
+wmf AS (
+  SELECT s.b, {guard} - INTERVAL 1 HOUR AS wm
+  FROM spine s
+  LEFT JOIN lmax lm ON lm.b <= s.b - 2
+  LEFT JOIN rmax rm ON rm.b <= s.b - 2
+  GROUP BY s.b
+),
+wmd AS (
+  SELECT s.b, {guard} - INTERVAL 1 HOUR AS wm
+  FROM spine s
+  LEFT JOIN lmax lm ON lm.b <= s.b - 1
+  LEFT JOIN rmax rm ON rm.b <= s.b - 1
+  GROUP BY s.b
+),
+matched AS (
+  SELECT e.*, greatest(e.bl, e.br) AS bm
+  FROM ev e
+  JOIN wmf fl ON fl.b = e.bl
+  JOIN wmf fr ON fr.b = e.br
+  LEFT JOIN wmd dv ON dv.b = e.br - 1
+  WHERE (fl.wm IS NULL OR e.ts >= fl.wm)
+    AND (fr.wm IS NULL OR e.rts >= fr.wm)
+    AND (e.br <= e.bl OR dv.wm IS NULL OR e.ts + INTERVAL 2 HOUR > dv.wm)
+),
+ew AS (
+  SELECT w.wend, MIN(wmd.b) AS eb
+  FROM (SELECT DISTINCT wend FROM matched) w
+  JOIN wmd ON wmd.wm - INTERVAL 2 HOUR >= w.wend
+  GROUP BY w.wend
+)
+SELECT {day_fmt} AS day, m.event_type, CAST(COUNT(*) AS BIGINT) AS n_matched
+FROM matched m JOIN ew ON ew.wend = m.wend AND m.bm <= ew.eb
+GROUP BY {day_fmt}, m.event_type
+ORDER BY day, event_type
+"""
+
+
+@query(
+    "stream_chained_join_agg",
+    oracle=_chained_join_agg_sql("duck"),
+    tags=("streaming", "join", "watermark", "agg"),
+)
+def stream_chained_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second chained-stateful composition: the trilogy's
+    stream-stream interval join feeding a 1-day tumbling count in ONE
+    streaming query — join buffer eviction, late-input filtering, AND
+    watermark propagation through the join into the aggregate's window
+    eviction, all in a single checkpoint. The composed closed form
+    (:func:`_chained_join_agg_sql`) pins the one semantics invisible to
+    the single-operator trilogy: the aggregate's windows stay open an
+    extra 2 hours (the join's upper range bound rides the propagated
+    watermark). At 100 TB: two stateful boundaries, each state bounded —
+    join buffer by delay + range width, agg state by (delay + range
+    width) x window rate."""
+    from ..session import apply_runtime_confs
+    from ..streaming.source import staged_join_sides
+
+    apply_runtime_confs(spark)
+    left_dir, right_dir = staged_join_sides(sf_dir)
+    ls = spark.read.parquet(f"{left_dir}/f0.parquet").schema
+    rs = spark.read.parquet(f"{right_dir}/f0.parquet").schema
+    lev = (
+        spark.readStream.schema(ls)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(left_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+    )
+    rev = (
+        spark.readStream.schema(rs)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(right_dir)
+        .withColumn("rts", F.col("rts").cast("timestamp"))
+        .withColumnRenamed("event_id", "rid")
+        .withWatermark("rts", "1 hour")
+    )
+    joined = lev.join(
+        rev,
+        (F.col("event_id") == F.col("rid"))
+        & (F.col("rts") >= F.col("ts"))
+        & (F.col("rts") <= F.col("ts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    )
+    agg = (
+        joined.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("n_matched"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_matched",
+        )
+    )
+    return _to_memory(agg, "append")
