@@ -45,20 +45,26 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
-def _correctness_counts() -> dict[str, int]:
-    """How many driver CORRECTNESS_r*.json rounds have already checked each
-    query. The verification driver sweeps ``all_queries()`` in order with a
-    bounded budget, so queries it has never reached must sort first — this
-    makes the sweep self-balancing across rounds with no hand-kept list."""
+def _correctness_history() -> tuple[dict[str, int], dict[str, int]]:
+    """Per-query driver-verification history from CORRECTNESS_r*.json:
+    ``(counts, last_green_round)``. The verification driver sweeps
+    ``all_queries()`` in order with a bounded budget, so the ordering key
+    decides which slice of the registry gets re-certified each round —
+    this makes the sweep self-balancing across rounds with no hand-kept
+    list."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     counts: dict[str, int] = {}
+    last_green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -80,7 +86,8 @@ def _correctness_counts() -> dict[str, int]:
                 )
                 if ok:
                     counts[name] = counts.get(name, 0) + 1
-    return counts
+                    last_green[name] = max(last_green.get(name, 0), rnd)
+    return counts, last_green
 
 
 def all_queries() -> dict[str, QueryDef]:
@@ -119,7 +126,17 @@ def all_queries() -> dict[str, QueryDef]:
     from . import audit_ops  # noqa: F401
     from . import mixture_ops  # noqa: F401
 
-    counts = _correctness_counts()
+    counts, last_green = _correctness_history()
     names = list(QUERIES)
-    ordered = sorted(range(len(names)), key=lambda i: (counts.get(names[i], 0), i))
+    # Least-recently-verified first (LRU over driver rounds): a query whose
+    # code state was last certified at round k must re-certify before one
+    # certified at round k+1, regardless of lifetime check counts — the
+    # bounded 50-row budget then provably bounds staleness to
+    # ceil(registry/50) rounds. Never-checked and failed rows have
+    # last_green 0 and still jump the queue; ties fall back to lifetime
+    # count, then registration order.
+    ordered = sorted(
+        range(len(names)),
+        key=lambda i: (last_green.get(names[i], 0), counts.get(names[i], 0), i),
+    )
     return {names[i]: QUERIES[names[i]] for i in ordered}

@@ -754,6 +754,15 @@ def stream_manifest_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake = f"{work}/lake"
     ev = spark.read.parquet(f"{base}/events.parquet")
     if not os.path.exists(f"{work}/_STAGED"):
+        # A previous run that died between the checkpointed ingest and
+        # the _STAGED marker leaves a poisoned cache: its checkpoint
+        # would resume over freshly re-written (differently named) part
+        # files and duplicate lake rows, and the size+mtime cache key
+        # never changes so the corruption is sticky. Absent marker ⇒
+        # rebuild from a clean slate (ADVICE r8).
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
         ev.repartition(4).write.mode("overwrite").parquet(src_dir)
         stream = (
             spark.readStream.schema(ev.schema)

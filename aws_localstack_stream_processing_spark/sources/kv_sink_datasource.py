@@ -138,10 +138,20 @@ class _KVWriter(DataSourceArrowWriter):
         # written. Real streaming commits run in a separate Python worker
         # where a test monkeypatch can't reach; a filesystem failpoint can.
         # Used by tests/test_e2e_exactly_once.py.
-        fp = os.path.join(self._path, _FAILPOINT_BEFORE_MARKER)
-        if os.path.exists(fp):
-            os.remove(fp)
-            raise OSError("failpoint: injected crash before marker write")
+        # Armed only under SPARK_GRAFT_FAILPOINTS=1 (exported by the test
+        # conftest before the JVM launches, so commit-side Python workers
+        # inherit it): a stray flag file in a production store is inert.
+        # The claim is atomic — remove-then-raise, with a concurrent
+        # remover's FileNotFoundError treated as "the other query claimed
+        # it", so exactly one commit crashes per planted file (ADVICE r8).
+        if os.environ.get("SPARK_GRAFT_FAILPOINTS") == "1":
+            fp = os.path.join(self._path, _FAILPOINT_BEFORE_MARKER)
+            try:
+                os.remove(fp)
+            except FileNotFoundError:
+                pass
+            else:
+                raise OSError("failpoint: injected crash before marker write")
         with open(os.path.join(out, _MARKER), "w") as f:
             f.write(str(i))  # marker LAST: readers never see partial batches
 

@@ -112,11 +112,26 @@ def append_manifest(
             except FileExistsError:
                 next_id += 1  # lost the race — claim the following id
                 continue
-            except OSError:
+            except OSError as exc:
                 # filesystem without hard links (network/FAT mounts):
                 # O_EXCL open is the same exclusive-claim primitive,
                 # minus the readers-see-full-payload guarantee hard
                 # links give for free — acceptable on such mounts.
+                # Only the errnos that mean "links unsupported here" may
+                # take this weaker path; any other OSError (ENOSPC, EIO,
+                # …) must surface, not silently downgrade the atomic
+                # readers-never-see-partial-commit guarantee (ADVICE r8).
+                import errno
+
+                _NO_HARDLINK = {
+                    errno.EPERM,
+                    errno.EOPNOTSUPP,
+                    getattr(errno, "ENOTSUP", errno.EOPNOTSUPP),
+                    errno.EXDEV,
+                    errno.EMLINK,
+                }
+                if exc.errno not in _NO_HARDLINK:
+                    raise
                 try:
                     fd = os.open(out, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
                 except FileExistsError:

@@ -226,8 +226,15 @@ def main() -> None:
     # Mid-run probes close the bracket gate's blind spot: a window can
     # degrade BETWEEN quiet open/close probes (observed r8: both brackets
     # quiet, 14 phantom ~1.3x regressions mid-run). One single-trial jvm
-    # probe every ~15 queries; a probe > 0.30 s (quiet singles run
-    # 0.17-0.22) marks the run degraded even if the brackets were clean.
+    # probe every ~15 queries; a probe above the mid threshold (quiet
+    # singles run 0.17-0.22) marks the run degraded even if the brackets
+    # were clean. The mid threshold tracks the bracket gate: single-trial
+    # probes carry more variance than the bracket min-of-3, so it sits at
+    # 1.2× calib_max (overridable via SPARK_GRAFT_CALIB_MID_MAX), keeping
+    # a run tuned to a different calib_max self-consistent (ADVICE r8).
+    calib_mid_max = float(
+        os.environ.get("SPARK_GRAFT_CALIB_MID_MAX", str(round(calib_max * 1.2, 3)))
+    )
     calib_probes: list[float] = []
 
     def _mid_probe() -> None:
@@ -483,7 +490,7 @@ def main() -> None:
     detail["calib_ok"] = (
         calib["jvm_sec"] <= calib_max
         and calib_end["jvm_sec"] <= calib_max
-        and all(p <= 0.30 for p in calib_probes)
+        and all(p <= calib_mid_max for p in calib_probes)
         and steal_pct <= 3.0
     )
     regressions: list[str] = []

@@ -10,6 +10,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# Arm fault-injection failpoints for the whole test process BEFORE any
+# SparkSession (and hence the JVM + its Python commit workers) starts, so
+# the flag propagates into sink-commit processes. Firing still requires a
+# test-planted flag file; production runs never set this env var, so a
+# stray flag file in a real store is inert (ADVICE r8).
+os.environ.setdefault("SPARK_GRAFT_FAILPOINTS", "1")
+
 TABLES = [
     "region",
     "nation",

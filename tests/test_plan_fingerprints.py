@@ -8,6 +8,22 @@ fails here deterministically.
 Intentional plan changes: regenerate in the SAME commit with
 
     SPARK_GRAFT_REGEN_PLANFP=1 python -m pytest tests/test_plan_fingerprints.py
+
+Scope (pinned deliberately, per ADVICE r8): with AQE enabled the
+fingerprint is the *static* physical plan (``isFinalPlan=false``) — the
+deterministic output of Catalyst's strategy choices plus our explicit
+``broadcast()`` hints, before runtime re-optimization. AQE's runtime
+join-strategy flips are intentionally NOT pinned here: at the sf0.001
+test scale AQE's size thresholds would demote nearly every shuffle join
+to broadcast, so a finalized-plan fingerprint would pin tiny-data
+runtime accidents rather than the scale-stable plan intent, and would
+drift with testdata size instead of with code. What this gate therefore
+catches deterministically: new/removed exchanges, strategy changes in
+the declared plan (a lost broadcast hint → SortMergeJoin appears
+statically), window/aggregate/Python-node count changes. What it cannot
+catch: an AQE runtime demotion whose static plan is unchanged — those
+are governed by the explicit broadcast-hint lint in test_plans.py and
+the bench floor, not by this file.
 """
 
 from __future__ import annotations
