@@ -130,6 +130,25 @@ def _load_prev_bench() -> tuple[str, dict[str, float]] | None:
     return (os.path.basename(path), times) if times else None
 
 
+def _load_floor(sf_now: float) -> dict | None:
+    """BENCH_FLOOR.json: per-query minimum steal-clean time across
+    calib-gated runs (r8 lesson: this host has no reliably quiet mode —
+    single-window sidecars encode whatever weather the window carried, so
+    round-over-round ratios flag phantom regressions. A rolling minimum
+    is monotone and weather-free: current > 1.25x floor is only called a
+    regression if the query's plan fingerprint ALSO changed)."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(root, "BENCH_FLOOR.json")
+    try:
+        with open(path) as f:
+            raw = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if raw.get("sf") != sf_now or not isinstance(raw.get("floor"), dict):
+        return None
+    return raw
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -509,6 +528,72 @@ def main() -> None:
             "regressions": regressions,
             "new": sorted(q for q in cur_all if q not in prev_times),
         }
+
+    # -- vs_floor: the adjudication-free regression verdict (round 9) -----
+    # Compare against the rolling per-query minimum over gated history,
+    # not last round's single window. A query over 1.25x its floor is a
+    # REGRESSION only if its pinned plan fingerprint also changed;
+    # plan-identical exceedances are weather by definition (the floor
+    # proves the same plan once ran that fast on this host).
+    floor_doc = _load_floor(sf)
+    floor_regressions: list[str] = []
+    if floor_doc:
+        floor = floor_doc["floor"]
+        cur_all = {**times, **ext_times}
+        fratios = {
+            q: round(t / floor[q], 2) for q, t in cur_all.items() if floor.get(q)
+        }
+        over = sorted(q for q, r in fratios.items() if r > 1.25)
+        weather: list[str] = []
+        unpinned: list[str] = []
+        if over:
+            try:
+                from aws_localstack_stream_processing_spark.plans.planfp import (
+                    fingerprint,
+                )
+
+                with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "PLANFP.json"
+                )) as f:
+                    pinned_fp = json.load(f)
+            except (OSError, ValueError, ImportError):
+                pinned_fp = {}
+            for q in over:
+                if q not in pinned_fp:  # streaming: no batch fingerprint
+                    unpinned.append(q)
+                    continue
+                spark.catalog.clearCache()
+                live = fingerprint(
+                    qs[q].fn(spark, SF_DIR)
+                    ._jdf.queryExecution().executedPlan().toString()
+                )
+                (floor_regressions if live != pinned_fp[q] else weather).append(q)
+            spark.catalog.clearCache()
+        srt = sorted(fratios.values())
+        detail["vs_floor"] = {
+            "ref": "BENCH_FLOOR.json",
+            "ratio": fratios,
+            "median_ratio": srt[len(srt) // 2] if srt else None,
+            "regressions": floor_regressions,
+            "weather_over_floor": weather,
+            "over_floor_unpinned": unpinned,
+        }
+        # Gated runs feed the floor: merge this run's steal-clean minimums
+        # so the anchor monotonically sharpens. Degraded runs (calib_ok
+        # false) are compared against the floor but never lower it.
+        if detail["calib_ok"]:
+            updated = 0
+            for q, t in cur_all.items():
+                if t < floor.get(q, 9e9):
+                    floor[q] = t
+                    updated += 1
+            floor_doc["floor"] = dict(sorted(floor.items()))
+            with open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_FLOOR.json"
+            ), "w") as f:
+                json.dump(floor_doc, f, indent=1, sort_keys=True)
+            detail["vs_floor"]["floor_entries_lowered"] = updated
+
     root = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(root, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -525,6 +610,14 @@ def main() -> None:
     }
     report["n_ext"] = len(ext_times)
     report["detail"] = "BENCH_DETAIL.json"
+    if "vs_floor" in detail:
+        vf = detail["vs_floor"]
+        report["vs_floor"] = {
+            "median_ratio": vf["median_ratio"],
+            "regressions": vf["regressions"][:10],
+            "n_weather_over_floor": len(vf["weather_over_floor"]),
+            "n_unpinned_over_floor": len(vf["over_floor_unpinned"]),
+        }
     if prev_bench:
         report["vs_prev"] = {
             "ref": detail["vs_prev"]["ref"],

@@ -111,3 +111,23 @@ def test_package_zip_content_addressed(tmp_path, monkeypatch):
     finally:
         os.utime(mod, ns=(st.st_atime_ns, st.st_mtime_ns))
     assert S._package_zip() == z1  # restored tree → original archive again
+
+
+def test_bench_floor_covers_headline():
+    """BENCH_FLOOR.json (r9): the rolling per-query minimum anchor must
+    parse, target sf0.1, and cover every headline query so vs_floor can
+    classify each one (new queries enter the floor on their first gated
+    run; headline members must never be floorless)."""
+    import json
+    import os
+
+    import bench
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "BENCH_FLOOR.json")) as f:
+        doc = json.load(f)
+    assert doc["sf"] == 0.1
+    floor = doc["floor"]
+    assert all(isinstance(v, (int, float)) and v > 0 for v in floor.values())
+    missing = [q for q in bench.HEADLINE if q not in floor]
+    assert not missing, f"headline queries without a floor entry: {missing}"
