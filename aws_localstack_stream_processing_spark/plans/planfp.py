@@ -58,9 +58,44 @@ def fingerprint(executed_plan: str) -> dict[str, int]:
     """Count scale-relevant physical nodes in a plan's ``toString()``.
 
     Only non-zero counts are returned, so fingerprints diff cleanly and
-    the checked-in JSON stays readable."""
+    the checked-in JSON stays readable.
+
+    Cached-plan dedupe (r9): ``toString()`` reprints an InMemoryRelation's
+    *definition* subtree under every InMemoryTableScan that references it,
+    so a plan with one persisted projection read 13 times used to count
+    13 parquet scans — physically it scans once (cache materialization)
+    and the other 12 reads are memory hits. The fingerprint now counts
+    each DISTINCT cached subtree once (identity = subtree text with
+    attribute ids stripped) and still counts every InMemoryTableScan, so
+    it reflects execution shape: one materialization plus N cache reads."""
+    lines = executed_plan.splitlines()
+    depth = [re.match(r"^[\s:+\-]*", ln).end() for ln in lines]
+    skip = [False] * len(lines)
+    seen_cached: set[str] = set()
+    for i, raw in enumerate(lines):
+        if skip[i]:
+            continue
+        if _LINE_PREFIX.sub("", raw).startswith("InMemoryRelation"):
+            j = i + 1
+            while j < len(lines) and depth[j] > depth[i]:
+                j += 1
+            # identity must be position-independent: strip attribute ids
+            # AND the tree-drawing prefix (which encodes where in the
+            # outer plan the reference sits), keeping relative depth
+            norm = "\n".join(
+                f"{depth[k] - depth[i]}|"
+                + re.sub(r"#\d+", "#", _LINE_PREFIX.sub("", lines[k]))
+                for k in range(i, j)
+            )
+            if norm in seen_cached:
+                for k in range(i, j):
+                    skip[k] = True
+            else:
+                seen_cached.add(norm)
     counts: dict[str, int] = {}
-    for raw in executed_plan.splitlines():
+    for i, raw in enumerate(lines):
+        if skip[i]:
+            continue
         line = _LINE_PREFIX.sub("", raw)
         for key, prefixes in _NODE_KEYS.items():
             if line.startswith(prefixes):
