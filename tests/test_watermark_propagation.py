@@ -1,20 +1,32 @@
 """Pins the watermark-propagation rule through a stream-stream interval
 join into a downstream windowed aggregate (the semantics
-``stream_chained_join_agg``'s oracle encodes — r8).
+``stream_chained_join_agg``'s oracle encodes — r8), generalized in r9
+from a point observation at upper = 2 h to a parametrized LAW over
+upper ∈ {0, 30 min, 2 h} and both join argument orders.
 
 Discriminating micro-case: day-D matches sit in the join's output; later
 pusher events advance both sides' watermarks by a controlled offset past
-day D's window end. Three candidate emission rules give different
-verdicts by construction:
+day D's window end. With a 1 h watermark delay, a right-side event-time
+lag ``rlag`` (so right wm never binds), and the join's upper range bound
+``U`` (rts ∈ [ts, ts + U]), the candidate emission rules predict
+different offset thresholds:
 
-- raw combined wm (min of sides − delay):        emits when offset ≥ 1 h
-- per-side min(lwm, rwm − 2h):                   emits when offset ≥ 2.5 h
-- combined wm − 2h (the join's upper range bound): emits when offset ≥ 3 h
+- raw combined wm (min of sides − delay):     emits when offset > 1 h
+  (U-independent)
+- per-side min(lwm, rwm − U):                 emits when offset > 1 h +
+  U − rlag
+- combined wm − U (the pinned rule):          emits when offset > 1 h + U
 
-Measured on Spark 4.1.2: offsets 2.0 h and 2.75 h do NOT emit, 3.1 h and
-3.5 h DO — only the third rule survives. The aggregate must hold windows
-open an extra 2 hours because a future right row can still join a left
-row up to 2 h older than the right watermark (SPARK-42376 simulation).
+Measured on Spark 4.1.2 (r8, U = 2 h): offsets 2.0 h and 2.75 h do NOT
+emit, 3.1 h and 3.5 h DO — only the third rule survives: the aggregate
+holds windows open an extra U because a future right row can still join
+a left row up to U older than the right watermark (SPARK-42376
+simulation). The r9 sweep asserts the same `1 h + U` threshold at
+U = 30 min (offset 1.25 h silent — falsifying the U-independent raw
+rule again at a different U — and 2.25 h emitting) and at U = 0 (where
+all rules coincide: the law degrades continuously, no spurious extra
+holding), and that swapping the join's argument order changes nothing —
+the combined watermark is a MIN over sides, so the rule is symmetric.
 """
 
 from __future__ import annotations
@@ -32,7 +44,7 @@ from pyspark.sql import functions as F
 D = datetime(2024, 1, 5)
 
 
-def _build(base: str, push_offset_h: float) -> tuple[str, str]:
+def _build(base: str, push_offset_h: float, rlag_min: int) -> tuple[str, str]:
     shutil.rmtree(base, ignore_errors=True)
     left, right = f"{base}/L", f"{base}/R"
     os.makedirs(left)
@@ -65,7 +77,7 @@ def _build(base: str, push_offset_h: float) -> tuple[str, str]:
                 {
                     "event_id": pa.array([r[0] for r in rows], pa.int64()),
                     "rts": pa.array(
-                        [r[1] + timedelta(minutes=30) for r in rows],
+                        [r[1] + timedelta(minutes=rlag_min) for r in rows],
                         pa.timestamp("us"),
                     ),
                 }
@@ -77,7 +89,9 @@ def _build(base: str, push_offset_h: float) -> tuple[str, str]:
     return left, right
 
 
-def _run(spark, left_dir: str, right_dir: str) -> list:
+def _run(
+    spark, left_dir: str, right_dir: str, upper_min: int, order: str
+) -> list:
     from aws_localstack_stream_processing_spark.plans.streaming_surface import (
         _to_memory,
     )
@@ -103,12 +117,13 @@ def _run(spark, left_dir: str, right_dir: str) -> list:
         .withColumnRenamed("event_id", "rid")
         .withWatermark("rts", "1 hour")
     )
-    joined = lev.join(
-        rev,
+    cond = (
         (F.col("event_id") == F.col("rid"))
         & (F.col("rts") >= F.col("ts"))
-        & (F.col("rts") <= F.col("ts") + F.expr("INTERVAL 2 HOURS")),
-        "inner",
+        & (F.col("rts") <= F.col("ts") + F.expr(f"INTERVAL {upper_min} MINUTES"))
+    )
+    joined = lev.join(rev, cond, "inner") if order == "lr" else rev.join(
+        lev, cond, "inner"
     )
     agg = (
         joined.groupBy(F.window("ts", "1 day").alias("w"))
@@ -120,17 +135,41 @@ def _run(spark, left_dir: str, right_dir: str) -> list:
     return sorted((r.day, r.n) for r in _to_memory(agg, "append").collect())
 
 
-@pytest.mark.parametrize(
-    "offset_h,expect_emitted",
-    [
-        (2.0, False),  # falsifies the raw-combined-wm rule (would emit ≥1h)
-        (2.75, False),  # falsifies per-side min(lwm, rwm−2h) (would emit ≥2.5h)
-        (3.5, True),  # combined wm − 2h: emits at ≥3h — the pinned rule
-    ],
-)
+# threshold per the pinned rule: offset > 1 h (delay) + U. Each U keeps a
+# no-emit point 15 min under its threshold and an emit point ≥ 30 min
+# over (the r8 measurement showed a 6 min emit margin suffices, so these
+# margins are conservative). rlag = right event-time lag; must be ≤ U for
+# the rows to match at all, and rlag < U + 1 h keeps the LEFT wm binding.
+_CASES = [
+    # U=2h, rlag=30min (the r8 trilogy, now one instance of the law)
+    (120, 30, 2.0, False, "lr"),  # falsifies raw combined wm (emits >1h)
+    (120, 30, 2.75, False, "lr"),  # falsifies per-side min(lwm, rwm−U)
+    (120, 30, 3.5, True, "lr"),
+    # U=30min: raw rule again predicts >1h — 1.25h silent falsifies it at
+    # a second U; threshold moves to 1.5h exactly as combined−U predicts
+    (30, 30, 1.25, False, "lr"),
+    (30, 30, 2.25, True, "lr"),
+    # U=0 (equality join on time): all candidate rules coincide at 1h —
+    # the law's boundary case, no spurious extra holding
+    (0, 0, 0.75, False, "lr"),
+    (0, 0, 1.75, True, "lr"),
+    # join argument order must not matter (combined wm is a MIN over
+    # sides): repeat the sharpest falsifier and an emit point reversed
+    (120, 30, 2.75, False, "rl"),
+    (120, 30, 3.5, True, "rl"),
+    (30, 30, 1.25, False, "rl"),
+    (30, 30, 2.25, True, "rl"),
+]
+
+
+@pytest.mark.parametrize("upper_min,rlag_min,offset_h,expect_emitted,order", _CASES)
 def test_join_agg_window_emission_threshold(
-    spark, tmp_path, offset_h, expect_emitted
+    spark, tmp_path, upper_min, rlag_min, offset_h, expect_emitted, order
 ):
-    left, right = _build(str(tmp_path / f"cj_{offset_h}"), offset_h)
-    rows = _run(spark, left, right)
-    assert (("2024-01-05", 3) in rows) == expect_emitted, (offset_h, rows)
+    left, right = _build(
+        str(tmp_path / f"cj_{upper_min}_{offset_h}_{order}"), offset_h, rlag_min
+    )
+    rows = _run(spark, left, right, upper_min, order)
+    assert (("2024-01-05", 3) in rows) == expect_emitted, (
+        upper_min, offset_h, order, rows,
+    )
