@@ -1531,3 +1531,188 @@ def stream_chained_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _to_memory(agg, "append")
+
+
+# ---------------------------------------------------------------------------
+# stream_triple_stateful_chain — dedup → interval join → window agg, ONE query.
+# ---------------------------------------------------------------------------
+
+
+def _triple_chain_sql(d: str) -> str:
+    """Closed form of the TRIPLE stateful chain
+    ``dropDuplicatesWithinWatermark → stream-stream interval join →
+    tumbling-window aggregate`` in one streaming query (VERDICT r8 #5) —
+    the composition of all three pinned operators, over the TIME-SLICED
+    lockstep replay of :func:`staged_triple_sides` (batch k = the k-th
+    5-day slice, so the watermark advances progressively and a surviving
+    duplicate would corrupt a still-open window).
+
+    The model composes the three pinned closed forms verbatim:
+
+    - dedup stage (``_dedup_ttl_sql``): the redelivered copies (previous
+      slice's ``id % 5 = 0`` rows, one batch late) all pass the lagged
+      late filter — their ts exceeds wm_f(b) = combined max over batches
+      ≤ b−2, minus delay, by construction — and are dropped by STATE:
+      each original (ts ≥ slice start > eviction wm at the copy's batch)
+      is provably still resident. Survivors = the originals, emitted in
+      their arrival slice. Falsified empirically: removing the dedup
+      stage mismatches (the copies re-join still-buffered acks and
+      inflate open windows at all three SFs).
+    - join stage (``_join_boundary_sql``): survivors ⋈ acks at ts+30min
+      within [ts, ts+2h]; the combined watermark is the NULL-guarded MIN
+      over sides, acks late-filter against wm_f(br), and the left buffer
+      evicts past ts+2h (the eviction clause is kept for fidelity but is
+      structurally subsumed here: rts−ts = 30min < 2h makes the ack
+      filter strictly stricter — the eviction branch is pinned
+      standalone by ``stream_join_state_boundary`` and the parametrized
+      law in tests/test_watermark_propagation.py). The delayed ``id % 7``
+      ack slice (two batches late) IS filter-decided: 757 acks dropped
+      at sf0.01.
+    - aggregate stage (``_chained_join_agg_sql``): window W emits at the
+      first batch whose PROPAGATED watermark — combined wm MINUS the
+      join's 2-hour upper range bound — reaches W.end. The 1-day windows
+      are offset to 22:00 boundaries precisely so this −2h term decides:
+      every slice's max event time lands in the last two hours of its
+      day, parking the batch watermark inside (wend, wend+2h) — with
+      midnight windows the raw-wm and propagated-wm models coincide on
+      this data (verified), i.e. the offset is what makes the
+      composition's one new semantics falsifiable at all three SFs.
+    """
+    from .dialect import dec_sum, intdiv
+
+    sl = f"least({intdiv('(day(ts) - 1)', '5', d)}, 5)"
+    spine8 = ", ".join(f"({b})" for b in range(8))
+    guard = (
+        "CASE WHEN MAX(lm.mx) IS NULL OR MAX(rm.mx) IS NULL THEN NULL "
+        "ELSE least(MAX(lm.mx), MAX(rm.mx)) END"
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_id AS id, event_type, value, ts,
+         ts + INTERVAL 30 MINUTE AS rts,
+         {sl} AS bl,
+         CASE WHEN event_id % 7 = 0 THEN least({sl} + 2, 5)
+              ELSE {sl} END AS br,
+         date_trunc('day', ts - INTERVAL 22 HOUR) + INTERVAL 22 HOUR AS wstart,
+         date_trunc('day', ts - INTERVAL 22 HOUR) + INTERVAL 22 HOUR
+           + INTERVAL 1 DAY AS wend
+  FROM {tbl('events', d)}
+),
+lmax AS (SELECT bl AS b, MAX(ts) AS mx FROM ev GROUP BY bl),
+rmax AS (SELECT br AS b, MAX(rts) AS mx FROM ev GROUP BY br),
+spine AS ({inline_values(spine8, 's', 'b', d)}),
+wmf AS (
+  SELECT s.b, {guard} - INTERVAL 1 DAY AS wm
+  FROM spine s
+  LEFT JOIN lmax lm ON lm.b <= s.b - 2
+  LEFT JOIN rmax rm ON rm.b <= s.b - 2
+  GROUP BY s.b
+),
+wmd AS (
+  SELECT s.b, {guard} - INTERVAL 1 DAY AS wm
+  FROM spine s
+  LEFT JOIN lmax lm ON lm.b <= s.b - 1
+  LEFT JOIN rmax rm ON rm.b <= s.b - 1
+  GROUP BY s.b
+),
+ded AS (
+  SELECT e.* FROM ev e JOIN wmf ON wmf.b = e.bl
+  WHERE wmf.wm IS NULL OR e.ts >= wmf.wm
+),
+matched AS (
+  SELECT dd.*, greatest(dd.bl, dd.br) AS bm
+  FROM ded dd
+  JOIN wmf fr ON fr.b = dd.br
+  LEFT JOIN wmd dv ON dv.b = dd.br - 1
+  WHERE (fr.wm IS NULL OR dd.rts >= fr.wm)
+    AND (dd.br <= dd.bl OR dv.wm IS NULL OR dd.ts + INTERVAL 2 HOUR > dv.wm)
+),
+ew AS (
+  SELECT w.wend, MIN(wmd.b) AS eb
+  FROM (SELECT DISTINCT wend FROM matched) w
+  JOIN wmd ON wmd.wm - INTERVAL 2 HOUR >= w.wend
+  GROUP BY w.wend
+)
+SELECT {ts_str('m.wstart', d)} AS window_start, m.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_matched,
+       {dec_sum('m.value')} AS sum_value
+FROM matched m JOIN ew ON ew.wend = m.wend AND m.bm <= ew.eb
+GROUP BY {ts_str('m.wstart', d)}, m.event_type
+ORDER BY window_start, event_type
+"""
+
+
+@query(
+    "stream_triple_stateful_chain",
+    oracle=_triple_chain_sql("duck"),
+    tags=("streaming", "dedup", "join", "watermark", "agg"),
+)
+def stream_triple_stateful_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reference pipeline in ONE streaming query: exactly-once
+    dedup (signer/index.js:133-137's content-hash gate), enrichment by a
+    correlated ack stream (app.ts:401-427's ingest topology), and
+    per-window metrics (app.ts:452-455) — THREE stateful operators
+    sharing a single watermark and checkpoint. The two r8 pairwise
+    chains pinned dedup→agg and join→agg; this pins the full
+    composition, where the new failure surface is the middle: dedup
+    survivors enter the join buffer, duplicate copies must die in dedup
+    state BEFORE they can re-match still-buffered acks, and the
+    aggregate's window eviction runs on the watermark propagated through
+    the join (combined wm − 2h upper range bound, the parametrized law
+    of tests/test_watermark_propagation.py). Emitted windows must equal
+    the composed closed form (:func:`_triple_chain_sql`) — verified at
+    all three SFs, with every stage falsification-tested (see the
+    oracle's docstring). At 100 TB: three stateful boundaries, one
+    shuffle each, state bounded by delay×arrival (dedup), delay+range
+    width (join buffer), and (delay+range)×window rate (agg)."""
+    from ..session import apply_runtime_confs
+    from ..streaming.source import staged_triple_sides
+
+    apply_runtime_confs(spark)
+    left_dir, right_dir = staged_triple_sides(sf_dir)
+    ls = spark.read.parquet(f"{left_dir}/f0.parquet").schema
+    rs = spark.read.parquet(f"{right_dir}/f0.parquet").schema
+    lev = (
+        spark.readStream.schema(ls)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(left_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    rev = (
+        spark.readStream.schema(rs)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(right_dir)
+        .withColumn("rts", F.col("rts").cast("timestamp"))
+        .withColumnRenamed("event_id", "rid")
+        .withWatermark("rts", "1 day")
+    )
+    joined = lev.join(
+        rev,
+        (F.col("event_id") == F.col("rid"))
+        & (F.col("rts") >= F.col("ts"))
+        & (F.col("rts") <= F.col("ts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    )
+    agg = (
+        joined.groupBy(
+            F.window("ts", "1 day", "1 day", "22 hours").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_matched"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_matched",
+            "sum_value",
+        )
+    )
+    return _to_memory(agg, "append")

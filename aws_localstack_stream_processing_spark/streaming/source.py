@@ -138,6 +138,69 @@ def staged_redelivery_batches(sf_dir: str, n_batches: int = 6) -> str:
     return stage
 
 
+def staged_triple_sides(sf_dir: str) -> tuple[str, str]:
+    """Stage two TIME-SLICED streams for the triple-stateful chain
+    (``stream_triple_stateful_chain``): batch k covers the k-th 5-day
+    slice of the month (``least((day(ts)-1)//5, 5)``), so the watermark
+    advances PROGRESSIVELY — a surviving duplicate would corrupt a
+    still-open window, which the id-mod batching of the other replays
+    cannot force.
+
+    LEFT  = events per slice, where batch k (k>=1) additionally
+            REDELIVERS the previous slice's ``event_id % 5 = 0`` rows —
+            one batch late, well inside the dedup TTL, so the copies are
+            dropped by dedup STATE (the lagged late filter cannot catch
+            them: their ts exceeds it by construction).
+    RIGHT = one ack per event at ``ts + 30min`` arriving in its event's
+            slice, except the ``event_id % 7 = 0`` acks, delayed two
+            batches (capped at the last file) — exercising the join's
+            late-input filter and buffer eviction mid-replay.
+
+    Both sides have exactly 6 mtime-ordered files (lockstep triggers) and
+    are keyed by the source file's identity (restage on regeneration)."""
+    import os
+    import time
+
+    import duckdb
+
+    base = sf_dir.rstrip("/")
+    tag = os.path.basename(base)
+    st = os.stat(f"{base}/events.parquet")
+    fp = f"{st.st_size}_{st.st_mtime_ns}"
+    left = f"/tmp/slsp_triple_left_{tag}_{fp}"
+    right = f"/tmp/slsp_triple_right_{tag}_{fp}"
+    marker = os.path.join(left, "_STAGED")
+    if os.path.exists(marker):
+        return left, right
+    os.makedirs(left, exist_ok=True)
+    os.makedirs(right, exist_ok=True)
+    con = duckdb.connect()
+    src = f"read_parquet('{base}/events.parquet')"
+    sl = "least((day(ts) - 1) // 5, 5)"
+    br = f"CASE WHEN event_id % 7 = 0 THEN least({sl} + 2, 5) ELSE {sl} END"
+    mtime = time.time() - 3600
+    for k in range(6):
+        lw = f"{sl} = {k}"
+        if k >= 1:
+            lw = f"({lw}) OR ({sl} = {k - 1} AND event_id % 5 = 0)"
+        con.execute(
+            f"COPY (SELECT event_id, ts, event_type, value FROM {src} "
+            f"WHERE {lw} ORDER BY event_id) "
+            f"TO '{left}/f{k}.parquet' (FORMAT PARQUET)"
+        )
+        con.execute(
+            f"COPY (SELECT event_id, ts + INTERVAL 30 MINUTE AS rts FROM {src} "
+            f"WHERE {br} = {k} ORDER BY event_id) "
+            f"TO '{right}/f{k}.parquet' (FORMAT PARQUET)"
+        )
+        for p in (f"{left}/f{k}.parquet", f"{right}/f{k}.parquet"):
+            os.utime(p, (mtime + 10 * k, mtime + 10 * k))
+    con.close()
+    with open(marker, "w") as f:
+        f.write("ok")
+    return left, right
+
+
 def staged_join_sides(sf_dir: str) -> tuple[str, str]:
     """Stage two correlated streams for the stream-stream join boundary
     (``stream_join_state_boundary``): LEFT = events in 3 data files

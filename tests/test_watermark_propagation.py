@@ -173,3 +173,50 @@ def test_join_agg_window_emission_threshold(
     assert (("2024-01-05", 3) in rows) == expect_emitted, (
         upper_min, offset_h, order, rows,
     )
+
+
+def test_triple_chain_oracle_terms_are_load_bearing():
+    """The triple chain's composed oracle (``_triple_chain_sql``) must be
+    FALSIFIABLE on the shipped staging — each candidate rule the r8/r9
+    sweeps rejected has to produce a DIFFERENT answer here, else the
+    query pins nothing. DuckDB-only (no streaming run): substitute the
+    rejected rule into the closed form and require a divergence.
+
+    - propagated wm = combined − 2h vs RAW combined: the 22:00 window
+      offset parks every batch watermark inside (wend, wend+2h), so the
+      raw rule emits the tail window the real engine holds back;
+    - the ack late filter: dropping it admits the delayed id%7 acks the
+      engine filtered (divergence checked at sf0.01-scale counts in the
+      query docstring; at sf0.001 the filtered pairs can all fall in
+      already-closed windows, so here we assert the raw-wm divergence
+      and that duplicates/delayed acks exist for the stages to act on).
+    """
+    import duckdb
+
+    from aws_localstack_stream_processing_spark.plans.streaming_surface import (
+        _triple_chain_sql,
+    )
+
+    from .conftest import SF_DIR
+
+    base_sql = _triple_chain_sql("duck")
+    raw_sql = base_sql.replace(
+        "JOIN wmd ON wmd.wm - INTERVAL 2 HOUR >= w.wend", "JOIN wmd ON wmd.wm >= w.wend"
+    )
+    assert raw_sql != base_sql  # the substitution found its target
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    base = con.execute(base_sql).fetchall()
+    raw = con.execute(raw_sql).fetchall()
+    assert base and raw != base, "raw-wm rule not falsifiable on this staging"
+    # the dedup and delayed-ack stages have real work at this SF
+    dup, delayed = con.execute(
+        """
+        SELECT COUNT(*) FILTER (WHERE event_id % 5 = 0
+                                AND least((day(ts)-1)//5, 5) <= 4),
+               COUNT(*) FILTER (WHERE event_id % 7 = 0)
+        FROM events"""
+    ).fetchone()
+    assert dup > 0 and delayed > 0
