@@ -226,3 +226,140 @@ def stub_resize(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(fn, STUB_RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio energy-envelope fingerprinting (VERDICT r8 #8) — the audio leg of the
+# modality triangle. Unlike the stubs above, this path is REAL end-to-end:
+# tracks are synthesized as genuine RIFF/WAVE containers (16-bit mono PCM),
+# round-trip through the bytes, and the fingerprint UDF PARSES the container
+# and runs the numpy DSP — only the waveform itself is deterministic
+# arithmetic (no codec needed for PCM).
+# ---------------------------------------------------------------------------
+
+AFP_FRAMES = 16  # envelope frames per track
+AFP_FLEN = 64  # PCM samples per frame
+AFP_RATE = 8000  # nominal sample rate written into the header
+AFP_COPY_OFFSET = 5_000_000  # planted re-encode track ids
+AFP_PLANT_MOD = 8  # doc_id % 8 == 0 gets a planted re-encode
+
+
+def afp_gains(doc_id: int) -> list[int]:
+    """Per-frame gains in [1,5] from the hex digits of sha256(str(doc_id))
+    — the same cross-engine discipline as the phash queries (hashlib here,
+    `sha2`/`sha256` in the SQL dialects produce the identical lowercase
+    hex). A string-fold hash (djb2) is NOT usable here: it is affine in
+    the trailing frame digit, so every doc's gain pattern would be a
+    cyclic shift of one shape (5 signature classes corpus-wide — measured
+    — and the band join degenerates to all-pairs)."""
+    import hashlib
+
+    hx = hashlib.sha256(str(doc_id).encode()).hexdigest()
+    return [1 + int(hx[f], 16) % 5 for f in range(AFP_FRAMES)]
+
+
+def afp_samples(doc_id: int):
+    """Deterministic int16 PCM for a track: white-ish LCG noise, amplitude-
+    modulated per frame by a sha-seeded gain in [1,5] — the gain pattern IS
+    the track's identity (the energy envelope recovers it). All values are
+    EVEN so the planted re-encode's halving is exact in every dialect's
+    integer division."""
+    import numpy as np
+
+    i = np.arange(AFP_FRAMES * AFP_FLEN, dtype=np.int64)
+    a = (doc_id * 1103515245 + i * 12345) % 2048
+    g = np.repeat(afp_gains(doc_id), AFP_FLEN).astype(np.int64)
+    return 2 * (a - 1024) * g  # |s| <= 10240, int16-safe, even
+
+
+def afp_reencode(s):
+    """The planted 'lossy re-encode': half gain plus a tiny deterministic
+    dither — energy ratios (and therefore the quantized envelope) survive,
+    sample bytes do not."""
+    import numpy as np
+
+    i = np.arange(len(s), dtype=np.int64)
+    return s // 2 + (i % 3) - 1
+
+
+def _wav_bytes(samples) -> bytes:
+    import struct
+
+    n = len(samples)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + 2 * n, b"WAVE",
+        b"fmt ", 16, 1, 1, AFP_RATE, AFP_RATE * 2, 2, 16,
+        b"data", 2 * n,
+    )
+    return hdr + samples.astype("<i2").tobytes()
+
+
+def synth_wav_tracks(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """doc ids → real WAV blobs: one original track per row, plus a planted
+    re-encoded copy (track_id + AFP_COPY_OFFSET) for ``doc_id %
+    AFP_PLANT_MOD == 0``. Arrow-batched; at scale this stage is the decode/
+    transcode ingest pass and partitions with the corpus."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col].astype("int64"):
+                s = afp_samples(int(did))
+                rows.append({"track_id": int(did), "wav": _wav_bytes(s)})
+                if did % AFP_PLANT_MOD == 0:
+                    rows.append(
+                        {
+                            "track_id": int(did) + AFP_COPY_OFFSET,
+                            "wav": _wav_bytes(afp_reencode(s)),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, "track_id bigint, wav binary")
+
+
+def audio_envelope_levels(df: DataFrame) -> DataFrame:
+    """WAV blobs → quantized energy envelope, one row per (track, frame).
+
+    Parses the RIFF container for real (chunk walk — same discipline as
+    :func:`parse_media_header`), then vectorized numpy DSP: per-frame
+    energy e_f = Σ s², quantized to 2 bits against the track's own peak
+    (lvl = [2e≥mx] + [4e≥mx] + [8e≥mx]) — the self-normalization is what
+    makes the fingerprint GAIN-INVARIANT, so a re-encode at half volume
+    keeps its envelope. Integer arithmetic end-to-end: the SQL oracle
+    replays it exactly."""
+    import struct
+
+    def _pcm(b: bytes):
+        import numpy as np
+
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            raise ValueError("not a WAV container")
+        i = 12
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            csize = struct.unpack("<I", b[i + 4 : i + 8])[0]
+            if cid == b"data":
+                return np.frombuffer(b, dtype="<i2", count=csize // 2, offset=i + 8)
+            i += 8 + csize + (csize & 1)
+        raise ValueError("no data chunk")
+
+    def fn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_tid, out_f, out_lvl = [], [], []
+            for tid, blob in zip(pdf["track_id"].astype("int64"), pdf["wav"]):
+                s = _pcm(bytes(blob)).astype(np.int64)
+                e = (s.reshape(AFP_FRAMES, AFP_FLEN) ** 2).sum(axis=1)
+                mx = e.max()
+                lvl = (2 * e >= mx).astype(np.int64) + (4 * e >= mx) + (8 * e >= mx)
+                out_tid.extend([int(tid)] * AFP_FRAMES)
+                out_f.extend(range(AFP_FRAMES))
+                out_lvl.extend(int(v) for v in lvl)
+            yield pd.DataFrame(
+                {"track_id": out_tid, "f": out_f, "lvl": out_lvl}
+            )
+
+    return df.mapInPandas(fn, "track_id bigint, f bigint, lvl bigint")
