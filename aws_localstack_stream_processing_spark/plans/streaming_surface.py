@@ -1160,16 +1160,19 @@ def _join_boundary_sql(d: str) -> str:
       left-side eviction can break a pair.
 
     Validated id-exact against the real streaming join at all three SFs
-    (9 / 80 pairs at sf0.01 / sf0.1 are decided by the non-trivial
-    boundary clauses, so the model's hard branches are exercised).
+    (at sf0.01 / sf0.1 the non-trivial boundary clauses decide real
+    pairs — 4 / 35 delayed pairs survive the boundary and 1330 / 13307
+    acks die at the late filter — so the model's hard branches are
+    exercised; r9 shrank the replay 6 → 4 files with the deciding
+    branches preserved, see ``staged_join_sides``).
     """
-    spine = ", ".join(f"({b})" for b in range(6))
+    spine = ", ".join(f"({b})" for b in range(4))
     guard = "CASE WHEN MAX(lm.mx) IS NULL OR MAX(rm.mx) IS NULL THEN NULL ELSE least(MAX(lm.mx), MAX(rm.mx)) END"
     return f"""
 WITH ev AS (
   SELECT event_id AS id, event_type, ts, ts + INTERVAL 30 MINUTE AS rts,
          event_id % 3 AS bl,
-         CASE WHEN event_id % 5 = 0 THEN event_id % 3 + 3
+         CASE WHEN event_id % 5 = 0 THEN 3
               ELSE event_id % 3 END AS br
   FROM {tbl('events', d)}
 ),
@@ -1208,8 +1211,9 @@ def stream_join_state_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The third pinned watermark operator: a REAL stream-stream interval
     join (events ⋈ acks at ts+30min, range [ts, ts+2h], 1-hour
     watermarks on both sides) over a deterministic lockstep replay whose
-    ``id % 5`` ack slice arrives three batches late — late enough that
-    most of its events' buffer entries are already evicted. Per-type
+    ``id % 5`` ack slice arrives in the final batch, two-to-three
+    watermark advances late — late enough that most of its events'
+    buffer entries are already evicted. Per-type
     match counts must equal the closed-form oracle
     (:func:`_join_boundary_sql`): the missing matches are EXACTLY the
     pairs whose left buffer entry the watermark evicted, the at-least-
@@ -1415,7 +1419,7 @@ def _chained_join_agg_sql(d: str) -> str:
     right-side row can still join a left row up to 2 h older than the
     right watermark — the range bound rides the watermark, exactly as
     SPARK-42376's simulation computes."""
-    spine8 = ", ".join(f"({b})" for b in range(8))
+    spine8 = ", ".join(f"({b})" for b in range(6))
     guard = (
         "CASE WHEN MAX(lm.mx) IS NULL OR MAX(rm.mx) IS NULL THEN NULL "
         "ELSE least(MAX(lm.mx), MAX(rm.mx)) END"
@@ -1429,7 +1433,7 @@ def _chained_join_agg_sql(d: str) -> str:
 WITH ev AS (
   SELECT event_id AS id, event_type, ts, ts + INTERVAL 30 MINUTE AS rts,
          event_id % 3 AS bl,
-         CASE WHEN event_id % 5 = 0 THEN event_id % 3 + 3
+         CASE WHEN event_id % 5 = 0 THEN 3
               ELSE event_id % 3 END AS br,
          date_trunc('day', ts) AS wstart,
          date_trunc('day', ts) + INTERVAL 1 DAY AS wend

@@ -9,7 +9,7 @@ CURVE rather than a single end-state number:
   never the whole seen-id set (the un-TTL'd failure mode it exists to
   rule out), and eviction is visible (state shrinks between batches).
 - Interval join: buffered rows collapse once the combined watermark
-  passes their eviction bound (601 → single digits in the staged
+  passes their eviction bound (hundreds → single digits in the staged
   replay), and late inputs are counted by rows_dropped_by_watermark.
 """
 
@@ -60,7 +60,7 @@ def test_ttl_dedup_state_stays_bounded(spark):
 def test_interval_join_buffer_evicts(spark):
     n = _events_count()
     curve = _curve(spark, "stream_join_state_boundary")
-    assert len(curve) == 6 and all(
+    assert len(curve) == 4 and all(
         r.operator == "symmetricHashJoin" for r in curve
     )
     # batch 0 buffers its input (no watermark yet); once the combined
