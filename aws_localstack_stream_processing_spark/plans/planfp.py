@@ -48,6 +48,17 @@ _NODE_KEYS: dict[str, tuple[str, ...]] = {
     "pandas_map": ("MapInPandas", "PythonMapInArrow", "MapInArrow"),
     "generate": ("Generate ",),
     "expand": ("Expand",),
+    # streaming-only nodes (zero in batch plans): pin the stateful-operator
+    # inventory and the watermark assignment of every stream_* query —
+    # an extra StateStoreSave or a lost EventTimeWatermark is a semantics
+    # change the memory-sink result may not reveal (r9, STREAMFP.json)
+    "state_store_save": ("StateStoreSave",),
+    "state_store_restore": ("StateStoreRestore",),
+    "streaming_dedup": ("StreamingDeduplicate",),
+    "streaming_join": ("StreamingSymmetricHashJoin",),
+    "event_time_watermark": ("EventTimeWatermark",),
+    "pandas_state": ("FlatMapGroupsInPandasWithState",),
+    "session_window": ("UpdatingSessionsExec", "MergingSessions"),
 }
 
 # strips tree-drawing prefixes and the whole-stage-codegen "*(3) " marker

@@ -94,3 +94,71 @@ def test_plan_fingerprints_match_pinned(spark):
         "plan-shape drift vs PLANFP.json — if intentional, regenerate in "
         "this commit:\n" + "\n".join(drift)
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming plans (r9): the batch gate above cannot see stream_* queries
+# (a streaming physical plan only exists while its query runs), so their
+# fingerprints come from the planlog capture each harness run records at
+# termination. What this pins that the streaming LINT cannot: the exact
+# stateful-operator inventory (StateStoreSave/Restore, StreamingDeduplicate,
+# StreamingSymmetricHashJoin, FlatMapGroupsInPandasWithState), the watermark
+# assignment count, and the exchange shape of every streaming query — an
+# extra state store or a lost EventTimeWatermark is a semantics change the
+# bounded memory-sink result may not reveal. Regenerate intentionally with
+#     SPARK_GRAFT_REGEN_STREAMFP=1 python -m pytest \
+#         tests/test_plan_fingerprints.py::test_streaming_plan_fingerprints_match_pinned
+# ---------------------------------------------------------------------------
+
+_STREAMFP_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "STREAMFP.json"
+)
+
+
+def _live_stream_fingerprints(spark) -> dict[str, dict[str, int]]:
+    from aws_localstack_stream_processing_spark.plans import all_queries
+    from aws_localstack_stream_processing_spark.plans.planfp import fingerprint
+    from aws_localstack_stream_processing_spark.streaming import planlog
+
+    fps: dict[str, dict[str, int]] = {}
+    for name, qd in sorted(all_queries().items()):
+        if not name.startswith("stream_"):
+            continue
+        spark.catalog.clearCache()
+        planlog.LAST_STREAM_PLAN["plan"] = ""
+        qd.fn(spark, SF_DIR)
+        plan = planlog.LAST_STREAM_PLAN["plan"]
+        assert plan, f"{name}: no streaming plan captured"
+        fps[name] = fingerprint(plan)
+    spark.catalog.clearCache()
+    return fps
+
+
+def test_streaming_plan_fingerprints_match_pinned(spark):
+    live = _live_stream_fingerprints(spark)
+    if os.environ.get("SPARK_GRAFT_REGEN_STREAMFP") == "1":
+        with open(_STREAMFP_PATH, "w") as f:
+            json.dump(live, f, indent=1, sort_keys=True)
+        return
+    assert os.path.exists(_STREAMFP_PATH), (
+        "STREAMFP.json missing — generate with SPARK_GRAFT_REGEN_STREAMFP=1"
+    )
+    with open(_STREAMFP_PATH) as f:
+        pinned = json.load(f)
+    drift: list[str] = []
+    for name in sorted(set(pinned) | set(live)):
+        if name not in pinned:
+            drift.append(f"{name}: NEW query — regenerate STREAMFP.json")
+        elif name not in live:
+            drift.append(f"{name}: pinned but no longer registered")
+        elif pinned[name] != live[name]:
+            delta = {
+                k: (pinned[name].get(k, 0), live[name].get(k, 0))
+                for k in set(pinned[name]) | set(live[name])
+                if pinned[name].get(k, 0) != live[name].get(k, 0)
+            }
+            drift.append(f"{name}: {delta} (pinned, live)")
+    assert not drift, (
+        "streaming plan-shape drift vs STREAMFP.json — if intentional, "
+        "regenerate in this commit:\n" + "\n".join(drift)
+    )
