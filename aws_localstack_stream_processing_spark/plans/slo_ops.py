@@ -258,7 +258,15 @@ def ops_dashboard_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-materialized detail views (`stream_mv_refresh`'s
     batch_id-keyed partials). The DuckDB oracle keeps the original
     fully-expanded verbatim-fragment SQL, so the single-scan rewrite is
-    hash-verified against the multi-scan definition every round."""
+    hash-verified against the multi-scan definition every round.
+
+    Cache lifetime contract (ADVICE r10): the returned plan reads
+    `keyed`/`lindley` as InMemoryRelations, so they cannot be
+    unpersisted here without reverting to the multi-scan shape — the
+    CALLER owns cleanup. Both registry entry points honour it:
+    `__spark_entry__._scoped` clearCache()s before building each query,
+    and `bench.py` clearCache()s after every trial, so repeated
+    invocations never accumulate cached copies."""
     views(spark, sf_dir, "events")
     lane = f"({hashing.djb2_js(s('event_id', 'spark'), 'spark')} % 5)"
     keyed = spark.sql(

@@ -30,6 +30,7 @@ from .registry import query
 # streaming plan only exists while its query runs).
 from ..streaming.planlog import note_plan as _note_plan
 from ..streaming.statelog import note_state_metrics as _note_state
+from ..streaming.statestore import apply_state_store as _apply_state_store
 
 
 def _to_memory(df: DataFrame, mode: str) -> DataFrame:
@@ -48,6 +49,7 @@ def _to_memory(df: DataFrame, mode: str) -> DataFrame:
     # join-boundary 8→4 parts ≈ −1 s, 2 parts is WORSE — data plane
     # starves). Results are partition-invariant (oracle-checked).
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    _apply_state_store(spark)
     try:
         name = f"slsp_mem_{uuid.uuid4().hex[:12]}"
         q = (
@@ -839,6 +841,7 @@ def stream_alarm_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = AlarmActionSink(store, _ALARM_THRESHOLD)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    _apply_state_store(spark)
     try:
         q = (
             hourly.writeStream.foreachBatch(sink.process_batch)
@@ -945,6 +948,7 @@ def stream_kv_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keyed = decoded.select(F.sha2(canon, 256).alias("key"), "event_type")
     store = tempfile.mkdtemp(prefix="slsp_kv_store_")
+    _apply_state_store(spark)
     q = (
         keyed.writeStream.format("kv_upsert")
         .option("path", store)
@@ -1720,3 +1724,74 @@ def stream_triple_stateful_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _to_memory(agg, "append")
+
+
+def _cdc_scd2_oracle(d: str) -> str:
+    # batch recompute over the FULL changelog — redelivered duplicates in
+    # the staged stream must be absorbed, never versioned
+    from .governance_ops import _scd2_sql
+
+    return _scd2_sql(d)
+
+
+@query(
+    "stream_cdc_scd2",
+    oracle=_cdc_scd2_oracle("duck"),
+    tags=("streaming", "lakehouse", "cdc", "sink"),
+)
+def stream_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 extended to history (VERDICT r9 #4): a streaming CDC changelog —
+    6 time-sliced micro-batches with at-least-once redelivery
+    (``staged_cdc_slices``) — maintains a type-2 SCD history table through
+    a ``foreachBatch`` MERGE (``Scd2ParquetSink``: affected-bucket
+    copy-on-write, exact-duplicate absorption, windowed run-collapse +
+    reversioning; the plain-parquet rendition of a Delta/Iceberg MERGE).
+    The reference's keyed sink keeps only the latest value per key
+    (signer/index.js:229-242); this is that write path upgraded to
+    answer "what was the value THEN".
+
+    The final table must equal ``lake_scd2_build``'s batch recompute over
+    the full changelog — the strongest possible oracle for an incremental
+    write path: every redelivered duplicate absorbed, every version
+    boundary, interval end, and ``is_current`` flag identical to the
+    from-scratch build. Restart/replay idempotence is pinned separately
+    in ``tests/test_cdc_scd2.py``.
+
+    At 100 TB: per batch, one user_id hash exchange + |affected buckets|
+    partition-pruned history reads and overwrites — MERGE cost scales
+    with the CHANGE rate, not table size; the time-sliced staging is the
+    per-key in-order delivery a binlog CDC source provides."""
+    import tempfile
+
+    from ..session import apply_runtime_confs
+    from ..streaming.sinks import Scd2ParquetSink
+    from ..streaming.source import staged_cdc_slices
+
+    apply_runtime_confs(spark)
+    src = staged_cdc_slices(sf_dir)
+    schema = spark.read.parquet(f"{src}/f0.parquet").schema
+    work = tempfile.mkdtemp(prefix="slsp_scd2_")
+    sink = Scd2ParquetSink(f"{work}/history")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    _apply_state_store(spark)
+    q = (
+        stream.writeStream.foreachBatch(sink.merge_batch)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _note_plan(q)
+    _note_state(q)
+    return sink.read(spark).select(
+        "user_id",
+        "attr",
+        "version_n",
+        "valid_from_s",
+        "valid_to_s",
+        "is_current",
+    )

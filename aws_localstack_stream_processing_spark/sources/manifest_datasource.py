@@ -129,9 +129,25 @@ def append_manifest(
                     getattr(errno, "ENOTSUP", errno.EOPNOTSUPP),
                     errno.EXDEV,
                     errno.EMLINK,
+                    errno.ENOSYS,  # link() unimplemented on this mount
                 }
                 if exc.errno not in _NO_HARDLINK:
                     raise
+                if exc.errno == errno.EPERM:
+                    # EPERM is ambiguous: some filesystems use it for
+                    # "links unsupported", but it also covers genuine
+                    # permission denials — make the downgrade visible
+                    # so a real permission problem isn't silently
+                    # absorbed by the weaker O_EXCL path (ADVICE r10).
+                    import warnings
+
+                    warnings.warn(
+                        "manifest commit: os.link() EPERM — falling back "
+                        "to O_EXCL claim; if this mount supports hard "
+                        "links, check directory permissions",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
                 try:
                     fd = os.open(out, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
                 except FileExistsError:

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..functions import hashing
 from .dlq import foreach_batch_dlq
 from .source import events_stream
+from .statestore import apply_state_store
 
 
 def ingest_columns(df: DataFrame) -> DataFrame:
@@ -52,6 +53,7 @@ def run_ingest_stream(
     """E1: events stream → hive-partitioned parquet lake
     (raw/partition_N/year=/month=/day=/hour=, app.ts:400,411)."""
     ev = events_stream(spark, sf_dir, max_files_per_trigger)
+    apply_state_store(spark)
     q = (
         ingest_columns(ev)
         .writeStream.format("parquet")
@@ -92,6 +94,7 @@ def run_ingest_stream_manifest(
         )
         append_manifest(lake_dir, files, commit_id=batch_id)
 
+    apply_state_store(spark)
     q = (
         source.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint)
@@ -116,6 +119,7 @@ def run_dlq_stream(
             F.col("props")
         ),
     )
+    apply_state_store(spark)
     q = (
         ev.writeStream.foreachBatch(foreach_batch_dlq(ok_path, err_path))
         .option("checkpointLocation", checkpoint)
@@ -155,6 +159,7 @@ def run_signing_stream(
     from .sinks import KeyedParquetSink
 
     sink = KeyedParquetSink(sink_path, "tx_hash")
+    apply_state_store(spark)
     q = (
         signed_stream(spark, sf_dir)
         .writeStream.foreachBatch(sink.upsert_batch)

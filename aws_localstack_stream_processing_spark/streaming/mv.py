@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .statestore import apply_state_store
+
 
 def run_mv_stream(
     spark: SparkSession,
@@ -34,6 +36,7 @@ def run_mv_stream(
         )
         partial.write.mode("overwrite").parquet(f"{mv_dir}/batch_id={batch_id}")
 
+    apply_state_store(spark)
     q = (
         source.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint)

@@ -50,3 +50,128 @@ class KeyedParquetSink:
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)
+
+
+class Scd2ParquetSink:
+    """Streaming CDC → type-2 history MERGE (SURVEY §2.1 S8 extended).
+
+    The reference's keyed sink keeps only the LATEST value per key
+    (DynamoDB put, signer/index.js:229-242); this sink is that write path
+    upgraded to history-keeping: each micro-batch of change records is
+    merged into a bucket-partitioned parquet SCD2 table (one row per
+    (user, attribute-run) with ``valid_from_s``/``valid_to_s``/
+    ``is_current`` — the exact semantics ``lake_scd2_build`` pins in
+    batch), maintained incrementally instead of rebuilt from the full
+    changelog.
+
+    MERGE algorithm per batch (copy-on-write over AFFECTED BUCKETS only —
+    the plain-parquet rendition of a Delta/Iceberg MERGE):
+      1. affected buckets = distinct ``pmod(user_id, N_BUCKETS)`` in the
+         batch (bounded driver collect: ≤ N_BUCKETS values);
+      2. the existing history rows of those buckets are read back as
+         change records — a version row IS its opening change
+         ``(user_id, attr, valid_from_s, event_id)``;
+      3. union with the batch's change records, absorb at-least-once
+         redelivery by exact-key dedup on ``(user_id, ts_s, event_id)``;
+      4. run-collapse (LAG) drops consecutive same-value records, then
+         ROW_NUMBER/LEAD rebuild version numbers and validity intervals —
+         every window partitions on ``user_id``, one hash exchange;
+      5. dynamic-partition-overwrite writes ONLY the affected buckets.
+
+    Correctness contract: exact under per-key in-order delivery of NEW
+    change records plus arbitrary exact-duplicate redelivery — what a
+    binlog/stream-shard CDC source provides per key. A genuinely novel
+    out-of-order record (older than an already-merged one) can land
+    between a version row and a record the collapse dropped, whose
+    reappearance the changes-only history cannot reconstruct; that case
+    needs the full-changelog rebuild (``lake_scd2_build``) or raw-event
+    retention — documented, not silently wrong, and the staged harness
+    never ships one.
+
+    Idempotence: the merge is a deterministic function of
+    (existing history ∪ batch records), and redelivered batches dedup to
+    a no-op — so a restart that replays a committed batch, or a full
+    replay over a populated table with a fresh checkpoint, converges to
+    the same table (pinned in ``tests/test_cdc_scd2.py``).
+
+    Scale: each batch touches |affected buckets| partitions, reads back
+    only those buckets' history (at 100 TB: partition-pruned scan), and
+    shuffles once on ``user_id``. Bucket count trades write amplification
+    against small files exactly like Delta MERGE file sizing; the
+    ``localCheckpoint`` materializes the merge result before the
+    overwrite job deletes the files it was derived from (Spark forbids
+    read-and-overwrite of the same path in one job)."""
+
+    N_BUCKETS = 8
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def exists(self) -> bool:
+        import glob
+
+        return bool(glob.glob(os.path.join(self.path, "bucket=*")))
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        cand = batch_df.select(
+            "user_id", "attr", "ts_s", "event_id"
+        ).withColumn(
+            "bucket", F.pmod("user_id", F.lit(self.N_BUCKETS)).cast("int")
+        )
+        buckets = [
+            r.bucket for r in cand.select("bucket").distinct().collect()
+        ]
+        if not buckets:
+            return
+        if self.exists():
+            old = (
+                spark.read.parquet(self.path)
+                .filter(F.col("bucket").isin(buckets))
+                .select(
+                    "user_id",
+                    "attr",
+                    F.col("valid_from_s").alias("ts_s"),
+                    "event_id",
+                    "bucket",
+                )
+            )
+            cand = cand.unionByName(old)
+        # at-least-once absorption: redelivered records are EXACT copies
+        cand = cand.dropDuplicates(["user_id", "ts_s", "event_id"])
+        w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+        collapsed = (
+            cand.withColumn("prev_attr", F.lag("attr").over(w))
+            .filter(
+                F.col("prev_attr").isNull()
+                | (F.col("prev_attr") != F.col("attr"))
+            )
+            .drop("prev_attr")
+        )
+        versioned = collapsed.select(
+            "user_id",
+            "attr",
+            F.row_number().over(w).cast("bigint").alias("version_n"),
+            F.col("ts_s").alias("valid_from_s"),
+            F.lead("ts_s").over(w).alias("valid_to_s"),
+            "event_id",
+            "bucket",
+        ).withColumn("is_current", F.col("valid_to_s").isNull())
+        # cut lineage from self.path BEFORE overwriting it
+        out = versioned.localCheckpoint(eager=True)
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            out.write.mode("overwrite").partitionBy("bucket").parquet(
+                self.path
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)

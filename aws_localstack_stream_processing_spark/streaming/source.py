@@ -258,3 +258,61 @@ def staged_join_sides(sf_dir: str) -> tuple[str, str]:
     with open(marker, "w") as f:
         f.write("ok")
     return left, right
+
+
+def staged_cdc_slices(sf_dir: str) -> str:
+    """Stage the SCD2 audit cohort's changelog (``user_id % 20 = 0``, the
+    same cohort as ``lake_scd2_build``) as 6 TIME-SLICED parquet files for
+    the streaming CDC→SCD2 merge (``stream_cdc_scd2``): batch k covers the
+    k-th 5-day slice of the month, so every NEW change row arrives in
+    per-key timestamp order — the delivery contract a binlog-tailing CDC
+    source (Debezium/DMS per-key ordering; the reference's DynamoDB-stream
+    hop) actually provides, and the contract the incremental merge's
+    changes-only history rebuild is exact under.
+
+    Batch k ≥ 1 additionally REDELIVERS the previous slice's
+    ``event_id % 5 = 0`` rows — exact at-least-once duplicates, a mix of
+    rows that became history versions and rows the run-collapse dropped —
+    so every merge batch must absorb duplicates of BOTH kinds.
+
+    Columns are pre-projected to the CDC record shape
+    ``(user_id BIGINT, attr, ts_s BIGINT, event_id)``: epoch seconds are
+    computed at stage time by the same second-truncation both oracle
+    dialects use, keeping the stream free of timestamp-type normalization.
+    Keyed by the source file's identity (restage on regeneration)."""
+    import os
+    import time
+
+    import duckdb
+
+    base = sf_dir.rstrip("/")
+    tag = os.path.basename(base)
+    st = os.stat(f"{base}/events.parquet")
+    fp = f"{st.st_size}_{st.st_mtime_ns}"
+    stage = f"/tmp/slsp_cdc_stage_{tag}_{fp}"
+    marker = os.path.join(stage, "_STAGED")
+    if os.path.exists(marker):
+        return stage
+    os.makedirs(stage, exist_ok=True)
+    con = duckdb.connect()
+    src = f"read_parquet('{base}/events.parquet')"
+    sl = "least((day(ts) - 1) // 5, 5)"
+    mtime = time.time() - 3600
+    for k in range(6):
+        where = f"{sl} = {k}"
+        if k >= 1:
+            where = f"({where}) OR ({sl} = {k - 1} AND event_id % 5 = 0)"
+        con.execute(
+            f"COPY (SELECT CAST(user_id AS BIGINT) AS user_id, "
+            f"event_type AS attr, "
+            f"CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, "
+            f"CAST(event_id AS BIGINT) AS event_id "
+            f"FROM {src} WHERE user_id % 20 = 0 AND ({where}) "
+            f"ORDER BY event_id) TO '{stage}/f{k}.parquet' (FORMAT PARQUET)"
+        )
+        p = f"{stage}/f{k}.parquet"
+        os.utime(p, (mtime + 10 * k, mtime + 10 * k))
+    con.close()
+    with open(marker, "w") as f:
+        f.write("ok")
+    return stage

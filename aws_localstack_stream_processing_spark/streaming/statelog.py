@@ -38,7 +38,8 @@ LAST_STATE_METRICS: list[dict] = []
 _SCHEMA = (
     "batch_id bigint, operator string, state_rows bigint, "
     "rows_updated bigint, memory_used_bytes bigint, "
-    "rows_dropped_by_watermark bigint, num_shuffle_partitions bigint"
+    "rows_dropped_by_watermark bigint, num_shuffle_partitions bigint, "
+    "rocksdb bigint"
 )
 
 
@@ -64,6 +65,16 @@ def note_state_metrics(q) -> None:
                         ),
                         "num_shuffle_partitions": int(
                             op.get("numShufflePartitions", 0)
+                        ),
+                        # provider evidence: the RocksDB store exposes
+                        # rocksdb* custom metrics the HDFS store never
+                        # emits — lets tests PROVE which store ran
+                        # instead of trusting the conf took effect
+                        "rocksdb": int(
+                            any(
+                                str(k).startswith("rocksdb")
+                                for k in (op.get("customMetrics") or {})
+                            )
                         ),
                     }
                 )

@@ -267,6 +267,7 @@ def main() -> None:
         # run steal in a run whose queries beat every floor); a genuine
         # degraded window fails the retry too, a hiccup passes it.
         took = None
+        clean_exceedances = 0
         for attempt in range(3):
             s0, _t = _steal()
             t0 = time.perf_counter()
@@ -276,7 +277,16 @@ def main() -> None:
             t = round(time.perf_counter() - t0, 3)
             s1, _t = _steal()
             took = t if took is None else min(took, t)
-            if s1 - s0 < 50 and (t <= calib_mid_max or attempt > 0):
+            if s1 - s0 >= 50:
+                continue  # steal-stained reading never decides anything
+            if t <= calib_mid_max:
+                break
+            # steal-clean exceedance: grant it one clean retry regardless
+            # of earlier steal noise (ADVICE r10 — the old `attempt > 0`
+            # let a stained attempt 0 consume the retry, so a single
+            # clean over-reading marked the run degraded)
+            clean_exceedances += 1
+            if clean_exceedances >= 2:
                 break
         calib_probes.append(took)
 
@@ -546,6 +556,37 @@ def main() -> None:
     floor_regressions: list[str] = []
     if floor_doc:
         floor = floor_doc["floor"]
+        # Pin bookkeeping (ADVICE r10): a floor only describes the plan
+        # it was measured under. `pins` records, per query, the
+        # PLANFP/STREAMFP pin value current when that floor entry was
+        # last written; when the committed pin later changes (an
+        # intentional plan change, pin regenerated same commit), the
+        # stale floor is RESET so the query doesn't read as over-floor
+        # "weather" forever — the new plan re-seeds its own floor this
+        # run. `over_streak` tracks consecutive calib_ok runs over
+        # 1.25x floor (VERDICT r9 #2).
+        root_ = os.path.dirname(os.path.abspath(__file__))
+        pins_rec: dict = floor_doc.setdefault("pins", {})
+        streaks: dict = floor_doc.setdefault("over_streak", {})
+        cur_pins: dict = {}
+        try:
+            with open(os.path.join(root_, "PLANFP.json")) as f:
+                cur_pins.update(json.load(f))
+        except (OSError, ValueError):
+            pass
+        try:
+            with open(os.path.join(root_, "STREAMFP.json")) as f:
+                cur_pins.update(json.load(f))
+        except (OSError, ValueError):
+            pass
+        floor_resets = sorted(
+            q for q in floor
+            if q in pins_rec and q in cur_pins and pins_rec[q] != cur_pins[q]
+        )
+        for q in floor_resets:
+            del floor[q]
+            del pins_rec[q]
+            streaks.pop(q, None)
         cur_all = {**times, **ext_times}
         fratios = {
             q: round(t / floor[q], 2) for q, t in cur_all.items() if floor.get(q)
@@ -553,48 +594,81 @@ def main() -> None:
         over = sorted(q for q, r in fratios.items() if r > 1.25)
         weather: list[str] = []
         unpinned: list[str] = []
-        if over:
-            try:
-                from aws_localstack_stream_processing_spark.plans.planfp import (
-                    fingerprint,
-                )
-
-                with open(os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)), "PLANFP.json"
-                )) as f:
-                    pinned_fp = json.load(f)
-            except (OSError, ValueError, ImportError):
-                pinned_fp = {}
-            # Fingerprint at the SAME SF the pins were generated at
-            # (tests' sf0.001), NOT the bench SF: static join-strategy
-            # selection is size-stats-driven, so the same code plans
-            # broadcast at sf0.001 and sort-merge at sf0.1 — an sf0.1
-            # live fingerprint diffs against the sf0.001 pin on scale
-            # alone and flags phantom regressions (measured:
-            # llm_filter_stack, 2 joins flip at sf0.1 with identical
-            # code). A CODE-level plan change shows up at any SF.
-            fp_sf = os.environ.get(
-                "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+        live_fp_cache: dict[str, object] = {}
+        try:
+            from aws_localstack_stream_processing_spark.plans.planfp import (
+                fingerprint,
             )
-            for q in over:
-                if q not in pinned_fp:  # streaming: no batch fingerprint
-                    unpinned.append(q)
-                    continue
+        except ImportError:
+            fingerprint = None
+        # Fingerprint at the SAME SF the pins were generated at
+        # (tests' sf0.001), NOT the bench SF: static join-strategy
+        # selection is size-stats-driven, so the same code plans
+        # broadcast at sf0.001 and sort-merge at sf0.1 — an sf0.1
+        # live fingerprint diffs against the sf0.001 pin on scale
+        # alone and flags phantom regressions (measured:
+        # llm_filter_stack, 2 joins flip at sf0.1 with identical
+        # code). A CODE-level plan change shows up at any SF.
+        fp_sf = os.environ.get(
+            "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+        )
+        batch_pins: dict = {}
+        try:
+            with open(os.path.join(root_, "PLANFP.json")) as f:
+                batch_pins = json.load(f)
+        except (OSError, ValueError):
+            pass
+
+        def _live_fp(q: str):
+            """Live batch-plan fingerprint at the pin-generation SF
+            (cached per run); None when unavailable."""
+            if fingerprint is None:
+                return None
+            if q not in live_fp_cache:
                 spark.catalog.clearCache()
-                live = fingerprint(
-                    qs[q].fn(spark, fp_sf)
-                    ._jdf.queryExecution().executedPlan().toString()
-                )
-                (floor_regressions if live != pinned_fp[q] else weather).append(q)
-            spark.catalog.clearCache()
+                try:
+                    live_fp_cache[q] = fingerprint(
+                        qs[q].fn(spark, fp_sf)
+                        ._jdf.queryExecution().executedPlan().toString()
+                    )
+                except Exception:
+                    live_fp_cache[q] = None
+                spark.catalog.clearCache()
+            return live_fp_cache[q]
+
+        for q in over:
+            if q not in batch_pins:  # streaming: no batch fingerprint
+                unpinned.append(q)
+                continue
+            live = _live_fp(q)
+            (floor_regressions if live != batch_pins[q] else weather).append(q)
+        # Sustained-over-floor rule (VERDICT r9 #2): the fingerprint
+        # adjudication above is blind to same-plan slowdowns (a slower
+        # UDF body, a fatter serialized payload). A query >1.25x floor
+        # in >=3 CONSECUTIVE calib_ok runs is flagged as a sustained
+        # regression even with an unchanged fingerprint — three
+        # independent gated windows all reading high is no longer
+        # weather. Non-gated runs leave streaks untouched (their
+        # timings carry no evidence either way).
+        if detail["calib_ok"]:
+            for q in fratios:
+                if fratios[q] > 1.25:
+                    streaks[q] = int(streaks.get(q, 0)) + 1
+                else:
+                    streaks.pop(q, None)
+        sustained = sorted(
+            q for q, s in streaks.items() if int(s) >= 3 and q in fratios
+        )
         srt = sorted(fratios.values())
         detail["vs_floor"] = {
             "ref": "BENCH_FLOOR.json",
             "ratio": fratios,
             "median_ratio": srt[len(srt) // 2] if srt else None,
             "regressions": floor_regressions,
+            "sustained": sustained,
             "weather_over_floor": weather,
             "over_floor_unpinned": unpinned,
+            "floor_reset_on_pin_change": floor_resets,
         }
         # Every run feeds the floor (r9: was calib_ok-gated). A MIN-merge
         # is weather-immune in the only direction that matters: host
@@ -605,18 +679,31 @@ def main() -> None:
         # calib_ok gate silently froze the floor on this host (observed:
         # a run beating 60% of floors — join-boundary 0.68x after its
         # replay shave — recorded nothing because one mid-probe hit a
-        # GC hiccup at 0.09% steal).
+        # GC hiccup at 0.09% steal). ADVICE r10 adds the one guard the
+        # unconditional merge lacked: a batch query's floor only lowers
+        # when its LIVE fingerprint matches the committed pin, so a
+        # transiently-broken working-tree query (doing less work on a
+        # different plan) can't poison the floor. Streaming queries have
+        # no cheap live fingerprint (STREAMFP needs a full planlog run);
+        # their guard is the pin-change reset above plus the oracle gate.
         updated = 0
+        not_lowered: list[str] = []
         for q, t in cur_all.items():
             if t < floor.get(q, 9e9):
+                if q in batch_pins and _live_fp(q) != batch_pins[q]:
+                    not_lowered.append(q)
+                    continue
                 floor[q] = t
+                if q in cur_pins:
+                    pins_rec[q] = cur_pins[q]
                 updated += 1
         floor_doc["floor"] = dict(sorted(floor.items()))
-        with open(os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_FLOOR.json"
-        ), "w") as f:
+        floor_doc["pins"] = dict(sorted(pins_rec.items()))
+        floor_doc["over_streak"] = dict(sorted(streaks.items()))
+        with open(os.path.join(root_, "BENCH_FLOOR.json"), "w") as f:
             json.dump(floor_doc, f, indent=1, sort_keys=True)
         detail["vs_floor"]["floor_entries_lowered"] = updated
+        detail["vs_floor"]["lower_blocked_fp_mismatch"] = sorted(not_lowered)
 
     root = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(root, "BENCH_DETAIL.json"), "w") as f:
@@ -639,8 +726,10 @@ def main() -> None:
         report["vs_floor"] = {
             "median_ratio": vf["median_ratio"],
             "regressions": vf["regressions"][:10],
+            "sustained": vf["sustained"][:10],
             "n_weather_over_floor": len(vf["weather_over_floor"]),
             "n_unpinned_over_floor": len(vf["over_floor_unpinned"]),
+            "n_floor_resets": len(vf["floor_reset_on_pin_change"]),
         }
     if prev_bench:
         report["vs_prev"] = {

@@ -215,6 +215,14 @@ def test_audio_fingerprint_planted_reencodes_surface(spark):
     assert planted == {(d, d + AFP_COPY_OFFSET) for (d,) in expected}
     assert all(r.l1_distance <= 3 for r in rows)
     # near-dups, not byte-dups: the re-encode's PCM genuinely differs
-    s6 = _wav_bytes(afp_samples(8))
+    # from the original's (ADVICE r9 — the old `s6 is not None` check
+    # was vacuous; compare the actual planted pair's container bytes)
+    from aws_localstack_stream_processing_spark.operators.multimodal import (
+        afp_reencode,
+    )
+
+    original = _wav_bytes(afp_samples(8))
+    reencoded = _wav_bytes(afp_reencode(afp_samples(8)))
+    assert reencoded != original
     copies = {r.track_b for r in rows if r.is_planted == 1}
-    assert 8 + AFP_COPY_OFFSET in copies and s6 is not None
+    assert 8 + AFP_COPY_OFFSET in copies
