@@ -113,3 +113,86 @@ def fingerprint(executed_plan: str) -> dict[str, int]:
                 counts[key] = counts.get(key, 0) + 1
                 break
     return counts
+
+
+# physical Exec class → fingerprint key for the JVM tree walk below
+# (ShuffleExchangeExec is keyed by its output partitioning, handled inline)
+_EXEC_KEYS: dict[str, str] = {
+    "BroadcastHashJoinExec": "broadcast_hash_join",
+    "SortMergeJoinExec": "sort_merge_join",
+    "ShuffledHashJoinExec": "shuffled_hash_join",
+    "BroadcastNestedLoopJoinExec": "broadcast_nl_join",
+    "CartesianProductExec": "cartesian",
+    "BroadcastExchangeExec": "broadcast_exchange",
+    "WindowExec": "window",
+    "WindowGroupLimitExec": "window_group_limit",
+    "HashAggregateExec": "hash_aggregate",
+    "ObjectHashAggregateExec": "object_hash_aggregate",
+    "SortAggregateExec": "sort_aggregate",
+    "TakeOrderedAndProjectExec": "take_ordered",
+    "FileSourceScanExec": "scan_parquet",
+    "InMemoryTableScanExec": "scan_memory",
+    "ArrowEvalPythonExec": "python_arrow_eval",
+    "BatchEvalPythonExec": "python_row_eval",
+    "FlatMapGroupsInPandasExec": "pandas_group_map",
+    "MapInPandasExec": "pandas_map",
+    "PythonMapInArrowExec": "pandas_map",
+    "GenerateExec": "generate",
+    "ExpandExec": "expand",
+}
+
+
+def aqe_final_fingerprint(df) -> dict[str, int]:
+    """Fingerprint of the runtime-FINAL adaptive plan (VERDICT r9 #7).
+
+    Call AFTER the DataFrame's own query execution ran (``collect()`` —
+    a write wraps the plan in a new QueryExecution and leaves this one
+    un-finalized). Walks the JVM plan TREE instead of parsing
+    ``toString()``: the executed-plan string reprints every
+    ``InMemoryRelation``'s definition at every read site with
+    indentation that breaks subtree slicing (measured on
+    ``graph_kcore_peel``: 24,965 lines, 519 nested adaptive plans, 9
+    physical joins printed 1,640 times), while the tree has exactly one
+    node per physical operator.
+
+    Walk rules: ``AdaptiveSparkPlanExec`` → its final plan; QueryStage
+    wrappers → their materialized plan; ``InMemoryTableScanExec``
+    counts as a cache read but its relation's DEFINITION is not entered
+    (the static fingerprint owns materialization shape);
+    ``Reused[Exchange|Subquery]Exec`` = no second execution, skipped;
+    subquery EXPRESSIONS are not entered (scalar spines — their
+    decisions are tiny-side by construction). The result is the
+    operator inventory of the plan that actually ran, so a runtime
+    broadcast↔sort-merge flip is a count delta here even when the
+    static plan is unchanged."""
+    counts: dict[str, int] = {}
+    stack = [df._jdf.queryExecution().executedPlan()]
+    while stack:
+        node = stack.pop()
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            stack.append(node.executedPlan())
+            continue
+        if cls.endswith("QueryStageExec"):
+            stack.append(node.plan())
+            continue
+        if cls in ("ReusedExchangeExec", "ReusedSubqueryExec"):
+            continue
+        if cls == "ShuffleExchangeExec":
+            part = node.outputPartitioning().getClass().getSimpleName()
+            if part.startswith("HashPartitioning"):
+                key = "exchange_hash"
+            elif part.startswith("RangePartitioning"):
+                key = "exchange_range"
+            else:
+                key = "exchange_single"
+            counts[key] = counts.get(key, 0) + 1
+        elif cls in _EXEC_KEYS:
+            key = _EXEC_KEYS[cls]
+            counts[key] = counts.get(key, 0) + 1
+            if cls == "InMemoryTableScanExec":
+                continue  # never enter the cached relation's definition
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return counts

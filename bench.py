@@ -458,6 +458,12 @@ def main() -> None:
         "sim_ann_filtered_topk",
         # round-7 (exact-rescore refine stage)
         "emb_ivfpq_refine",
+        # round-10 (streaming CDC→SCD2): timed IN ext rather than joining
+        # the excluded set — its per-trial cost is the 6-batch MERGE
+        # protocol itself (affected-bucket reads + overwrites, the
+        # operator under test), not replay harness; the CDC staging is
+        # content-cached so trials never pay the slice synthesis
+        "stream_cdc_scd2",
     ]
     # the ext showcase is held to the regression bar but is not the
     # headline: 3 trials (vs the headline's 4) keep total bench wall time
