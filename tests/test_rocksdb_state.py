@@ -152,3 +152,38 @@ def test_triple_chain_curves_on_rocksdb(rocksdb):
         ), f"{op}: no visible eviction under RocksDB"
     assert sum(r.rows_dropped_by_watermark for r in curve) > 0
     assert all(r.rocksdb == 1 for r in curve)
+
+
+def test_rocksdb_changelog_checkpointing_variant(rocksdb, duck):
+    """The configuration a 100 TB cluster actually ships: RocksDB with
+    CHANGELOG checkpointing (per-batch delta upload instead of full
+    SST-snapshot upload — Spark 4's
+    `...rocksdb.changelogCheckpointing.enabled`). Semantics must be
+    identical: the TTL-dedup boundary query stays oracle-exact and its
+    state curve keeps the same bounds, with provider evidence present."""
+    conf = (
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled"
+    )
+    prev = rocksdb.conf.get(conf, None)
+    rocksdb.conf.set(conf, "true")
+    try:
+        qd = QUERIES["stream_dedup_ttl_boundary"]
+        sdf = qd.fn(rocksdb, SF_DIR)
+        s_cols = sdf.columns
+        s_rows = [tuple(r) for r in sdf.collect()]
+        d_res = duck.execute(qd.oracle)
+        d_cols = [c[0] for c in d_res.description]
+        assert normalize(s_rows, s_cols) == normalize(
+            d_res.fetchall(), d_cols
+        )
+        curve = state_metrics_df(rocksdb).orderBy("batch_id").collect()
+        n = _events_count()
+        assert len(curve) == 6 and all(r.rocksdb == 1 for r in curve)
+        assert max(r.state_rows for r in curve) < n // 3
+        assert sum(r.rows_dropped_by_watermark for r in curve) > 0
+    finally:
+        if prev is None:
+            rocksdb.conf.unset(conf)
+        else:
+            rocksdb.conf.set(conf, prev)
