@@ -160,8 +160,10 @@ def aqe_final_fingerprint(df) -> dict[str, int]:
     counts as a cache read but its relation's DEFINITION is not entered
     (the static fingerprint owns materialization shape);
     ``Reused[Exchange|Subquery]Exec`` = no second execution, skipped;
-    subquery EXPRESSIONS are not entered (scalar spines — their
-    decisions are tiny-side by construction). The result is the
+    every node's executed subquery PLANS (``subqueries()`` — scalar/IN
+    subquery physical plans, each its own adaptive execution) are
+    walked too, so a query whose joins live entirely in scalar
+    subqueries still pins its runtime strategies. The result is the
     operator inventory of the plan that actually ran, so a runtime
     broadcast↔sort-merge flip is a count delta here even when the
     static plan is unchanged."""
@@ -195,4 +197,7 @@ def aqe_final_fingerprint(df) -> dict[str, int]:
         children = node.children()
         for i in range(children.size()):
             stack.append(children.apply(i))
+        subqueries = node.subqueries()
+        for i in range(subqueries.size()):
+            stack.append(subqueries.apply(i))
     return counts
