@@ -1799,13 +1799,24 @@ def stream_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     _apply_state_store(spark)
-    q = (
-        stream.writeStream.foreachBatch(sink.merge_batch)
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # the merge's window/dedup exchanges run over one ~n/6-row slice per
+    # batch: 4 shuffle partitions, the _to_memory discipline (A/B at
+    # sf0.1 min-of-3: 32 parts 3.72 s, 8 parts 3.38, 4 parts 3.08 — the
+    # per-partition fixed cost of 6 batches × {distinct, window,
+    # localCheckpoint, overwrite} dominates data parallelism at harness
+    # volume; a real deployment keeps the session default)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(sink.merge_batch)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     _note_plan(q)
     _note_state(q)
     return sink.read(spark).select(
