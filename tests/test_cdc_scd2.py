@@ -1,10 +1,11 @@
 """Idempotence pins for the streaming CDC→SCD2 merge (VERDICT r9 #4).
 
 The oracle already proves one clean run equals the batch recompute; these
-tests pin the fault-tolerance claims: a replayed micro-batch is a no-op,
-and a full at-least-once replay over an already-populated history table
+tests pin the fault-tolerance matrix: a replayed micro-batch is a no-op,
+a full at-least-once replay over an already-populated history table
 (checkpoint lost entirely — strictly worse than any real restart) still
-converges to the same table.
+converges to the same table, and a checkpointed RESUME merges only the
+new slices with batch numbering continued.
 """
 
 from __future__ import annotations
@@ -116,3 +117,68 @@ def test_merge_touches_only_affected_buckets(spark):
         ("signup", False),
         ("error", True),
     ]
+
+
+def test_checkpoint_resume_continues_exactly_once(spark):
+    """The third cell of the fault matrix (replayed batch, lost
+    checkpoint, and now RESUME): a stream stopped after 3 of 6 slices
+    and restarted with the SAME checkpoint must merge only the new
+    slices — batch ids continue where the checkpoint left off, no slice
+    is re-delivered to the sink — and the final history equals the
+    clean run's."""
+    import os
+    import shutil
+
+    from aws_localstack_stream_processing_spark.streaming.statestore import (
+        apply_state_store,
+    )
+
+    src = staged_cdc_slices(SF_DIR)
+    work = tempfile.mkdtemp(prefix="slsp_scd2_resume_")
+    part_src = os.path.join(work, "src")
+    os.makedirs(part_src)
+    ckpt = os.path.join(work, "ckpt")
+
+    class RecordingSink(Scd2ParquetSink):
+        def __init__(self, path):
+            super().__init__(path)
+            self.batch_ids = []
+
+        def merge_batch(self, batch_df, batch_id):
+            self.batch_ids.append(batch_id)
+            super().merge_batch(batch_df, batch_id)
+
+    sink = RecordingSink(os.path.join(work, "history"))
+    schema = spark.read.parquet(f"{src}/f0.parquet").schema
+
+    def run_stream():
+        apply_state_store(spark)
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(part_src)
+            .writeStream.foreachBatch(sink.merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for k in range(3):
+        p = os.path.join(part_src, f"f{k}.parquet")
+        shutil.copy2(f"{src}/f{k}.parquet", p)  # copy2 keeps mtime order
+    run_stream()
+    first = list(sink.batch_ids)
+    assert first == [0, 1, 2]
+    for k in range(3, 6):
+        shutil.copy2(f"{src}/f{k}.parquet", os.path.join(part_src, f"f{k}.parquet"))
+    run_stream()
+    resumed = sink.batch_ids[len(first):]
+    # checkpoint-driven resume: ONLY the new slices, numbered onward
+    assert resumed == [3, 4, 5], (first, resumed)
+
+    clean = all_queries()["stream_cdc_scd2"].fn(spark, SF_DIR)
+    clean_rows = normalize(
+        [tuple(r) for r in clean.collect()], clean.columns
+    )[1]
+    assert _history_rows(spark, sink) == clean_rows
