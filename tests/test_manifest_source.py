@@ -154,3 +154,66 @@ def test_append_manifest_auto_alloc_race(tmp_path):
     assert all(
         not f.startswith(".alloc") for f in os.listdir(manifest_dir(lake))
     )
+
+
+def test_append_manifest_hardlink_fallback_errnos(tmp_path, monkeypatch):
+    """ADVICE r9: the hard-link publish downgrades to the O_EXCL claim
+    ONLY for errnos meaning 'links unsupported on this mount' — now
+    including ENOSYS (link() unimplemented) — while EPERM additionally
+    warns (it doubles as a genuine permission denial) and a real I/O
+    error must propagate, never silently weaken the commit guarantee."""
+    import errno
+    import json
+    import os
+    import warnings
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from aws_localstack_stream_processing_spark.sources.manifest_datasource import (
+        append_manifest,
+        manifest_dir,
+        read_manifest,
+    )
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    data = f"{lake}/a.parquet"
+    pq.write_table(pa.table({"x": [1, 2, 3]}), data)
+
+    def deny(code):
+        def link(src, dst, **kw):
+            raise OSError(code, os.strerror(code), dst)
+
+        return link
+
+    # ENOSYS: fallback, no warning, commit lands and reads back
+    monkeypatch.setattr(os, "link", deny(errno.ENOSYS))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning would fail
+        cid = append_manifest(lake, [data])
+    assert [os.path.basename(p) for p, _, _ in read_manifest(lake)] == [
+        "a.parquet"
+    ]
+
+    # EPERM: fallback succeeds but the downgrade is made visible
+    monkeypatch.setattr(os, "link", deny(errno.EPERM))
+    with pytest.warns(RuntimeWarning, match="EPERM"):
+        append_manifest(lake, [data])
+
+    # EPERM fallback still honours the exclusive claim: pre-claim the
+    # next id, the allocator must skip it, not clobber it
+    rival = os.path.join(manifest_dir(lake), f"{cid + 2:010d}.json")
+    with open(rival, "w") as fh:
+        json.dump([{"path": "rival.parquet", "rows": 9}], fh)
+    with pytest.warns(RuntimeWarning):
+        cid3 = append_manifest(lake, [data])
+    assert cid3 == cid + 3
+    with open(rival) as fh:
+        assert json.load(fh)[0]["path"] == "rival.parquet"
+
+    # EIO: a genuine I/O failure must surface, not downgrade
+    monkeypatch.setattr(os, "link", deny(errno.EIO))
+    with pytest.raises(OSError):
+        append_manifest(lake, [data])
