@@ -112,8 +112,60 @@ class Scd2ParquetSink:
 
         return bool(glob.glob(os.path.join(self.path, "bucket=*")))
 
-    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+    @staticmethod
+    def merge_plan(cand: DataFrame) -> DataFrame:
+        """The MERGE's pure plan: change records (columns ``user_id,
+        attr, ts_s, event_id, bucket`` — new candidates already unioned
+        with the affected buckets' read-back history) → rebuilt version
+        rows. Exposed separately from :meth:`merge_batch` so its shape
+        is plan-lintable like every registered query: exact-duplicate
+        dedup, LAG run-collapse, and ROW_NUMBER/LEAD reversioning ALL
+        partition on ``user_id`` — one hash exchange end to end, no
+        global window (pinned in ``tests/test_cdc_scd2.py``).
+
+        The dedup is LAG-based rather than ``dropDuplicates``: exact
+        copies share the full ``(user_id, ts_s, event_id)`` key, so in
+        the user-partitioned (ts_s, event_id) ordering every copy is
+        ADJACENT to another and a lag-equality filter removes all but
+        one (k identical rows: each of rows 2..k sees an identical
+        predecessor — lag reads the pre-filter sequence). A
+        ``dropDuplicates`` would shuffle on the 3-column key and the
+        windows would shuffle AGAIN on user_id; the lag form rides the
+        windows' own exchange (plan-pinned: exactly one
+        hashpartitioning — found when the shape test caught the
+        two-exchange version)."""
         from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+        deduped = (
+            cand.withColumn(
+                "same_key",
+                F.lag("ts_s").over(w).eqNullSafe(F.col("ts_s"))
+                & F.lag("event_id").over(w).eqNullSafe(F.col("event_id")),
+            )
+            .filter(~F.col("same_key"))
+            .drop("same_key")
+        )
+        collapsed = (
+            deduped.withColumn("prev_attr", F.lag("attr").over(w))
+            .filter(
+                F.col("prev_attr").isNull()
+                | (F.col("prev_attr") != F.col("attr"))
+            )
+            .drop("prev_attr")
+        )
+        return collapsed.select(
+            "user_id",
+            "attr",
+            F.row_number().over(w).cast("bigint").alias("version_n"),
+            F.col("ts_s").alias("valid_from_s"),
+            F.lead("ts_s").over(w).alias("valid_to_s"),
+            "event_id",
+            "bucket",
+        ).withColumn("is_current", F.col("valid_to_s").isNull())
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
         spark = batch_df.sparkSession
@@ -140,26 +192,7 @@ class Scd2ParquetSink:
                 )
             )
             cand = cand.unionByName(old)
-        # at-least-once absorption: redelivered records are EXACT copies
-        cand = cand.dropDuplicates(["user_id", "ts_s", "event_id"])
-        w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
-        collapsed = (
-            cand.withColumn("prev_attr", F.lag("attr").over(w))
-            .filter(
-                F.col("prev_attr").isNull()
-                | (F.col("prev_attr") != F.col("attr"))
-            )
-            .drop("prev_attr")
-        )
-        versioned = collapsed.select(
-            "user_id",
-            "attr",
-            F.row_number().over(w).cast("bigint").alias("version_n"),
-            F.col("ts_s").alias("valid_from_s"),
-            F.lead("ts_s").over(w).alias("valid_to_s"),
-            "event_id",
-            "bucket",
-        ).withColumn("is_current", F.col("valid_to_s").isNull())
+        versioned = self.merge_plan(cand)
         # cut lineage from self.path BEFORE overwriting it
         out = versioned.localCheckpoint(eager=True)
         prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")

@@ -182,3 +182,39 @@ def test_checkpoint_resume_continues_exactly_once(spark):
         [tuple(r) for r in clean.collect()], clean.columns
     )[1]
     assert _history_rows(spark, sink) == clean_rows
+
+
+def test_merge_plan_single_user_exchange(spark):
+    """The MERGE plan's scale shape, lint-style (the registry lint never
+    sees foreachBatch jobs): dedup, run-collapse, and reversioning must
+    all ride ONE user_id hash exchange — no global (unpartitioned)
+    window, no extra shuffle between the window passes."""
+    schema = "user_id BIGINT, attr STRING, ts_s BIGINT, event_id BIGINT"
+    from pyspark.sql import functions as F
+
+    cand = (
+        spark.createDataFrame(
+            [(u, "signup", 1000 + u, u) for u in range(1, 9)], schema
+        ).withColumn(
+            "bucket",
+            F.pmod("user_id", F.lit(Scd2ParquetSink.N_BUCKETS)).cast("int"),
+        )
+    )
+    plan = (
+        Scd2ParquetSink.merge_plan(cand)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exactly one exchange, and it hash-partitions on user_id
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) == 1, plan
+    assert "user_id" in exchanges[0]
+    assert "SinglePartition" not in plan
+    # no window runs without a PARTITION BY (the single-partition trap)
+    for ln in plan.splitlines():
+        stripped = ln.strip(" :+-*(0123456789)")
+        if stripped.startswith("Window "):
+            assert "user_id" in ln, f"unpartitioned window: {ln}"
