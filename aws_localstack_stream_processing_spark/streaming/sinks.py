@@ -40,12 +40,34 @@ class KeyedParquetSink:
         irrelevant here: same key ⇒ same payload, PK = content hash);
         cross-batch and cross-run duplicates drop via anti-join on the
         sink's key set.
+
+        Broadcast direction matters at scale (r10, found by the plan
+        audit that fixed the SCD2 merge): the naive
+        ``fresh LEFT ANTI store`` plans as ``BroadcastHashJoin LeftAnti
+        BuildRight`` — Spark can only build the RIGHT side of an anti
+        join, so every micro-batch would broadcast the STORE's whole
+        key column, which grows without bound. Rewritten as two joins
+        that only ever broadcast batch-sized sets: the store is probed
+        with a semi join against the BROADCAST batch keys (the
+        Bloom-filter shape — one store scan, no store shuffle, no store
+        broadcast; ≤|batch| rows survive), then the batch anti-joins
+        that tiny hit set. The residual per-batch store SCAN is the
+        layout lever bucketing addresses (``Scd2ParquetSink``'s
+        affected-bucket pruning); plan shape pinned in
+        ``tests/test_sinks_metrics.py``.
         """
+        from pyspark.sql import functions as F
+
         spark = batch_df.sparkSession
         fresh = batch_df.dropDuplicates([self.key_col])
         if self.exists(spark):
             seen = spark.read.parquet(self.path).select(self.key_col)
-            fresh = fresh.join(seen, self.key_col, "left_anti")
+            hits = seen.join(
+                F.broadcast(fresh.select(self.key_col)),
+                self.key_col,
+                "left_semi",
+            ).distinct()
+            fresh = fresh.join(F.broadcast(hits), self.key_col, "left_anti")
         fresh.write.mode("append").parquet(self.path)
 
     def read(self, spark: SparkSession) -> DataFrame:
