@@ -260,14 +260,35 @@ def committed_batches(path: str) -> list[str]:
     )
 
 
-def read_kv_table(spark: SparkSession, path: str, key_col: str) -> DataFrame:
+def read_kv_table(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    probe: DataFrame | None = None,
+) -> DataFrame:
     """The store's upsert view: last-writer-wins per key across committed
     batches (ties within a batch are same-key ⇒ same-payload by the PK
-    contract, so any representative is correct)."""
+    contract, so any representative is correct).
+
+    ``probe``: optional key set to bound the view to. A per-micro-batch
+    caller (``AlarmActionSink.process_batch``) only needs the store rows
+    whose keys appear in the batch — without the probe, the last-writer
+    groupBy shuffles the ENTIRE store every micro-batch (store-sized
+    exchange, unbounded as batches accumulate). With it, the store scan
+    is semi-joined against the BROADCAST probe keys first (the same
+    Bloom-filter shape as ``KeyedParquetSink.probe_plan``: one store
+    scan, no store shuffle/broadcast), so only matching rows reach the
+    aggregation — per-batch shuffle ∝ |batch|, not ∝ |store|."""
     dirs = committed_batches(path)
     if not dirs:
         raise FileNotFoundError(f"kv_upsert: no committed batches under {path}")
     df = spark.read.option("basePath", path).parquet(*dirs)
+    if probe is not None:
+        df = df.join(
+            F.broadcast(probe.select(key_col).distinct()),
+            key_col,
+            "left_semi",
+        )
     payload = [c for c in df.columns if c not in (key_col, "batch")]
     return (
         df.groupBy(key_col)

@@ -56,6 +56,31 @@ class AlarmActionSink:
         self.actions_path = os.path.join(store_dir, "actions")
         self.threshold = threshold
 
+    @staticmethod
+    def diff_plan(st: DataFrame, prev: DataFrame | None) -> DataFrame:
+        """The emission's pure plan (plan-lintable, like
+        ``KeyedParquetSink.probe_plan``): only slots whose state CHANGED
+        since last stored — a replayed batch diffs to empty, so the log
+        never double-pages.
+
+        ``prev`` arrives already probe-pruned to the batch's slots
+        (``read_kv_table(..., probe=st)``), so it is ≤|batch| rows and
+        rides the broadcast side of the left join explicitly. Without
+        the bound, Spark's only broadcastable side of a LEFT OUTER join
+        is the build-right STORE — the same unbounded-broadcast defect
+        the r10 plan audit found in the keyed sink (plan pinned in
+        ``tests/test_alarm_actions.py``)."""
+        if prev is None:
+            return st
+        return (
+            st.join(F.broadcast(prev), "slot", "left")
+            .filter(
+                (F.col("prev_state").isNull())
+                | (F.col("prev_state") != F.col("state"))
+            )
+            .drop("prev_state")
+        )
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..sources.kv_sink_datasource import (
             read_kv_table,
@@ -74,19 +99,14 @@ class AlarmActionSink:
             "state",
         )
         try:
-            prev = read_kv_table(spark, self.state_path, "slot").select(
-                "slot", F.col("state").alias("prev_state")
-            )
+            # probe-pruned: the store never shuffles or broadcasts; only
+            # rows for the batch's slots reach the last-writer groupBy
+            prev = read_kv_table(
+                spark, self.state_path, "slot", probe=st
+            ).select("slot", F.col("state").alias("prev_state"))
         except FileNotFoundError:
             prev = None
-        # the emission: only slots whose state CHANGED since last stored —
-        # a replayed batch diffs to empty, so the log never double-pages
-        diff = st if prev is None else (
-            st.join(prev, "slot", "left").filter(
-                (F.col("prev_state").isNull())
-                | (F.col("prev_state") != F.col("state"))
-            ).drop("prev_state")
-        )
+        diff = self.diff_plan(st, prev)
         diff.write.format("kv_upsert").option("path", self.actions_path).mode(
             "append"
         ).save()

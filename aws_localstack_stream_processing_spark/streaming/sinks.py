@@ -22,7 +22,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class KeyedParquetSink:
-    """Append-only parquet table that behaves like a keyed KV store."""
+    """Append-only parquet table that behaves like a keyed KV store.
+
+    Layout: hash-bucketed by key — every row lands in partition
+    ``__bucket = pmod(xxhash64(key), N_BUCKETS)``. The put-if-absent
+    probe then reads ONLY the buckets the batch's keys can live in
+    (hive partition pruning), so per-batch probe cost is
+    O(store/N_BUCKETS × affected buckets), not O(store) — the same
+    layout lever ``Scd2ParquetSink`` uses for its MERGE, applied to the
+    read side. At 100 TB this is the difference between a full store
+    scan per micro-batch and a bounded bucket probe; N_BUCKETS scales
+    with store size exactly like Delta/Iceberg bucket counts.
+    """
+
+    N_BUCKETS = 16
+    BUCKET_COL = "__bucket"
 
     def __init__(self, path: str, key_col: str):
         self.path = path
@@ -30,48 +44,76 @@ class KeyedParquetSink:
 
     def exists(self, spark: SparkSession) -> bool:
         return os.path.isdir(self.path) and any(
-            f.endswith(".parquet") for f in os.listdir(self.path)
+            f.startswith(f"{self.BUCKET_COL}=") for f in os.listdir(self.path)
         )
 
-    def upsert_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """foreachBatch hook: put-if-absent per key.
+    def _bucket_expr(self):
+        from pyspark.sql import functions as F
 
-        Within-batch duplicates collapse first (last write wins is
-        irrelevant here: same key ⇒ same payload, PK = content hash);
-        cross-batch and cross-run duplicates drop via anti-join on the
-        sink's key set.
+        return F.pmod(
+            F.xxhash64(F.col(self.key_col)), F.lit(self.N_BUCKETS)
+        ).cast("int")
+
+    @staticmethod
+    def probe_plan(seen: DataFrame, fresh: DataFrame, key_col: str) -> DataFrame:
+        """The put-if-absent probe's pure plan (plan-lintable, like
+        ``Scd2ParquetSink.merge_plan``): given the store's key column
+        (already bucket-pruned) and the deduped batch, return the
+        batch rows whose keys are NOT in the store.
 
         Broadcast direction matters at scale (r10, found by the plan
         audit that fixed the SCD2 merge): the naive
         ``fresh LEFT ANTI store`` plans as ``BroadcastHashJoin LeftAnti
         BuildRight`` — Spark can only build the RIGHT side of an anti
         join, so every micro-batch would broadcast the STORE's whole
-        key column, which grows without bound. Rewritten as two joins
-        that only ever broadcast batch-sized sets: the store is probed
-        with a semi join against the BROADCAST batch keys (the
-        Bloom-filter shape — one store scan, no store shuffle, no store
-        broadcast; ≤|batch| rows survive), then the batch anti-joins
-        that tiny hit set. The residual per-batch store SCAN is the
-        layout lever bucketing addresses (``Scd2ParquetSink``'s
-        affected-bucket pruning); plan shape pinned in
-        ``tests/test_sinks_metrics.py``.
+        key column, which grows without bound. Instead: two joins that
+        only ever broadcast batch-sized sets — the store is probed with
+        a semi join against the BROADCAST batch keys (the Bloom-filter
+        shape — one store scan, no store shuffle, no store broadcast;
+        ≤|batch| rows survive), then the batch anti-joins that tiny hit
+        set. Plan shape pinned in ``tests/test_sinks_metrics.py``.
+        """
+        from pyspark.sql import functions as F
+
+        hits = seen.join(
+            F.broadcast(fresh.select(key_col)), key_col, "left_semi"
+        ).distinct()
+        return fresh.join(F.broadcast(hits), key_col, "left_anti")
+
+    def upsert_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch hook: put-if-absent per key.
+
+        Within-batch duplicates collapse first (last write wins is
+        irrelevant here: same key ⇒ same payload, PK = content hash);
+        cross-batch and cross-run duplicates drop via the bucket-pruned
+        probe (:meth:`probe_plan`) — affected buckets are a bounded
+        driver collect (≤ N_BUCKETS values), the store read prunes to
+        those hive partitions, and only batch-sized key sets ever ride
+        a broadcast.
         """
         from pyspark.sql import functions as F
 
         spark = batch_df.sparkSession
-        fresh = batch_df.dropDuplicates([self.key_col])
+        fresh = batch_df.dropDuplicates([self.key_col]).withColumn(
+            self.BUCKET_COL, self._bucket_expr()
+        )
         if self.exists(spark):
-            seen = spark.read.parquet(self.path).select(self.key_col)
-            hits = seen.join(
-                F.broadcast(fresh.select(self.key_col)),
-                self.key_col,
-                "left_semi",
-            ).distinct()
-            fresh = fresh.join(F.broadcast(hits), self.key_col, "left_anti")
-        fresh.write.mode("append").parquet(self.path)
+            buckets = [
+                r[0]
+                for r in fresh.select(self.BUCKET_COL).distinct().collect()
+            ]
+            seen = (
+                spark.read.parquet(self.path)
+                .filter(F.col(self.BUCKET_COL).isin(buckets))
+                .select(self.key_col)
+            )
+            fresh = self.probe_plan(seen, fresh, self.key_col)
+        fresh.write.mode("append").partitionBy(self.BUCKET_COL).parquet(
+            self.path
+        )
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.path)
+        return spark.read.parquet(self.path).drop(self.BUCKET_COL)
 
 
 class Scd2ParquetSink:

@@ -124,3 +124,60 @@ def test_replay_is_idempotent(spark, src_dir, store):
     }
     assert after_view == before_view
     assert after_log == before_log  # no slot re-paged by the replay
+
+
+def test_diff_plan_never_shuffles_or_broadcasts_the_store(spark, store):
+    """r10 sink plan audit, alarm edition: the per-batch emission diff
+    must bound the store BEFORE it rides any exchange. Two pins on the
+    executed plan of the exact per-batch construction:
+
+    1. the store scan is semi-joined against broadcast batch slots
+       (Bloom-filter shape) before the last-writer groupBy — so the
+       only hash exchange fed by the store scan carries semi-filtered
+       (≤|batch|-keyed) rows, and
+    2. every BroadcastExchange subtree that contains the store scan
+       also contains that LeftSemi bound — the store's raw key column
+       never broadcasts (the unbounded-broadcast defect the audit found
+       in the keyed sink)."""
+    import re
+
+    from aws_localstack_stream_processing_spark.sources.kv_sink_datasource import (
+        read_kv_table,
+    )
+
+    # the batch's complete-mode state table, rebuilt exactly as
+    # process_batch shapes it (3 slots is enough to pin the plan)
+    st = spark.createDataFrame(
+        [("a|2024-03-01 02", "a", "2024-03-01 02:00:00", 2, "ALARM")],
+        "slot string, event_type string, hour string, n long, state string",
+    )
+    prev = read_kv_table(spark, f"{store}/state", "slot", probe=st).select(
+        "slot", F.col("state").alias("prev_state")
+    )
+    diff = AlarmActionSink.diff_plan(st, prev)
+    diff.collect()
+    plan = diff._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    depth = [re.match(r"^[\s:+\-]*", ln).end() for ln in lines]
+
+    def subtree(i):
+        out = []
+        j = i + 1
+        while j < len(lines) and depth[j] > depth[i]:
+            out.append(lines[j])
+            j += 1
+        return out
+
+    assert any("LeftSemi" in ln for ln in lines), plan  # probe bound exists
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        sub = subtree(i)
+        if any("Scan parquet" in s or "FileScan parquet" in s for s in sub):
+            assert any("LeftSemi" in s for s in sub), (
+                "store scan broadcast without a batch-slot semi bound:\n"
+                + "\n".join(sub[:10])
+            )
+    # and behavior: pruned prev answers the diff exactly — the ALARM slot
+    # is already stored with the same state, so the diff is empty
+    assert diff.count() == 0

@@ -103,10 +103,7 @@ def test_keyed_sink_never_broadcasts_the_store(spark, tmp_path):
     )
     fresh = batch.dropDuplicates(["key"])
     seen = spark.read.parquet(sink.path).select("key")
-    hits = seen.join(
-        F.broadcast(fresh.select("key")), "key", "left_semi"
-    ).distinct()
-    new = fresh.join(F.broadcast(hits), "key", "left_anti")
+    new = KeyedParquetSink.probe_plan(seen, fresh, "key")
     new.collect()
     plan = new._jdf.queryExecution().executedPlan().toString()
     lines = plan.splitlines()
@@ -143,3 +140,92 @@ def test_keyed_sink_never_broadcasts_the_store(spark, tmp_path):
     n1 = sink.read(spark).count()
     sink.upsert_batch(batch, 1)
     assert sink.read(spark).count() == n1 == 2100
+
+
+def test_keyed_sink_probe_prunes_to_affected_buckets(spark, tmp_path):
+    """r10 layout lever: the store is hash-bucketed by key, so a batch
+    that touches k buckets must probe ONLY those k hive partitions — the
+    probe's store scan carries a __bucket partition filter and its input
+    files stay inside the affected bucket directories. Without pruning
+    the per-batch probe is a full store scan, which at 100 TB is the
+    sink's entire cost."""
+    from pyspark.sql import functions as F
+
+    from aws_localstack_stream_processing_spark.streaming.sinks import (
+        KeyedParquetSink,
+    )
+
+    sink = KeyedParquetSink(str(tmp_path / "kv"), "key")
+    seed = spark.range(4000).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("key"),
+        F.lit("v").alias("payload"),
+    )
+    sink.upsert_batch(seed, 0)
+    store = spark.read.parquet(sink.path)
+    all_buckets = {
+        r[0] for r in store.select(sink.BUCKET_COL).distinct().collect()
+    }
+    assert len(all_buckets) == sink.N_BUCKETS  # 4000 keys fill all 16
+
+    # a 3-key batch touches ≤3 buckets; rebuild the sink's pruned probe
+    batch = spark.range(3).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("key"),
+        F.lit("v").alias("payload"),
+    )
+    fresh = batch.dropDuplicates(["key"]).withColumn(
+        sink.BUCKET_COL, sink._bucket_expr()
+    )
+    buckets = [r[0] for r in fresh.select(sink.BUCKET_COL).distinct().collect()]
+    assert 1 <= len(buckets) <= 3
+    seen = (
+        spark.read.parquet(sink.path)
+        .filter(F.col(sink.BUCKET_COL).isin(buckets))
+        .select("key")
+    )
+    probe = KeyedParquetSink.probe_plan(seen, fresh, "key")
+    probe.collect()
+    # partition pruning is visible in BOTH the plan and the scan metric:
+    # the store scan's PartitionFilters carry the __bucket IN (...) and
+    # numFiles counts only the affected buckets' files
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert f"PartitionFilters: [{sink.BUCKET_COL}" in plan, plan
+    import glob
+    import os
+
+    files_in = lambda pat: len(  # noqa: E731
+        glob.glob(os.path.join(sink.path, pat, "*.parquet"))
+    )
+    total_files = files_in(f"{sink.BUCKET_COL}=*")
+    affected_files = sum(
+        files_in(f"{sink.BUCKET_COL}={b}") for b in buckets
+    )
+    # walk the AQE-final tree (planfp's rules) to reach the real scans
+    stack = [probe._jdf.queryExecution().executedPlan()]
+    scanned = []
+    while stack:
+        node = stack.pop()
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            stack.append(node.executedPlan())
+            continue
+        if cls.endswith("QueryStageExec"):
+            stack.append(node.plan())
+            continue
+        if cls == "FileSourceScanExec":
+            scanned.append(int(node.metrics().apply("numFiles").value()))
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    assert affected_files in scanned, (scanned, affected_files, total_files)
+    assert all(s < total_files for s in scanned)
+    # and the pruned probe still answers correctly: all 3 keys are dups
+    assert probe.count() == 0
+    # a genuinely new key in an already-probed bucket still lands
+    sink.upsert_batch(
+        spark.range(4000, 4001).select(
+            F.sha2(F.col("id").cast("string"), 256).alias("key"),
+            F.lit("v").alias("payload"),
+        ),
+        1,
+    )
+    assert sink.read(spark).count() == 4001
