@@ -648,6 +648,32 @@ def main() -> None:
                 continue
             live = _live_fp(q)
             (floor_regressions if live != batch_pins[q] else weather).append(q)
+        # Board-level weather detector (r10 continuation). The JVM-spin/
+        # steal calibration misses machine states that slow EVERY query
+        # uniformly (CPU frequency, cache/memory-bandwidth contention):
+        # one observed calib_ok window put 72 of 98 git-untouched,
+        # plan-identical queries 1.3-2.0x over floor simultaneously and
+        # pushed a false `sustained` flag. The floor board itself is the
+        # better instrument — >100 pinned queries form an internal
+        # control group, and a genuine code regression cannot move the
+        # board MEDIAN (it touches a handful of queries; the median is
+        # robust to them). A run whose median floor ratio exceeds 1.20
+        # is adjudicated board-degraded: over_streak counters do NOT
+        # increment (streak RESETS still apply — reading fast in a slow
+        # window is strong evidence), so `sustained` can only be raised
+        # by quiet windows. The blind spot this opens — a real global
+        # regression (session-conf, serializer) that inflates the whole
+        # board — is covered by `board_history`: the last 8 gated runs'
+        # medians; 3 consecutive degraded gated runs raise
+        # `board_sustained`, which is a flag to investigate the ENGINE,
+        # not any one query.
+        srt = sorted(fratios.values())
+        board_median = srt[len(srt) // 2] if srt else None
+        board_degraded = (
+            board_median is not None
+            and len(srt) >= 20
+            and board_median > 1.20
+        )
         # Sustained-over-floor rule (VERDICT r9 #2): the fingerprint
         # adjudication above is blind to same-plan slowdowns (a slower
         # UDF body, a fatter serialized payload). A query >1.25x floor
@@ -659,17 +685,26 @@ def main() -> None:
         if detail["calib_ok"]:
             for q in fratios:
                 if fratios[q] > 1.25:
-                    streaks[q] = int(streaks.get(q, 0)) + 1
+                    if not board_degraded:
+                        streaks[q] = int(streaks.get(q, 0)) + 1
                 else:
                     streaks.pop(q, None)
+            hist = floor_doc.setdefault("board_history", [])
+            hist.append(round(board_median, 3) if board_median else None)
+            del hist[:-8]
         sustained = sorted(
             q for q, s in streaks.items() if int(s) >= 3 and q in fratios
         )
-        srt = sorted(fratios.values())
+        board_hist = floor_doc.get("board_history", [])
+        board_sustained = len(board_hist) >= 3 and all(
+            m is not None and m > 1.20 for m in board_hist[-3:]
+        )
         detail["vs_floor"] = {
             "ref": "BENCH_FLOOR.json",
             "ratio": fratios,
-            "median_ratio": srt[len(srt) // 2] if srt else None,
+            "median_ratio": board_median,
+            "board_degraded": board_degraded,
+            "board_sustained": board_sustained,
             "regressions": floor_regressions,
             "sustained": sustained,
             "weather_over_floor": weather,
@@ -731,6 +766,8 @@ def main() -> None:
         vf = detail["vs_floor"]
         report["vs_floor"] = {
             "median_ratio": vf["median_ratio"],
+            "board_degraded": vf["board_degraded"],
+            "board_sustained": vf["board_sustained"],
             "regressions": vf["regressions"][:10],
             "sustained": vf["sustained"][:10],
             "n_weather_over_floor": len(vf["weather_over_floor"]),
