@@ -115,6 +115,68 @@ class KeyedParquetSink:
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path).drop(self.BUCKET_COL)
 
+    def compact(
+        self, spark: SparkSession, max_files_per_bucket: int = 8
+    ) -> list[int]:
+        """Bucket-local small-file compaction.
+
+        An append-only bucketed store accrues one file per (batch,
+        bucket); after B batches every probe of a bucket opens ~B tiny
+        files — the classic streaming-sink small-files problem (at
+        100 TB: footer reads and NameNode/listing pressure dominate).
+        Rewrite each bucket whose file count exceeds the threshold into
+        a single file, bucket-locally: rows only move WITHIN their
+        bucket (one exchange keyed on the bucket column routes each
+        bucket to one task — the same job shape as a Delta OPTIMIZE
+        over selected partitions), and untouched buckets are not
+        rewritten (dynamic partition overwrite). The put-if-absent
+        contract is unchanged — same keys, same buckets, fewer files.
+
+        Bucket file counts come from a driver-side directory listing
+        (bounded: N_BUCKETS entries); at warehouse scale that listing
+        is the table manifest. Returns the compacted bucket ids.
+        """
+        import glob
+
+        from pyspark.sql import functions as F
+
+        todo = [
+            b
+            for b in range(self.N_BUCKETS)
+            if len(
+                glob.glob(
+                    os.path.join(
+                        self.path, f"{self.BUCKET_COL}={b}", "*.parquet"
+                    )
+                )
+            )
+            > max_files_per_bucket
+        ]
+        if not todo:
+            return []
+        merged = (
+            spark.read.parquet(self.path)
+            .filter(F.col(self.BUCKET_COL).isin(todo))
+            .repartition(F.col(self.BUCKET_COL))
+        )
+        # cut lineage from self.path BEFORE overwriting it (Spark forbids
+        # read-and-overwrite of the same path in one job — the same
+        # discipline as Scd2ParquetSink.merge_batch)
+        out = merged.localCheckpoint(eager=True)
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            out.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(
+                self.path
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+        return todo
+
 
 class Scd2ParquetSink:
     """Streaming CDC → type-2 history MERGE (SURVEY §2.1 S8 extended).

@@ -229,3 +229,68 @@ def test_keyed_sink_probe_prunes_to_affected_buckets(spark, tmp_path):
         1,
     )
     assert sink.read(spark).count() == 4001
+
+
+def test_keyed_sink_bucket_compaction(spark, tmp_path):
+    """Append-only bucketed stores accrue one file per (batch, bucket);
+    compact() must rewrite ONLY the over-threshold buckets down to one
+    file each, leave other buckets' files untouched, and preserve both
+    the read view and the put-if-absent contract."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_localstack_stream_processing_spark.streaming.sinks import (
+        KeyedParquetSink,
+    )
+
+    sink = KeyedParquetSink(str(tmp_path / "kv"), "key")
+    # 12 batches x ~200 keys: every bucket collects ~12 small files
+    for b in range(12):
+        sink.upsert_batch(
+            spark.range(b * 200, (b + 1) * 200).select(
+                F.sha2(F.col("id").cast("string"), 256).alias("key"),
+                F.lit(f"v{b}").alias("payload"),
+            ),
+            b,
+        )
+    files = lambda b: sorted(  # noqa: E731
+        glob.glob(os.path.join(sink.path, f"{sink.BUCKET_COL}={b}", "*.parquet"))
+    )
+    before_view = sorted(
+        (r.key, r.payload) for r in sink.read(spark).collect()
+    )
+    assert len(before_view) == 2400
+    pre_counts = {b: len(files(b)) for b in range(sink.N_BUCKETS)}
+    assert max(pre_counts.values()) > 8  # small-files problem is real
+
+    compacted = sink.compact(spark, max_files_per_bucket=8)
+    assert compacted  # something was over threshold
+    untouched = [b for b in range(sink.N_BUCKETS) if b not in compacted]
+    for b in compacted:
+        assert len(files(b)) == 1, f"bucket {b} not compacted"
+    for b in untouched:
+        assert len(files(b)) == pre_counts[b], f"bucket {b} was rewritten"
+    # the read view is byte-identical
+    after_view = sorted(
+        (r.key, r.payload) for r in sink.read(spark).collect()
+    )
+    assert after_view == before_view
+    # and the put-if-absent contract still holds over the compacted store
+    sink.upsert_batch(
+        spark.range(0, 300).select(  # 200 dups + 100 new (2400..2499 absent)
+            F.sha2(F.col("id").cast("string"), 256).alias("key"),
+            F.lit("vX").alias("payload"),
+        ),
+        99,
+    )
+    assert sink.read(spark).count() == 2400  # all 300 were dups of batch 0+1
+    sink.upsert_batch(
+        spark.range(2400, 2500).select(
+            F.sha2(F.col("id").cast("string"), 256).alias("key"),
+            F.lit("vN").alias("payload"),
+        ),
+        100,
+    )
+    assert sink.read(spark).count() == 2500
