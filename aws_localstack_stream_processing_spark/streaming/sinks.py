@@ -135,6 +135,16 @@ class KeyedParquetSink:
         Bucket file counts come from a driver-side directory listing
         (bounded: N_BUCKETS entries); at warehouse scale that listing
         is the table manifest. Returns the compacted bucket ids.
+
+        Crash tolerance: the rewrite rides Spark's dynamic-partition-
+        overwrite committer (stage, then swap per partition); a crash
+        mid-commit can leave an affected bucket with the old files
+        removed — plain-parquet overwrite has no metadata transaction.
+        Compaction is safe to re-run (idempotent given the same
+        inputs), but a production deployment puts this behind a
+        metadata-commit table format (Delta/Iceberg OPTIMIZE) or the
+        manifest pattern ``sources/manifest_datasource.py``
+        demonstrates, where readers only see marker-committed files.
         """
         import glob
 

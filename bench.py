@@ -172,20 +172,48 @@ def main() -> None:
     # round-over-round ratio of calib_sec separates "the engine changed"
     # from "the VM changed".
     def _calibrate() -> dict[str, float]:
-        jvm_trials, py_trials = [], []
+        jvm_trials, py_trials, one_trials, par_trials = [], [], [], []
+        ncpu = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         for _ in range(3):
             t0 = time.perf_counter()
             spark.range(100_000_000).selectExpr(
                 "sum(pmod(id * 2654435761, 1048576))"
             ).collect()
             jvm_trials.append(time.perf_counter() - t0)
+            # Parallel-efficiency pair: one true single-thread probe and
+            # one all-cores probe with IDENTICAL per-core work (100M
+            # rows of sustained arithmetic each). The jvm_sec spin above
+            # (100M rows split across default parallelism, ~3M/task) is
+            # too short per task to feel sustained-compute contention:
+            # observed r10, calib jvm 0.22 (quiet-normal) while every
+            # 32-thread query ran 1.3-2.0x over floor and a 10-trial
+            # re-probe plateaued there. jvm_par_eff = 1t/par separates
+            # "host is slow for parallel work" (co-tenant contention,
+            # SMT pressure, memory bandwidth — eff sags) from "queries
+            # regressed" (eff steady); the floor-board median
+            # adjudicates, this records the mechanism.
+            t0 = time.perf_counter()
+            spark.range(100_000_000, numPartitions=1).selectExpr(
+                "sum(pmod(id * 2654435761, 1048576))"
+            ).collect()
+            one_trials.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            spark.range(
+                100_000_000 * ncpu, numPartitions=ncpu
+            ).selectExpr("sum(pmod(id * 2654435761, 1048576))").collect()
+            par_trials.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
             acc = 0
             for i in range(3_000_000):
                 acc += i * 31 & 0xFFFFFFFF
             py_trials.append(time.perf_counter() - t0)
+        one = round(min(one_trials), 3)
+        par = round(min(par_trials), 3)
         return {
             "jvm_sec": round(min(jvm_trials), 3),
+            "jvm_1t_sec": one,
+            "jvm_par_sec": par,
+            "jvm_par_eff": round(one / par, 3) if par else None,
             "python_sec": round(min(py_trials), 3),
         }
 
@@ -692,6 +720,13 @@ def main() -> None:
             hist = floor_doc.setdefault("board_history", [])
             hist.append(round(board_median, 3) if board_median else None)
             del hist[:-8]
+            # parallel-efficiency history rides alongside the medians:
+            # board_sustained + an eff sagging below its own history =
+            # host (all-core throughput loss); board_sustained + steady
+            # eff = investigate the engine.
+            effh = floor_doc.setdefault("eff_history", [])
+            effh.append(calib.get("jvm_par_eff"))
+            del effh[:-8]
         sustained = sorted(
             q for q, s in streaks.items() if int(s) >= 3 and q in fratios
         )
