@@ -149,6 +149,154 @@ def _load_floor(sf_now: float) -> dict | None:
     return raw
 
 
+def adjudicate_floors(
+    floor_doc: dict,
+    cur_all: dict,
+    cur_pins: dict,
+    batch_pins: dict,
+    live_fp,
+    calib_ok: bool,
+    par_eff=None,
+    over_ratio: float = 1.25,
+    board_max: float = 1.20,
+    min_board: int = 20,
+) -> dict:
+    """The floor adjudication, pure and unit-testable (r10 continuation:
+    every piece of this logic has been refined by a live-run incident —
+    floor poisoning, pin-change staleness, the degraded-window streak
+    poison — so it is now a function of plain dicts, pinned by
+    ``tests/test_bench_floor.py`` instead of only by gated runs).
+
+    Mutates ``floor_doc`` in place (floor / pins / over_streak /
+    board_history / eff_history) and returns the ``vs_floor`` report.
+
+    Rules, in order:
+
+    * **Pin reset** (ADVICE r10): a floor only describes the plan it was
+      measured under. ``pins`` records, per query, the PLANFP/STREAMFP
+      pin value current when that floor entry was last written; when the
+      committed pin changes (an intentional plan change, pin regenerated
+      same commit), the stale floor is RESET so the query doesn't read
+      as over-floor "weather" forever — the new plan re-seeds its own
+      floor this run.
+    * **Fingerprint adjudication**: a query over ``over_ratio``x floor is
+      a REGRESSION only if its live plan fingerprint differs from the
+      committed pin; plan-identical exceedances are weather by
+      definition (the floor proves the same plan once ran that fast).
+      Queries with no batch pin (streaming) are listed as unpinned.
+    * **Board-level weather detector**: the JVM-spin/steal calibration
+      misses machine states that slow EVERY query uniformly (all-core
+      turbo, co-tenant contention, memory bandwidth): one observed
+      calib-ok window put 72 of 98 git-untouched, plan-identical queries
+      1.3-2.0x over floor simultaneously and pushed a false `sustained`
+      flag. The floor board itself is the better instrument — >100
+      pinned queries form an internal control group, and a genuine code
+      regression cannot move the board MEDIAN. A run whose median floor
+      ratio exceeds ``board_max`` is board-degraded: over_streak
+      counters do NOT increment (streak RESETS still apply — reading
+      fast in a slow window is strong evidence), so `sustained` can only
+      be raised by quiet windows. The blind spot this opens — a real
+      global regression inflating the whole board — is covered by
+      ``board_history`` (last 8 gated medians): 3 consecutive degraded
+      gated runs raise ``board_sustained``, and ``eff_history`` (the
+      calibration's parallel efficiency) attributes it — eff sagging
+      below its own history means the host, steady eff means the engine.
+    * **Sustained-over-floor** (VERDICT r9 #2): fingerprint adjudication
+      is blind to same-plan slowdowns (a slower UDF body, a fatter
+      serialized payload). A query over ``over_ratio``x floor in >=3
+      CONSECUTIVE calib-ok quiet runs is flagged even with an unchanged
+      fingerprint. Non-gated runs leave streaks untouched (their timings
+      carry no evidence either way).
+    * **Min-merge** (r9, + ADVICE r10 guard): every run feeds the floor —
+      host noise can only INFLATE a wall-clock trial, never deflate it,
+      so a new minimum is always a genuine "the same plan once ran this
+      fast". The one guard: a batch query's floor only lowers when its
+      LIVE fingerprint matches the committed pin, so a transiently-
+      broken working-tree query (doing less work on a different plan)
+      can't poison the floor. Streaming queries have no cheap live
+      fingerprint; their guard is the pin-change reset plus the oracle
+      gate.
+    """
+    floor = floor_doc["floor"]
+    pins_rec: dict = floor_doc.setdefault("pins", {})
+    streaks: dict = floor_doc.setdefault("over_streak", {})
+    floor_resets = sorted(
+        q for q in floor
+        if q in pins_rec and q in cur_pins and pins_rec[q] != cur_pins[q]
+    )
+    for q in floor_resets:
+        del floor[q]
+        del pins_rec[q]
+        streaks.pop(q, None)
+    fratios = {
+        q: round(t / floor[q], 2) for q, t in cur_all.items() if floor.get(q)
+    }
+    over = sorted(q for q, r in fratios.items() if r > over_ratio)
+    weather: list[str] = []
+    unpinned: list[str] = []
+    floor_regressions: list[str] = []
+    for q in over:
+        if q not in batch_pins:  # streaming: no batch fingerprint
+            unpinned.append(q)
+            continue
+        (floor_regressions if live_fp(q) != batch_pins[q] else weather).append(q)
+    srt = sorted(fratios.values())
+    board_median = srt[len(srt) // 2] if srt else None
+    board_degraded = (
+        board_median is not None
+        and len(srt) >= min_board
+        and board_median > board_max
+    )
+    if calib_ok:
+        for q in fratios:
+            if fratios[q] > over_ratio:
+                if not board_degraded:
+                    streaks[q] = int(streaks.get(q, 0)) + 1
+            else:
+                streaks.pop(q, None)
+        hist = floor_doc.setdefault("board_history", [])
+        hist.append(round(board_median, 3) if board_median else None)
+        del hist[:-8]
+        effh = floor_doc.setdefault("eff_history", [])
+        effh.append(par_eff)
+        del effh[:-8]
+    sustained = sorted(
+        q for q, s in streaks.items() if int(s) >= 3 and q in fratios
+    )
+    board_hist = floor_doc.get("board_history", [])
+    board_sustained = len(board_hist) >= 3 and all(
+        m is not None and m > board_max for m in board_hist[-3:]
+    )
+    updated = 0
+    not_lowered: list[str] = []
+    for q, t in cur_all.items():
+        if t < floor.get(q, 9e9):
+            if q in batch_pins and live_fp(q) != batch_pins[q]:
+                not_lowered.append(q)
+                continue
+            floor[q] = t
+            if q in cur_pins:
+                pins_rec[q] = cur_pins[q]
+            updated += 1
+    floor_doc["floor"] = dict(sorted(floor.items()))
+    floor_doc["pins"] = dict(sorted(pins_rec.items()))
+    floor_doc["over_streak"] = dict(sorted(streaks.items()))
+    return {
+        "ref": "BENCH_FLOOR.json",
+        "ratio": fratios,
+        "median_ratio": board_median,
+        "board_degraded": board_degraded,
+        "board_sustained": board_sustained,
+        "regressions": floor_regressions,
+        "sustained": sustained,
+        "weather_over_floor": weather,
+        "over_floor_unpinned": unpinned,
+        "floor_reset_on_pin_change": floor_resets,
+        "floor_entries_lowered": updated,
+        "lower_blocked_fp_mismatch": sorted(not_lowered),
+    }
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -587,21 +735,8 @@ def main() -> None:
     # plan-identical exceedances are weather by definition (the floor
     # proves the same plan once ran that fast on this host).
     floor_doc = _load_floor(sf)
-    floor_regressions: list[str] = []
     if floor_doc:
-        floor = floor_doc["floor"]
-        # Pin bookkeeping (ADVICE r10): a floor only describes the plan
-        # it was measured under. `pins` records, per query, the
-        # PLANFP/STREAMFP pin value current when that floor entry was
-        # last written; when the committed pin later changes (an
-        # intentional plan change, pin regenerated same commit), the
-        # stale floor is RESET so the query doesn't read as over-floor
-        # "weather" forever — the new plan re-seeds its own floor this
-        # run. `over_streak` tracks consecutive calib_ok runs over
-        # 1.25x floor (VERDICT r9 #2).
         root_ = os.path.dirname(os.path.abspath(__file__))
-        pins_rec: dict = floor_doc.setdefault("pins", {})
-        streaks: dict = floor_doc.setdefault("over_streak", {})
         cur_pins: dict = {}
         try:
             with open(os.path.join(root_, "PLANFP.json")) as f:
@@ -613,21 +748,7 @@ def main() -> None:
                 cur_pins.update(json.load(f))
         except (OSError, ValueError):
             pass
-        floor_resets = sorted(
-            q for q in floor
-            if q in pins_rec and q in cur_pins and pins_rec[q] != cur_pins[q]
-        )
-        for q in floor_resets:
-            del floor[q]
-            del pins_rec[q]
-            streaks.pop(q, None)
         cur_all = {**times, **ext_times}
-        fratios = {
-            q: round(t / floor[q], 2) for q, t in cur_all.items() if floor.get(q)
-        }
-        over = sorted(q for q, r in fratios.items() if r > 1.25)
-        weather: list[str] = []
-        unpinned: list[str] = []
         live_fp_cache: dict[str, object] = {}
         try:
             from aws_localstack_stream_processing_spark.plans.planfp import (
@@ -670,116 +791,17 @@ def main() -> None:
                 spark.catalog.clearCache()
             return live_fp_cache[q]
 
-        for q in over:
-            if q not in batch_pins:  # streaming: no batch fingerprint
-                unpinned.append(q)
-                continue
-            live = _live_fp(q)
-            (floor_regressions if live != batch_pins[q] else weather).append(q)
-        # Board-level weather detector (r10 continuation). The JVM-spin/
-        # steal calibration misses machine states that slow EVERY query
-        # uniformly (CPU frequency, cache/memory-bandwidth contention):
-        # one observed calib_ok window put 72 of 98 git-untouched,
-        # plan-identical queries 1.3-2.0x over floor simultaneously and
-        # pushed a false `sustained` flag. The floor board itself is the
-        # better instrument — >100 pinned queries form an internal
-        # control group, and a genuine code regression cannot move the
-        # board MEDIAN (it touches a handful of queries; the median is
-        # robust to them). A run whose median floor ratio exceeds 1.20
-        # is adjudicated board-degraded: over_streak counters do NOT
-        # increment (streak RESETS still apply — reading fast in a slow
-        # window is strong evidence), so `sustained` can only be raised
-        # by quiet windows. The blind spot this opens — a real global
-        # regression (session-conf, serializer) that inflates the whole
-        # board — is covered by `board_history`: the last 8 gated runs'
-        # medians; 3 consecutive degraded gated runs raise
-        # `board_sustained`, which is a flag to investigate the ENGINE,
-        # not any one query.
-        srt = sorted(fratios.values())
-        board_median = srt[len(srt) // 2] if srt else None
-        board_degraded = (
-            board_median is not None
-            and len(srt) >= 20
-            and board_median > 1.20
+        detail["vs_floor"] = adjudicate_floors(
+            floor_doc,
+            cur_all,
+            cur_pins,
+            batch_pins,
+            _live_fp,
+            detail["calib_ok"],
+            par_eff=calib.get("jvm_par_eff"),
         )
-        # Sustained-over-floor rule (VERDICT r9 #2): the fingerprint
-        # adjudication above is blind to same-plan slowdowns (a slower
-        # UDF body, a fatter serialized payload). A query >1.25x floor
-        # in >=3 CONSECUTIVE calib_ok runs is flagged as a sustained
-        # regression even with an unchanged fingerprint — three
-        # independent gated windows all reading high is no longer
-        # weather. Non-gated runs leave streaks untouched (their
-        # timings carry no evidence either way).
-        if detail["calib_ok"]:
-            for q in fratios:
-                if fratios[q] > 1.25:
-                    if not board_degraded:
-                        streaks[q] = int(streaks.get(q, 0)) + 1
-                else:
-                    streaks.pop(q, None)
-            hist = floor_doc.setdefault("board_history", [])
-            hist.append(round(board_median, 3) if board_median else None)
-            del hist[:-8]
-            # parallel-efficiency history rides alongside the medians:
-            # board_sustained + an eff sagging below its own history =
-            # host (all-core throughput loss); board_sustained + steady
-            # eff = investigate the engine.
-            effh = floor_doc.setdefault("eff_history", [])
-            effh.append(calib.get("jvm_par_eff"))
-            del effh[:-8]
-        sustained = sorted(
-            q for q, s in streaks.items() if int(s) >= 3 and q in fratios
-        )
-        board_hist = floor_doc.get("board_history", [])
-        board_sustained = len(board_hist) >= 3 and all(
-            m is not None and m > 1.20 for m in board_hist[-3:]
-        )
-        detail["vs_floor"] = {
-            "ref": "BENCH_FLOOR.json",
-            "ratio": fratios,
-            "median_ratio": board_median,
-            "board_degraded": board_degraded,
-            "board_sustained": board_sustained,
-            "regressions": floor_regressions,
-            "sustained": sustained,
-            "weather_over_floor": weather,
-            "over_floor_unpinned": unpinned,
-            "floor_reset_on_pin_change": floor_resets,
-        }
-        # Every run feeds the floor (r9: was calib_ok-gated). A MIN-merge
-        # is weather-immune in the only direction that matters: host
-        # noise (steal, degraded windows, GC) can only INFLATE a
-        # wall-clock trial, never deflate it, and steal-stained trials
-        # were already excluded by _clean_min — so a new minimum is
-        # always a genuine "the same plan once ran this fast". The old
-        # calib_ok gate silently froze the floor on this host (observed:
-        # a run beating 60% of floors — join-boundary 0.68x after its
-        # replay shave — recorded nothing because one mid-probe hit a
-        # GC hiccup at 0.09% steal). ADVICE r10 adds the one guard the
-        # unconditional merge lacked: a batch query's floor only lowers
-        # when its LIVE fingerprint matches the committed pin, so a
-        # transiently-broken working-tree query (doing less work on a
-        # different plan) can't poison the floor. Streaming queries have
-        # no cheap live fingerprint (STREAMFP needs a full planlog run);
-        # their guard is the pin-change reset above plus the oracle gate.
-        updated = 0
-        not_lowered: list[str] = []
-        for q, t in cur_all.items():
-            if t < floor.get(q, 9e9):
-                if q in batch_pins and _live_fp(q) != batch_pins[q]:
-                    not_lowered.append(q)
-                    continue
-                floor[q] = t
-                if q in cur_pins:
-                    pins_rec[q] = cur_pins[q]
-                updated += 1
-        floor_doc["floor"] = dict(sorted(floor.items()))
-        floor_doc["pins"] = dict(sorted(pins_rec.items()))
-        floor_doc["over_streak"] = dict(sorted(streaks.items()))
         with open(os.path.join(root_, "BENCH_FLOOR.json"), "w") as f:
             json.dump(floor_doc, f, indent=1, sort_keys=True)
-        detail["vs_floor"]["floor_entries_lowered"] = updated
-        detail["vs_floor"]["lower_blocked_fp_mismatch"] = sorted(not_lowered)
 
     root = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(root, "BENCH_DETAIL.json"), "w") as f:

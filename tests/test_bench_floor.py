@@ -1,0 +1,183 @@
+"""Unit tests for bench.py's floor adjudication (``adjudicate_floors``).
+
+Every rule in this function was refined by a live-run incident — floor
+poisoning by a broken query, pin-change staleness, the degraded-window
+streak poison — and until r10 it was validated ONLY by gated runs. These
+tests pin the rules on plain dicts (no Spark, no filesystem): pin-change
+reset, fingerprint weather/regression split, the board-level weather
+detector, the sustained-over-floor streak rule, board/eff histories, and
+the fingerprint-guarded min-merge.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+import pytest
+
+_spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
+bench = importlib.util.module_from_spec(_spec)
+sys.modules.setdefault("bench", bench)
+_spec.loader.exec_module(bench)
+
+
+def _doc(floor, pins=None, streaks=None, hist=None):
+    d = {"floor": dict(floor), "sf": 0.1}
+    if pins is not None:
+        d["pins"] = dict(pins)
+    if streaks is not None:
+        d["over_streak"] = dict(streaks)
+    if hist is not None:
+        d["board_history"] = list(hist)
+    return d
+
+
+def _run(doc, cur, *, cur_pins=None, batch_pins=None, live=None,
+         calib_ok=True, par_eff=0.5, min_board=1):
+    live = live or {}
+    return bench.adjudicate_floors(
+        doc, cur, cur_pins or {}, batch_pins or {},
+        lambda q: live.get(q), calib_ok, par_eff=par_eff,
+        min_board=min_board,
+    )
+
+
+def test_pin_change_resets_floor_and_streak():
+    """An intentional plan change (committed pin differs from the pin the
+    floor was measured under) must drop the stale floor entry and its
+    streak — the new plan re-seeds its own floor this run."""
+    doc = _doc({"q": 1.0}, pins={"q": "old"}, streaks={"q": 2})
+    rep = _run(doc, {"q": 3.0}, cur_pins={"q": "new"},
+               batch_pins={"q": "new"}, live={"q": "new"})
+    assert rep["floor_reset_on_pin_change"] == ["q"]
+    assert "q" not in rep["ratio"]  # no stale ratio computed
+    assert doc["floor"]["q"] == 3.0  # re-seeded from this run
+    assert doc["pins"]["q"] == "new"
+    assert doc["over_streak"] == {}
+
+
+def test_fingerprint_splits_weather_from_regression():
+    """Over-floor + unchanged fingerprint = weather; over-floor + changed
+    fingerprint = regression; over-floor with no batch pin = unpinned."""
+    doc = _doc({"same": 1.0, "diff": 1.0, "stream": 1.0},
+               pins={}, streaks={})
+    rep = _run(
+        doc, {"same": 2.0, "diff": 2.0, "stream": 2.0},
+        batch_pins={"same": "A", "diff": "A"},
+        live={"same": "A", "diff": "B"},
+    )
+    assert rep["weather_over_floor"] == ["same"]
+    assert rep["regressions"] == ["diff"]
+    assert rep["over_floor_unpinned"] == ["stream"]
+
+
+def test_quiet_run_increments_and_resets_streaks():
+    doc = _doc({"hot": 1.0, "cool": 1.0, "c2": 1.0, "c3": 1.0},
+               streaks={"cool": 2})
+    rep = _run(doc, {"hot": 1.5, "cool": 1.0, "c2": 1.0, "c3": 1.0})
+    assert rep["board_degraded"] is False  # median 1.0, window is quiet
+    assert doc["over_streak"] == {"hot": 1}  # cool's streak reset
+    assert rep["sustained"] == []
+
+
+def test_board_degraded_blocks_increments_but_not_resets():
+    """A run whose board median exceeds the threshold must not increment
+    any streak (the window, not the queries, is slow) — but a query
+    reading fast in that slow window still resets its streak."""
+    floor = {f"q{i}": 1.0 for i in range(10)}
+    doc = _doc(floor, streaks={"q0": 2, "q9": 2})
+    cur = {f"q{i}": 1.5 for i in range(9)}  # board median 1.5
+    cur["q9"] = 1.0  # fast even in the slow window
+    rep = _run(doc, cur)
+    assert rep["board_degraded"] is True
+    assert doc["over_streak"] == {"q0": 2}  # frozen, not incremented
+    assert "q9" not in doc["over_streak"]  # reset still applied
+    assert rep["sustained"] == []
+
+
+def test_sustained_needs_three_quiet_runs():
+    """Streak 2 → a quiet over-floor run makes 3 → sustained flag; the
+    same run arriving board-degraded must NOT produce the flag."""
+    floor = {f"q{i}": 1.0 for i in range(10)}
+    quiet = {f"q{i}": 1.0 for i in range(9)}
+    quiet["q0"] = 1.5  # only q0 over: median stays 1.0
+    doc = _doc(floor, streaks={"q0": 2})
+    rep = _run(doc, quiet)
+    assert rep["board_degraded"] is False
+    assert rep["sustained"] == ["q0"]
+
+
+def test_non_gated_run_touches_nothing():
+    """calib_ok=False: no streak changes, no history appends — the run's
+    timings carry no evidence either way."""
+    doc = _doc({"q": 1.0}, streaks={"q": 2}, hist=[1.0])
+    _run(doc, {"q": 2.0}, calib_ok=False)
+    assert doc["over_streak"] == {"q": 2}
+    assert doc["board_history"] == [1.0]
+    assert "eff_history" not in doc
+
+
+def test_board_and_eff_histories_are_capped():
+    doc = _doc({"q": 1.0}, hist=[1.0] * 8)
+    doc["eff_history"] = [0.9] * 8
+    _run(doc, {"q": 1.0}, par_eff=0.42)
+    assert len(doc["board_history"]) == 8
+    assert doc["board_history"][-1] == 1.0
+    assert len(doc["eff_history"]) == 8
+    assert doc["eff_history"][-1] == 0.42
+
+
+def test_board_sustained_after_three_degraded_runs():
+    floor = {f"q{i}": 1.0 for i in range(10)}
+    doc = _doc(floor, hist=[1.31, 1.38])
+    rep = _run(doc, {f"q{i}": 1.3 for i in range(10)})
+    assert rep["board_degraded"] is True
+    assert rep["board_sustained"] is True
+    # two degraded + one quiet does not
+    doc2 = _doc(floor, hist=[1.31, 1.38])
+    rep2 = _run(doc2, {f"q{i}": 1.0 for i in range(10)})
+    assert rep2["board_sustained"] is False
+
+
+def test_min_merge_requires_matching_fingerprint():
+    """A new minimum only lowers the floor when the live fingerprint
+    matches the committed pin — a transiently-broken query (doing less
+    work on a different plan) cannot poison the floor. Unpinned
+    (streaming) queries still min-merge."""
+    doc = _doc({"ok": 1.0, "broken": 1.0, "stream": 1.0},
+               pins={}, streaks={})
+    rep = _run(
+        doc, {"ok": 0.8, "broken": 0.5, "stream": 0.7},
+        cur_pins={"ok": "A", "broken": "A"},
+        batch_pins={"ok": "A", "broken": "A"},
+        live={"ok": "A", "broken": "X"},
+    )
+    assert doc["floor"] == {"broken": 1.0, "ok": 0.8, "stream": 0.7}
+    assert rep["floor_entries_lowered"] == 2
+    assert rep["lower_blocked_fp_mismatch"] == ["broken"]
+    assert doc["pins"]["ok"] == "A"  # pin refreshed with the new floor
+
+
+def test_min_board_gate_disables_detector_on_tiny_boards():
+    """With fewer pinned queries than min_board, a high median must not
+    be called board-degraded (no statistical control group)."""
+    doc = _doc({"a": 1.0, "b": 1.0})
+    rep = bench.adjudicate_floors(
+        doc, {"a": 1.5, "b": 1.5}, {}, {}, lambda q: None, True,
+        min_board=20,
+    )
+    assert rep["board_degraded"] is False
+    assert doc["over_streak"] == {"a": 1, "b": 1}
+
+
+def test_replay_of_identical_quiet_run_is_stable():
+    """Plan-identical re-run at floor speed: zero regressions, zero
+    sustained, no streaks — the 'zero false positives' contract."""
+    floor = {f"q{i}": 1.0 for i in range(25)}
+    doc = _doc(floor)
+    rep = _run(doc, dict(floor), min_board=20)
+    assert rep["regressions"] == [] and rep["sustained"] == []
+    assert rep["board_degraded"] is False
+    assert doc["over_streak"] == {}
+    assert rep["floor_entries_lowered"] == 0
