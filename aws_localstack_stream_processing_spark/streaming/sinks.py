@@ -24,6 +24,10 @@ from pyspark.sql import DataFrame, SparkSession
 class KeyedParquetSink:
     """Append-only parquet table that behaves like a keyed KV store.
 
+    Contract: ``key_col`` is a non-null content hash (the reference's
+    DynamoDB PK, signer/index.js:229-242) — a NULL key has no bucket
+    (``xxhash64(NULL)`` is NULL) and would bypass the probe.
+
     Layout: hash-bucketed by key — every row lands in partition
     ``__bucket = pmod(xxhash64(key), N_BUCKETS)``. The put-if-absent
     probe then reads ONLY the buckets the batch's keys can live in
