@@ -181,3 +181,94 @@ def test_replay_of_identical_quiet_run_is_stable():
     assert rep["board_degraded"] is False
     assert doc["over_streak"] == {}
     assert rep["floor_entries_lowered"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Property tests: invariants that must hold for ANY timing board, not just
+# the handcrafted scenarios above.
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_times = st.dictionaries(
+    st.sampled_from([f"q{i}" for i in range(30)]),
+    st.floats(min_value=0.05, max_value=10.0, allow_nan=False),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(floor=_times, cur=_times, calib_ok=st.booleans())
+def test_floors_never_raise_without_pin_change(floor, cur, calib_ok):
+    """Min-merge monotonicity: absent a pin change, no floor entry may
+    ever increase, and every lowered entry must equal the run's time."""
+    doc = {"floor": dict(floor), "sf": 0.1}
+    bench.adjudicate_floors(
+        doc, cur, {}, {}, lambda q: None, calib_ok, min_board=5,
+    )
+    for q, f in doc["floor"].items():
+        if q in floor:
+            assert f <= floor[q] + 1e-12
+            if f < floor[q]:
+                assert f == cur[q]
+        else:
+            assert f == cur[q]  # new entries seed from this run
+
+
+@settings(max_examples=60, deadline=None)
+@given(floor=_times, cur=_times)
+def test_degraded_board_never_grows_any_streak(floor, cur):
+    """Whatever the inputs: if the run is adjudicated board-degraded, no
+    streak is larger afterwards than before."""
+    before = {q: 1 for q in floor}
+    doc = {"floor": dict(floor), "sf": 0.1, "over_streak": dict(before)}
+    rep = bench.adjudicate_floors(
+        doc, cur, {}, {}, lambda q: None, True, min_board=1,
+    )
+    if rep["board_degraded"]:
+        for q, s in doc["over_streak"].items():
+            assert s <= before.get(q, 0)
+
+
+@settings(max_examples=60, deadline=None)
+@given(floor=_times, cur=_times)
+def test_report_partitions_over_floor_queries(floor, cur):
+    """Every over-threshold query lands in exactly one of regressions /
+    weather / unpinned, and sustained ⊆ currently-rated queries."""
+    doc = {"floor": dict(floor), "sf": 0.1}
+    pins = {q: "A" for i, q in enumerate(sorted(floor)) if i % 2 == 0}
+    live = {q: ("A" if i % 4 else "B") for i, q in enumerate(sorted(floor))}
+    rep = bench.adjudicate_floors(
+        doc, cur, pins, pins, lambda q: live.get(q), True, min_board=5,
+    )
+    over = {q for q, r in rep["ratio"].items() if r > 1.25}
+    buckets = (
+        set(rep["regressions"])
+        | set(rep["weather_over_floor"])
+        | set(rep["over_floor_unpinned"])
+    )
+    assert buckets == over
+    assert not (
+        set(rep["regressions"]) & set(rep["weather_over_floor"])
+    ) and not (set(rep["regressions"]) & set(rep["over_floor_unpinned"]))
+    assert set(rep["sustained"]) <= set(rep["ratio"])
+
+
+@settings(max_examples=40, deadline=None)
+@given(floor=_times, cur=_times)
+def test_adjudication_is_idempotent_on_state_copies(floor, cur):
+    """Two identical runs from identical starting state produce identical
+    reports except histories/streaks (which are defined to accumulate)."""
+    import copy
+
+    d1 = {"floor": dict(floor), "sf": 0.1}
+    d2 = copy.deepcopy(d1)
+    r1 = bench.adjudicate_floors(
+        d1, dict(cur), {}, {}, lambda q: None, True, min_board=5,
+    )
+    r2 = bench.adjudicate_floors(
+        d2, dict(cur), {}, {}, lambda q: None, True, min_board=5,
+    )
+    assert r1 == r2
+    assert d1 == d2
