@@ -1827,3 +1827,118 @@ def stream_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to_s",
         "is_current",
     )
+
+
+def _cdc_scd2_ooo_oracle(d: str) -> str:
+    """Closed form of the out-of-order guard (``Scd2ParquetSink``
+    docstring) under the ``staged_cdc_slices_ooo`` delivery plan: the
+    in-order records (NOT delayed) are fully merged before the late
+    batch arrives, so for each delayed record r
+
+    * the key's last-seen position = MAX (ts_s, event_id) over the
+      key's in-order records (exactly what the sink's ``seen_ts_s`` /
+      ``seen_event_id`` metadata holds — the retained-version head would
+      be WRONG here, see the sink docstring), and
+    * the value in force at r's position = attr of the last in-order
+      record at or before (r.ts_s, r.event_id) (run-collapse never
+      changes the value in force).
+
+    r is quarantined iff its position ≤ last-seen AND (nothing in force
+    OR the in-force value differs). Positions are encoded as one BIGINT
+    (month-offset seconds × 1e8 + event_id) so MAX works; the staged
+    month is Jan 2024 and event ids stay far below 1e8 at every SF."""
+    sl = "least((day(ts) - 1) // 5, 5)"
+    return f"""
+WITH chg AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, event_type AS attr,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(event_id AS BIGINT) AS event_id,
+         (event_id % 17 = 3 AND {sl} <= 4) AS delayed
+  FROM events WHERE user_id % 20 = 0
+),
+seq AS (
+  SELECT *,
+    last_value(CASE WHEN NOT delayed THEN attr END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS if_attr
+  FROM chg
+),
+heads AS (
+  SELECT user_id,
+         MAX((ts_s - 1704000000) * 100000000 + event_id) AS head_pos
+  FROM chg WHERE NOT delayed GROUP BY user_id
+)
+SELECT s.user_id, s.attr, s.ts_s, s.event_id,
+       CASE WHEN s.if_attr IS NULL THEN 'pre_history'
+            ELSE 'out_of_order' END AS reason
+FROM seq s JOIN heads h ON h.user_id = s.user_id
+WHERE s.delayed
+  AND (s.ts_s - 1704000000) * 100000000 + s.event_id <= h.head_pos
+  AND (s.if_attr IS NULL OR s.if_attr <> s.attr)
+"""
+
+
+@query(
+    "stream_cdc_scd2_ooo",
+    oracle=_cdc_scd2_ooo_oracle("duck"),
+    tags=("streaming", "lakehouse", "cdc", "sink"),
+)
+def stream_cdc_scd2_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC→SCD2 merge with the binlog promise deliberately BROKEN
+    (VERDICT r10 #1, end-to-end): records with ``event_id % 17 = 3``
+    in the first five slices are withheld and delivered together as a
+    seventh late-replay batch (``staged_cdc_slices_ooo``) — the failure
+    a re-sharded binlog tail or mis-merged backfill produces. The sink
+    must merge the late records whose reappearance IS reconstructable
+    (value in force at their position — merge no-ops) and quarantine
+    exactly those that would corrupt the changes-only history; the
+    result is the QUARANTINE table, held to the guard's closed-form
+    oracle. ``tests/test_cdc_scd2.py`` separately pins that quarantined
+    keys rebuild exactly from the full changelog and that the guard's
+    last-seen metadata catches the collapsed-tail case the retained
+    head cannot.
+
+    At 100 TB: the guard rides the merge's existing bucket-pruned
+    read-back (one per-key aggregate + two batch-sized user_id joins per
+    batch); the quarantine write is violation-sized, normally zero."""
+    import glob
+    import tempfile
+
+    from ..session import apply_runtime_confs
+    from ..streaming.sinks import Scd2ParquetSink
+    from ..streaming.source import staged_cdc_slices_ooo
+
+    apply_runtime_confs(spark)
+    src = staged_cdc_slices_ooo(sf_dir)
+    schema = spark.read.parquet(f"{src}/f0.parquet").schema
+    work = tempfile.mkdtemp(prefix="slsp_scd2ooo_")
+    sink = Scd2ParquetSink(f"{work}/history")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    _apply_state_store(spark)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(sink.merge_batch)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    _note_plan(q)
+    _note_state(q)
+    if glob.glob(f"{sink.quarantine_path}/batch_id=*"):
+        return spark.read.parquet(sink.quarantine_path).select(
+            "user_id", "attr", "ts_s", "event_id", "reason"
+        )
+    return spark.createDataFrame(
+        [],
+        "user_id BIGINT, attr STRING, ts_s BIGINT, event_id BIGINT, "
+        "reason STRING",
+    )

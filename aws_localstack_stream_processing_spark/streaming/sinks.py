@@ -16,6 +16,7 @@ logical contract, swap the implementation here).
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,33 +30,111 @@ class KeyedParquetSink:
     (``xxhash64(NULL)`` is NULL) and would bypass the probe.
 
     Layout: hash-bucketed by key — every row lands in partition
-    ``__bucket = pmod(xxhash64(key), N_BUCKETS)``. The put-if-absent
+    ``__bucket = pmod(xxhash64(key), n_buckets)``. The put-if-absent
     probe then reads ONLY the buckets the batch's keys can live in
     (hive partition pruning), so per-batch probe cost is
-    O(store/N_BUCKETS × affected buckets), not O(store) — the same
+    O(store/n_buckets × affected buckets), not O(store) — the same
     layout lever ``Scd2ParquetSink`` uses for its MERGE, applied to the
     read side. At 100 TB this is the difference between a full store
-    scan per micro-batch and a bounded bucket probe; N_BUCKETS scales
-    with store size exactly like Delta/Iceberg bucket counts.
+    scan per micro-batch and a bounded bucket probe.
+
+    Bucket-count evolution (VERDICT r10 #6): the count is NOT baked into
+    readers — the store is self-describing via a ``_slsp_meta.json``
+    sidecar written on first write, adopted by every subsequent open
+    (so a sink constructed with the default count still probes a
+    32-bucket store correctly), and changed offline by :meth:`resplit`
+    exactly like an Iceberg bucket-spec evolution rewrite.
     """
 
     N_BUCKETS = 16
     BUCKET_COL = "__bucket"
+    META_FILE = "_slsp_meta.json"
 
-    def __init__(self, path: str, key_col: str):
+    def __init__(self, path: str, key_col: str, n_buckets: int | None = None):
         self.path = path
         self.key_col = key_col
+        self.n_buckets = int(n_buckets or self.N_BUCKETS)
+        # test seam for the compact() concurrent-append guard
+        self._compact_pre_swap = None
+
+    # -- self-describing layout ------------------------------------------
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, self.META_FILE)
+
+    def _sync_meta(self) -> None:
+        """Adopt the store's on-disk bucket count, if recorded. Stores
+        written before the meta sidecar existed keep the constructor's
+        count (back-compat: every pre-meta store used N_BUCKETS=16)."""
+        try:
+            with open(self._meta_path()) as f:
+                self.n_buckets = int(json.load(f)["n_buckets"])
+        except (OSError, ValueError, KeyError):
+            pass
+
+    def _write_meta(self) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        with open(self._meta_path(), "w") as f:
+            json.dump({"n_buckets": self.n_buckets}, f)
+
+    def _legacy_flat_files(self) -> list[str]:
+        """Pre-bucketing stores wrote ``part-*.parquet`` at the top level;
+        the bucketed layout puts every data file under ``__bucket=``."""
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if f.endswith(".parquet")
+        )
 
     def exists(self, spark: SparkSession) -> bool:
-        return os.path.isdir(self.path) and any(
+        """True iff a bucketed store is present at ``path``. Fails LOUDLY
+        on a legacy flat-layout store (ADVICE r10): silently returning
+        False would skip the put-if-absent probe (duplicate keys appended)
+        and the mixed flat+partitioned directory would then break
+        partition discovery on read. Run :meth:`migrate_legacy` once.
+        """
+        if self._legacy_flat_files():
+            raise RuntimeError(
+                f"{self.path} holds a legacy flat-layout store "
+                f"(top-level .parquet files); the bucketed probe cannot "
+                f"see its keys. Run migrate_legacy(spark) once (with the "
+                f"owning stream stopped) before writing."
+            )
+        if os.path.isdir(self.path) and any(
             f.startswith(f"{self.BUCKET_COL}=") for f in os.listdir(self.path)
+        ):
+            self._sync_meta()
+            return True
+        return False
+
+    def migrate_legacy(self, spark: SparkSession) -> int:
+        """One-shot migration of a pre-bucketing flat store into the
+        bucketed layout (ADVICE r10): read the top-level files, route
+        every row to its bucket partition, remove the flat files. Must
+        run with the owning stream stopped (same precondition as
+        :meth:`compact`). Returns the number of flat files migrated;
+        idempotent (no flat files ⇒ no-op)."""
+        flat = self._legacy_flat_files()
+        if not flat:
+            return 0
+        df = spark.read.parquet(*flat)
+        bucketed = df.withColumn(
+            self.BUCKET_COL, self._bucket_expr()
+        ).localCheckpoint(eager=True)
+        bucketed.write.mode("append").partitionBy(self.BUCKET_COL).parquet(
+            self.path
         )
+        for f in flat:
+            os.remove(f)
+        self._write_meta()
+        return len(flat)
 
     def _bucket_expr(self):
         from pyspark.sql import functions as F
 
         return F.pmod(
-            F.xxhash64(F.col(self.key_col)), F.lit(self.N_BUCKETS)
+            F.xxhash64(F.col(self.key_col)), F.lit(self.n_buckets)
         ).cast("int")
 
     @staticmethod
@@ -91,17 +170,18 @@ class KeyedParquetSink:
         irrelevant here: same key ⇒ same payload, PK = content hash);
         cross-batch and cross-run duplicates drop via the bucket-pruned
         probe (:meth:`probe_plan`) — affected buckets are a bounded
-        driver collect (≤ N_BUCKETS values), the store read prunes to
+        driver collect (≤ n_buckets values), the store read prunes to
         those hive partitions, and only batch-sized key sets ever ride
         a broadcast.
         """
         from pyspark.sql import functions as F
 
         spark = batch_df.sparkSession
+        present = self.exists(spark)  # syncs n_buckets from meta
         fresh = batch_df.dropDuplicates([self.key_col]).withColumn(
             self.BUCKET_COL, self._bucket_expr()
         )
-        if self.exists(spark):
+        if present:
             buckets = [
                 r[0]
                 for r in fresh.select(self.BUCKET_COL).distinct().collect()
@@ -115,9 +195,20 @@ class KeyedParquetSink:
         fresh.write.mode("append").partitionBy(self.BUCKET_COL).parquet(
             self.path
         )
+        if not present:
+            self._write_meta()
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path).drop(self.BUCKET_COL)
+
+    def _bucket_files(self, b: int) -> list[str]:
+        import glob
+
+        return sorted(
+            glob.glob(
+                os.path.join(self.path, f"{self.BUCKET_COL}={b}", "*.parquet")
+            )
+        )
 
     def compact(
         self, spark: SparkSession, max_files_per_bucket: int = 8
@@ -137,34 +228,35 @@ class KeyedParquetSink:
         contract is unchanged — same keys, same buckets, fewer files.
 
         Bucket file counts come from a driver-side directory listing
-        (bounded: N_BUCKETS entries); at warehouse scale that listing
+        (bounded: n_buckets entries); at warehouse scale that listing
         is the table manifest. Returns the compacted bucket ids.
+
+        Concurrency contract (ADVICE r10): compact() must run with the
+        owning streaming query STOPPED — dynamic partition overwrite
+        replaces a todo bucket wholesale, so a row appended between the
+        read and the commit would be silently deleted. Enforced, not
+        just documented: each todo bucket's file listing is re-checked
+        after the merge materializes and immediately before the swap;
+        any change aborts the whole compaction (nothing written, the
+        appended files intact). The residual read-check-swap window is
+        a few milliseconds vs the unguarded read-to-commit seconds; a
+        production deployment closes it entirely with a metadata-commit
+        table format (Delta/Iceberg OPTIMIZE) or the manifest pattern
+        ``sources/manifest_datasource.py`` demonstrates.
 
         Crash tolerance: the rewrite rides Spark's dynamic-partition-
         overwrite committer (stage, then swap per partition); a crash
         mid-commit can leave an affected bucket with the old files
         removed — plain-parquet overwrite has no metadata transaction.
         Compaction is safe to re-run (idempotent given the same
-        inputs), but a production deployment puts this behind a
-        metadata-commit table format (Delta/Iceberg OPTIMIZE) or the
-        manifest pattern ``sources/manifest_datasource.py``
-        demonstrates, where readers only see marker-committed files.
+        inputs).
         """
-        import glob
-
         from pyspark.sql import functions as F
 
+        self._sync_meta()
+        listing = {b: self._bucket_files(b) for b in range(self.n_buckets)}
         todo = [
-            b
-            for b in range(self.N_BUCKETS)
-            if len(
-                glob.glob(
-                    os.path.join(
-                        self.path, f"{self.BUCKET_COL}={b}", "*.parquet"
-                    )
-                )
-            )
-            > max_files_per_bucket
+            b for b, fs in listing.items() if len(fs) > max_files_per_bucket
         ]
         if not todo:
             return []
@@ -177,6 +269,15 @@ class KeyedParquetSink:
         # read-and-overwrite of the same path in one job — the same
         # discipline as Scd2ParquetSink.merge_batch)
         out = merged.localCheckpoint(eager=True)
+        if self._compact_pre_swap is not None:  # test seam
+            self._compact_pre_swap()
+        changed = [b for b in todo if self._bucket_files(b) != listing[b]]
+        if changed:
+            raise RuntimeError(
+                f"compact() aborted: buckets {changed} changed during the "
+                f"rewrite — a streaming query is still appending to "
+                f"{self.path}; stop it before compacting."
+            )
         prev_mode = spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode"
         )
@@ -190,6 +291,41 @@ class KeyedParquetSink:
                 "spark.sql.sources.partitionOverwriteMode", prev_mode
             )
         return todo
+
+    def resplit(self, spark: SparkSession, n_buckets: int) -> None:
+        """Offline bucket-count evolution (VERDICT r10 #6): rewrite the
+        store under a new bucket count. At 100 TB a fixed count
+        eventually leaves each bucket too large for a bounded probe;
+        doubling the count is the standard growth step (Iceberg
+        bucket-spec evolution, Delta OPTIMIZE ZORDER re-layout — same
+        full-rewrite cost, amortized over the store's lifetime).
+
+        Every row re-routes to ``pmod(xxhash64(key), new_n)`` — a key's
+        old and new bucket differ, so this is a full rewrite, NOT a
+        dynamic partition overwrite: the new layout is staged to a
+        sibling directory and swapped in with two renames (crash
+        between them leaves the ``.resplit_old`` backup; recovery =
+        rename it back). Must run with the owning stream stopped. The
+        meta sidecar records the new count so every later open probes
+        correctly.
+        """
+        import shutil
+
+        if not self.exists(spark):
+            raise RuntimeError(f"no bucketed store at {self.path}")
+        if n_buckets == self.n_buckets:
+            return
+        df = spark.read.parquet(self.path).drop(self.BUCKET_COL)
+        self.n_buckets = int(n_buckets)
+        staged = self.path.rstrip("/") + f".resplit{n_buckets}"
+        df.withColumn(self.BUCKET_COL, self._bucket_expr()).write.mode(
+            "overwrite"
+        ).partitionBy(self.BUCKET_COL).parquet(staged)
+        backup = self.path.rstrip("/") + ".resplit_old"
+        os.rename(self.path, backup)
+        os.rename(staged, self.path)
+        shutil.rmtree(backup)
+        self._write_meta()
 
 
 class Scd2ParquetSink:
@@ -206,27 +342,58 @@ class Scd2ParquetSink:
 
     MERGE algorithm per batch (copy-on-write over AFFECTED BUCKETS only —
     the plain-parquet rendition of a Delta/Iceberg MERGE):
-      1. affected buckets = distinct ``pmod(user_id, N_BUCKETS)`` in the
-         batch (bounded driver collect: ≤ N_BUCKETS values);
+      1. affected buckets = distinct ``pmod(user_id, n_buckets)`` in the
+         batch (bounded driver collect: ≤ n_buckets values);
       2. the existing history rows of those buckets are read back as
          change records — a version row IS its opening change
          ``(user_id, attr, valid_from_s, event_id)``;
-      3. union with the batch's change records, absorb at-least-once
+      3. the out-of-order GUARD (below) splits the batch into mergeable
+         records and quarantined violators;
+      4. union with the read-back history, absorb at-least-once
          redelivery by exact-key dedup on ``(user_id, ts_s, event_id)``;
-      4. run-collapse (LAG) drops consecutive same-value records, then
+      5. run-collapse (LAG) drops consecutive same-value records, then
          ROW_NUMBER/LEAD rebuild version numbers and validity intervals —
          every window partitions on ``user_id``, one hash exchange;
-      5. dynamic-partition-overwrite writes ONLY the affected buckets.
+      6. dynamic-partition-overwrite writes ONLY the affected buckets.
 
-    Correctness contract: exact under per-key in-order delivery of NEW
-    change records plus arbitrary exact-duplicate redelivery — what a
-    binlog/stream-shard CDC source provides per key. A genuinely novel
-    out-of-order record (older than an already-merged one) can land
-    between a version row and a record the collapse dropped, whose
-    reappearance the changes-only history cannot reconstruct; that case
-    needs the full-changelog rebuild (``lake_scd2_build``) or raw-event
-    retention — documented, not silently wrong, and the staged harness
-    never ships one.
+    Delivery contract and the out-of-order GUARD (VERDICT r10 #1): the
+    merge is exact under per-key in-order delivery of NEW change records
+    plus arbitrary exact-duplicate redelivery — what a binlog/stream-shard
+    CDC source provides per key. A genuinely novel record OLDER than a
+    key's already-delivered maximum can land between a version row and a
+    record the collapse dropped, whose reappearance the changes-only
+    history cannot reconstruct. Rather than documenting the hazard, the
+    sink DETECTS it per batch, reusing the history already read back for
+    the merge (no extra I/O).
+
+    Soundness requires one piece of merge metadata: every history row
+    carries its key's MAX DELIVERED position (``seen_ts_s`` /
+    ``seen_event_id``), maintained per merge. The retained version head
+    is NOT enough — the run-collapse erases evidence: after delivering
+    A@10 then A@20 (one version, head 10), a late B@15 compares newer
+    than the retained head and would silently merge into a history
+    (A[10,15), B[15,∞)) that is missing the A@20 reversion; against the
+    delivered maximum (20) it is correctly old (found r11 while writing
+    the guard's closed-form oracle, ``stream_cdc_scd2_ooo``).
+
+    The rule, exact under this metadata: a batch record at ``(ts_s,
+    event_id)`` ≤ the key's last-seen position is a violation iff the
+    attribute in force at its position differs from the record's (or
+    nothing is in force — a pre-history record). An old record whose
+    value matches the in-force run is a no-op under the merge whether it
+    is a redelivered collapsed duplicate or a coincidental novel record
+    (so at-least-once replay NEVER quarantines), while any old record
+    that would change the history is caught. Violators are excluded from
+    the merge (history stays byte-identical), land in
+    ``<path>_quarantine/batch_id=<id>`` (overwrite per batch id —
+    idempotent under replay, the DLQ pattern ``streaming/dlq.py``), and
+    flag their keys for a full-changelog rebuild: :meth:`needs_rebuild`
+    lists them, :meth:`rebuild_keys` recomputes exactly those keys from
+    the authoritative changelog and clears the flag. After a rebuild the
+    quarantined record IS history, so a replay of the offending batch
+    re-adjudicates it as a safe duplicate — the quarantine self-heals.
+    Stores written before the metadata existed fall back per row to the
+    retained-opening position (the pre-r11 guard strength).
 
     Idempotence: the merge is a deterministic function of
     (existing history ∪ batch records), and redelivered batches dedup to
@@ -235,22 +402,48 @@ class Scd2ParquetSink:
     the same table (pinned in ``tests/test_cdc_scd2.py``).
 
     Scale: each batch touches |affected buckets| partitions, reads back
-    only those buckets' history (at 100 TB: partition-pruned scan), and
-    shuffles once on ``user_id``. Bucket count trades write amplification
-    against small files exactly like Delta MERGE file sizing; the
+    only those buckets' history (at 100 TB: partition-pruned scan; the
+    read-back is persisted for the batch because the guard and the merge
+    both consume it), and shuffles once on ``user_id``. Bucket count
+    trades write amplification against small files exactly like Delta
+    MERGE file sizing and evolves offline via :meth:`resplit`; the
     ``localCheckpoint`` materializes the merge result before the
     overwrite job deletes the files it was derived from (Spark forbids
     read-and-overwrite of the same path in one job)."""
 
     N_BUCKETS = 8
+    META_FILE = "_slsp_meta.json"
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, n_buckets: int | None = None):
         self.path = path
+        self.n_buckets = int(n_buckets or self.N_BUCKETS)
+
+    @property
+    def quarantine_path(self) -> str:
+        return self.path.rstrip("/") + "_quarantine"
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, self.META_FILE)
+
+    def _sync_meta(self) -> None:
+        try:
+            with open(self._meta_path()) as f:
+                self.n_buckets = int(json.load(f)["n_buckets"])
+        except (OSError, ValueError, KeyError):
+            pass
+
+    def _write_meta(self) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        with open(self._meta_path(), "w") as f:
+            json.dump({"n_buckets": self.n_buckets}, f)
 
     def exists(self) -> bool:
         import glob
 
-        return bool(glob.glob(os.path.join(self.path, "bucket=*")))
+        if glob.glob(os.path.join(self.path, "bucket=*")):
+            self._sync_meta()
+            return True
+        return False
 
     @staticmethod
     def merge_plan(cand: DataFrame) -> DataFrame:
@@ -305,36 +498,176 @@ class Scd2ParquetSink:
             "bucket",
         ).withColumn("is_current", F.col("valid_to_s").isNull())
 
+    @staticmethod
+    def guard_plan(hist: DataFrame, cand: DataFrame) -> DataFrame:
+        """The out-of-order guard's pure plan: given the affected
+        buckets' existing history and the batch's change records, return
+        the VIOLATORS — records at or before their key's head whose merge
+        would change the history (see the class docstring for the exact
+        rule and why redelivered duplicates are never violators).
+
+        Shape: one aggregate over the (bucket-pruned) history for the
+        per-key head, a batch-sized equi-join to tag old records, then a
+        user_id equi-join with a range predicate back to the history to
+        find the in-force version at each old record's position — the
+        standard point-in-interval lookup, batch-sized on the left. Every
+        join keys on user_id; nothing store-sized is ever broadcast or
+        collected."""
+        from pyspark.sql import functions as F
+
+        pos = F.struct(
+            F.col("ts_s").alias("t"), F.col("event_id").alias("e")
+        )
+        if "seen_ts_s" in hist.columns:
+            # per-key max DELIVERED position (coalesce: rows written
+            # before the metadata existed fall back to their opening)
+            head_pos = F.struct(
+                F.coalesce("seen_ts_s", "valid_from_s").alias("t"),
+                F.coalesce("seen_event_id", "event_id").alias("e"),
+            )
+        else:  # legacy store: retained-opening head only
+            head_pos = F.struct(
+                F.col("valid_from_s").alias("t"),
+                F.col("event_id").alias("e"),
+            )
+        head = hist.groupBy("user_id").agg(F.max(head_pos).alias("__head"))
+        old = (
+            cand.join(head, "user_id")
+            .filter(pos <= F.col("__head"))
+            .drop("__head")
+        )
+        r, h = old.alias("r"), hist.alias("h")
+        inforce = r.join(
+            h,
+            (F.col("r.user_id") == F.col("h.user_id"))
+            & (
+                (F.col("h.valid_from_s") < F.col("r.ts_s"))
+                | (
+                    (F.col("h.valid_from_s") == F.col("r.ts_s"))
+                    & (F.col("h.event_id") <= F.col("r.event_id"))
+                )
+            ),
+            "left",
+        ).groupBy("r.user_id", "r.attr", "r.ts_s", "r.event_id", "r.bucket").agg(
+            F.max(
+                F.struct(
+                    F.col("h.valid_from_s").alias("t"),
+                    F.col("h.event_id").alias("e"),
+                    F.col("h.attr").alias("a"),
+                )
+            ).alias("__inforce")
+        )
+        # a record with NO in-force version (older than the key's first
+        # version) left-joins to an all-null h row, and max(struct) of it
+        # is a struct with null FIELDS, not a null struct — test the field
+        return inforce.filter(
+            F.col("__inforce.t").isNull()
+            | (F.col("__inforce.a") != F.col("attr"))
+        ).select(
+            "user_id",
+            "attr",
+            "ts_s",
+            "event_id",
+            "bucket",
+            F.when(F.col("__inforce.t").isNull(), "pre_history")
+            .otherwise("out_of_order")
+            .alias("reason"),
+        )
+
     def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
         spark = batch_df.sparkSession
+        present = self.exists()  # syncs n_buckets from meta BEFORE bucketing
         cand = batch_df.select(
             "user_id", "attr", "ts_s", "event_id"
         ).withColumn(
-            "bucket", F.pmod("user_id", F.lit(self.N_BUCKETS)).cast("int")
+            "bucket", F.pmod("user_id", F.lit(self.n_buckets)).cast("int")
         )
         buckets = [
             r.bucket for r in cand.select("bucket").distinct().collect()
         ]
         if not buckets:
             return
-        if self.exists():
-            old = (
+        hist = None
+        if present:
+            hist = (
                 spark.read.parquet(self.path)
                 .filter(F.col("bucket").isin(buckets))
-                .select(
+                .persist()
+            )
+        try:
+            if hist is not None:
+                violators = self.guard_plan(hist, cand)
+                if not violators.isEmpty():
+                    violators.write.mode("overwrite").parquet(
+                        f"{self.quarantine_path}/batch_id={batch_id}"
+                    )
+                    cand = cand.join(
+                        violators.select("user_id", "ts_s", "event_id"),
+                        ["user_id", "ts_s", "event_id"],
+                        "left_anti",
+                    )
+                    # violators may have been a bucket's only records —
+                    # re-derive so untouched buckets stay byte-identical
+                    buckets = [
+                        r.bucket
+                        for r in cand.select("bucket").distinct().collect()
+                    ]
+                    if not buckets:
+                        return
+            # per-key max DELIVERED position: safe batch records ∪ the
+            # read-back rows' recorded positions (guard soundness — see
+            # class docstring; quarantined records never advance it)
+            seen_src = cand.select("user_id", "ts_s", "event_id")
+            if hist is not None:
+                if "seen_ts_s" in hist.columns:
+                    prior = hist.select(
+                        "user_id",
+                        F.coalesce("seen_ts_s", "valid_from_s").alias("ts_s"),
+                        F.coalesce("seen_event_id", "event_id").alias(
+                            "event_id"
+                        ),
+                    )
+                else:  # legacy store: openings are the best record we have
+                    prior = hist.select(
+                        "user_id",
+                        F.col("valid_from_s").alias("ts_s"),
+                        "event_id",
+                    )
+                seen_src = seen_src.unionByName(prior)
+                old = hist.filter(F.col("bucket").isin(buckets)).select(
                     "user_id",
                     "attr",
                     F.col("valid_from_s").alias("ts_s"),
                     "event_id",
                     "bucket",
                 )
+                cand = cand.unionByName(old)
+            seen = seen_src.groupBy("user_id").agg(
+                F.max(
+                    F.struct(
+                        F.col("ts_s").alias("t"), F.col("event_id").alias("e")
+                    )
+                ).alias("__seen")
             )
-            cand = cand.unionByName(old)
-        versioned = self.merge_plan(cand)
-        # cut lineage from self.path BEFORE overwriting it
-        out = versioned.localCheckpoint(eager=True)
+            versioned = self.merge_plan(cand).join(seen, "user_id").select(
+                "user_id",
+                "attr",
+                "version_n",
+                "valid_from_s",
+                "valid_to_s",
+                "event_id",
+                "bucket",
+                "is_current",
+                F.col("__seen.t").alias("seen_ts_s"),
+                F.col("__seen.e").alias("seen_event_id"),
+            )
+            # cut lineage from self.path BEFORE overwriting it
+            out = versioned.localCheckpoint(eager=True)
+        finally:
+            if hist is not None:
+                hist.unpersist()
         prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
@@ -345,6 +678,124 @@ class Scd2ParquetSink:
             spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", prev_mode
             )
+        if not present:
+            self._write_meta()
+
+    def needs_rebuild(self, spark: SparkSession) -> DataFrame:
+        """Keys whose history is incomplete: distinct user_ids in the
+        quarantine table. Empty DataFrame when nothing is flagged."""
+        import glob
+
+        if not glob.glob(os.path.join(self.quarantine_path, "batch_id=*")):
+            return spark.createDataFrame([], "user_id BIGINT")
+        return (
+            spark.read.parquet(self.quarantine_path)
+            .select("user_id")
+            .distinct()
+        )
+
+    def rebuild_keys(self, spark: SparkSession, changelog: DataFrame) -> int:
+        """Full-changelog rebuild of the flagged keys (VERDICT r10 #1):
+        recompute exactly the quarantined users' histories from the
+        authoritative changelog (columns ``user_id, attr, ts_s,
+        event_id`` — the raw-event retention the delivery contract
+        assumes for this case), splice them into the affected buckets,
+        and clear the quarantine. Returns the number of rebuilt keys
+        (bounded driver count — the flagged-key set, not the store).
+
+        The rebuild IS :meth:`merge_plan` over the flagged keys' full
+        changelogs — the same plan the ``lake_scd2_build`` batch query
+        pins — so one code path defines the SCD2 semantics. Unflagged
+        users sharing a bucket are carried over untouched."""
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        self.exists()  # sync n_buckets from meta before bucketing
+        flagged = self.needs_rebuild(spark).persist()
+        try:
+            n = flagged.count()
+            if n == 0:
+                return 0
+            recs = (
+                changelog.select("user_id", "attr", "ts_s", "event_id")
+                .join(F.broadcast(flagged), "user_id", "left_semi")
+                .withColumn(
+                    "bucket",
+                    F.pmod("user_id", F.lit(self.n_buckets)).cast("int"),
+                )
+            )
+            buckets = [
+                r.bucket for r in recs.select("bucket").distinct().collect()
+            ]
+            seen = recs.groupBy("user_id").agg(
+                F.max(
+                    F.struct(
+                        F.col("ts_s").alias("t"), F.col("event_id").alias("e")
+                    )
+                ).alias("__seen")
+            )
+            rebuilt = self.merge_plan(recs).join(seen, "user_id").select(
+                "user_id",
+                "attr",
+                "version_n",
+                "valid_from_s",
+                "valid_to_s",
+                "event_id",
+                "bucket",
+                "is_current",
+                F.col("__seen.t").alias("seen_ts_s"),
+                F.col("__seen.e").alias("seen_event_id"),
+            )
+            keep = (
+                spark.read.parquet(self.path)
+                .filter(F.col("bucket").isin(buckets))
+                .join(F.broadcast(flagged), "user_id", "left_anti")
+            )
+            for c in ("seen_ts_s", "seen_event_id"):  # legacy stores
+                if c not in keep.columns:
+                    keep = keep.withColumn(c, F.lit(None).cast("bigint"))
+            out = keep.unionByName(rebuilt).localCheckpoint(eager=True)
+        finally:
+            flagged.unpersist()
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            out.write.mode("overwrite").partitionBy("bucket").parquet(
+                self.path
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+        shutil.rmtree(self.quarantine_path)
+        return n
+
+    def resplit(self, spark: SparkSession, n_buckets: int) -> None:
+        """Offline bucket-count evolution — same contract as
+        :meth:`KeyedParquetSink.resplit` (stage to a sibling directory,
+        two-rename swap, meta sidecar records the new count); buckets
+        here are ``pmod(user_id, n)``. Must run with the stream stopped.
+        """
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        if not self.exists():
+            raise RuntimeError(f"no bucketed store at {self.path}")
+        if n_buckets == self.n_buckets:
+            return
+        self.n_buckets = int(n_buckets)
+        df = spark.read.parquet(self.path).withColumn(
+            "bucket", F.pmod("user_id", F.lit(self.n_buckets)).cast("int")
+        )
+        staged = self.path.rstrip("/") + f".resplit{n_buckets}"
+        df.write.mode("overwrite").partitionBy("bucket").parquet(staged)
+        backup = self.path.rstrip("/") + ".resplit_old"
+        os.rename(self.path, backup)
+        os.rename(staged, self.path)
+        shutil.rmtree(backup)
+        self._write_meta()
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)

@@ -316,3 +316,55 @@ def staged_cdc_slices(sf_dir: str) -> str:
     with open(marker, "w") as f:
         f.write("ok")
     return stage
+
+
+def staged_cdc_slices_ooo(sf_dir: str) -> str:
+    """Stage the ``staged_cdc_slices`` changelog with the binlog promise
+    deliberately BROKEN (``stream_cdc_scd2_ooo``): records with
+    ``event_id % 17 = 3`` arriving in the first five time slices are
+    withheld from their home slice and delivered together as a seventh
+    "late replay" batch ``f6`` — the real-world failure a re-sharded
+    binlog tail or a mis-merged backfill produces. Slices 0-5 stay
+    per-key in-order (no redelivery mixing here; redelivery absorption
+    has its own staging); f6 is entirely out of order. Keyed by source
+    identity like the in-order staging."""
+    import os
+    import time
+
+    import duckdb
+
+    base = sf_dir.rstrip("/")
+    tag = os.path.basename(base)
+    st = os.stat(f"{base}/events.parquet")
+    fp = f"{st.st_size}_{st.st_mtime_ns}"
+    stage = f"/tmp/slsp_cdc_ooo_{tag}_{fp}"
+    marker = os.path.join(stage, "_STAGED")
+    if os.path.exists(marker):
+        return stage
+    os.makedirs(stage, exist_ok=True)
+    con = duckdb.connect()
+    src = f"read_parquet('{base}/events.parquet')"
+    sl = "least((day(ts) - 1) // 5, 5)"
+    delayed = f"(event_id % 17 = 3 AND {sl} <= 4)"
+    proj = (
+        "SELECT CAST(user_id AS BIGINT) AS user_id, event_type AS attr, "
+        "CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, "
+        "CAST(event_id AS BIGINT) AS event_id "
+        f"FROM {src} WHERE user_id % 20 = 0"
+    )
+    mtime = time.time() - 3600
+    for k in range(6):
+        con.execute(
+            f"COPY ({proj} AND {sl} = {k} AND NOT {delayed} "
+            f"ORDER BY event_id) TO '{stage}/f{k}.parquet' (FORMAT PARQUET)"
+        )
+        os.utime(f"{stage}/f{k}.parquet", (mtime + 10 * k, mtime + 10 * k))
+    con.execute(
+        f"COPY ({proj} AND {delayed} ORDER BY event_id) "
+        f"TO '{stage}/f6.parquet' (FORMAT PARQUET)"
+    )
+    os.utime(f"{stage}/f6.parquet", (mtime + 60, mtime + 60))
+    con.close()
+    with open(marker, "w") as f:
+        f.write("ok")
+    return stage

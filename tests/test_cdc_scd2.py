@@ -218,3 +218,220 @@ def test_merge_plan_single_user_exchange(spark):
         stripped = ln.strip(" :+-*(0123456789)")
         if stripped.startswith("Window "):
             assert "user_id" in ln, f"unpartitioned window: {ln}"
+
+
+# -- round 11: out-of-order detection (VERDICT r10 #1) -----------------------
+
+_SCHEMA = "user_id BIGINT, attr STRING, ts_s BIGINT, event_id BIGINT"
+
+
+def _user_rows(spark, sink, uid):
+    df = sink.read(spark).filter(f"user_id = {uid}").orderBy("version_n")
+    return [
+        (r.attr, r.valid_from_s, r.valid_to_s, bool(r.is_current))
+        for r in df.collect()
+    ]
+
+
+def test_out_of_order_record_quarantined(spark, tmp_path):
+    """A genuinely novel record OLDER than its key's merged head must not
+    silently corrupt the changes-only history: it lands in the quarantine
+    table, the key is flagged for rebuild, the rest of the batch merges
+    normally, and the violator's bucket files stay byte-identical."""
+    import glob
+    import os
+
+    sink = Scd2ParquetSink(str(tmp_path / "h"))
+    sink.merge_batch(
+        spark.createDataFrame(
+            [(1, "signup", 1000, 1), (1, "error", 2000, 2),
+             (2, "signup", 1100, 3)],
+            _SCHEMA,
+        ),
+        0,
+    )
+    before_u1 = _user_rows(spark, sink, 1)
+    u1_files = {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(os.path.join(sink.path, "bucket=1", "*.parquet"))
+    }
+    # user 1: novel value at ts BETWEEN merged versions (out_of_order) and
+    # one BEFORE its first version (pre_history); user 2: a normal record
+    sink.merge_batch(
+        spark.createDataFrame(
+            [(1, "pro", 1500, 77), (1, "signup", 500, 88),
+             (2, "error", 3000, 4)],
+            _SCHEMA,
+        ),
+        1,
+    )
+    # user 1's history unchanged — its bucket was never rewritten
+    assert _user_rows(spark, sink, 1) == before_u1
+    assert {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(os.path.join(sink.path, "bucket=1", "*.parquet"))
+    } == u1_files
+    # user 2 merged normally
+    u2 = sink.read(spark).filter("user_id = 2").orderBy("version_n")
+    assert [(r.attr, bool(r.is_current)) for r in u2.collect()] == [
+        ("signup", False),
+        ("error", True),
+    ]
+    q = spark.read.parquet(sink.quarantine_path)
+    got = sorted(
+        (r.user_id, r.ts_s, r.event_id, r.reason) for r in q.collect()
+    )
+    assert got == [(1, 500, 88, "pre_history"), (1, 1500, 77, "out_of_order")]
+    assert [r.user_id for r in sink.needs_rebuild(spark).collect()] == [1]
+
+
+def test_redelivered_duplicates_never_quarantined(spark, tmp_path):
+    """The guard's precision half: at-least-once redelivery — exact copies
+    of RETAINED openings and of records the run-collapse DROPPED — arrives
+    older than head but is a merge no-op, so it must pass the guard
+    silently (a head-only comparison would false-positive here)."""
+    import glob
+    import os
+
+    sink = Scd2ParquetSink(str(tmp_path / "h"))
+    sink.merge_batch(
+        spark.createDataFrame(
+            # signup@1500 collapses into the signup@1000 run
+            [(1, "signup", 1000, 1), (1, "signup", 1500, 2),
+             (1, "error", 2000, 3)],
+            _SCHEMA,
+        ),
+        0,
+    )
+    before = _history_rows(spark, sink)
+    # redeliver the collapsed record, a retained opening, and the head
+    for k, rec in enumerate(
+        [(1, "signup", 1500, 2), (1, "signup", 1000, 1), (1, "error", 2000, 3)]
+    ):
+        sink.merge_batch(spark.createDataFrame([rec], _SCHEMA), k + 1)
+    assert _history_rows(spark, sink) == before
+    assert not glob.glob(os.path.join(sink.quarantine_path, "batch_id=*"))
+    assert sink.needs_rebuild(spark).count() == 0
+
+
+def test_rebuild_from_changelog_clears_flag(spark, tmp_path):
+    """needs_rebuild → rebuild_keys(full changelog) restores the exact
+    history the quarantined record belongs to, clears the flag, leaves
+    co-bucketed unflagged users untouched — and a replay of the offending
+    batch afterwards re-adjudicates the record as a safe duplicate."""
+    import glob
+    import os
+
+    sink = Scd2ParquetSink(str(tmp_path / "h"))
+    changelog = [
+        (1, "signup", 1000, 1), (1, "pro", 1500, 77), (1, "error", 2000, 2),
+        # user 9 shares bucket 1 with user 1 (9 % 8 == 1)
+        (9, "signup", 1100, 3), (9, "error", 2100, 4),
+    ]
+    in_order = [r for r in changelog if r[3] != 77]
+    sink.merge_batch(spark.createDataFrame(in_order, _SCHEMA), 0)
+    late = spark.createDataFrame([(1, "pro", 1500, 77)], _SCHEMA)
+    sink.merge_batch(late, 1)  # quarantined
+    assert [r.user_id for r in sink.needs_rebuild(spark).collect()] == [1]
+    u9_before = _user_rows(spark, sink, 9)
+
+    n = sink.rebuild_keys(
+        spark, spark.createDataFrame(changelog, _SCHEMA)
+    )
+    assert n == 1
+    assert sink.needs_rebuild(spark).count() == 0
+    assert not glob.glob(os.path.join(sink.quarantine_path, "batch_id=*"))
+    u1 = sink.read(spark).filter("user_id = 1").orderBy("version_n")
+    assert [
+        (r.attr, r.valid_from_s, r.valid_to_s, bool(r.is_current))
+        for r in u1.collect()
+    ] == [
+        ("signup", 1000, 1500, False),
+        ("pro", 1500, 2000, False),
+        ("error", 2000, None, True),
+    ]
+    # co-bucketed unflagged user untouched
+    assert _user_rows(spark, sink, 9) == u9_before
+    # self-healing: the quarantined batch replayed post-rebuild is a no-op
+    fixed = _history_rows(spark, sink)
+    sink.merge_batch(late, 1)
+    assert _history_rows(spark, sink) == fixed
+    assert sink.needs_rebuild(spark).count() == 0
+
+
+def test_scd2_resplit_preserves_history_and_merge(spark, tmp_path):
+    """Bucket-count evolution (VERDICT r10 #6): resplit 8→16 preserves the
+    history byte-for-byte (modulo bucket routing), the meta sidecar makes
+    a FRESH sink instance adopt the new count, and subsequent merges land
+    in the right (new) buckets."""
+    import glob
+    import os
+
+    sink = Scd2ParquetSink(str(tmp_path / "h"))
+    sink.merge_batch(
+        spark.createDataFrame(
+            [(u, "signup", 1000 + u, u) for u in range(1, 25)], _SCHEMA
+        ),
+        0,
+    )
+    before = _history_rows(spark, sink)
+    sink.resplit(spark, 16)
+    assert sink.n_buckets == 16
+    assert _history_rows(spark, sink) == before
+    got_buckets = {
+        int(p.rsplit("bucket=", 1)[1])
+        for p in glob.glob(os.path.join(sink.path, "bucket=*"))
+    }
+    assert max(got_buckets) >= 8  # users 9..24 re-routed past the old max
+    # a fresh instance adopts the on-disk count and merges correctly
+    sink2 = Scd2ParquetSink(sink.path)
+    sink2.merge_batch(
+        spark.createDataFrame([(9, "error", 5000, 999)], _SCHEMA), 1
+    )
+    assert sink2.n_buckets == 16
+    u9 = sink2.read(spark).filter("user_id = 9").orderBy("version_n")
+    assert [(r.attr, bool(r.is_current)) for r in u9.collect()] == [
+        ("signup", False),
+        ("error", True),
+    ]
+    # user 9 now lives in bucket 9 (pmod(9,16)), not the old bucket 1
+    assert {r.bucket for r in u9.collect()} == {9}
+    files9 = glob.glob(os.path.join(sink.path, "bucket=9", "*.parquet"))
+    assert files9
+
+
+def test_collapsed_tail_out_of_order_detected(spark, tmp_path):
+    """The soundness case the retained-version head CANNOT catch (found
+    r11 while deriving the guard's closed-form oracle): deliver A@10 then
+    A@20 — the run-collapse keeps ONE version opening at 10, erasing the
+    evidence that 20 was delivered. A late novel B@15 compares newer than
+    the retained head but older than the delivered maximum; merging it
+    would yield A[10,15), B[15,∞) — silently missing the A@20 reversion.
+    The per-key last-seen metadata must catch it."""
+    import glob
+    import os
+
+    sink = Scd2ParquetSink(str(tmp_path / "h"))
+    sink.merge_batch(
+        spark.createDataFrame(
+            [(1, "signup", 1000, 1), (1, "signup", 2000, 2)], _SCHEMA
+        ),
+        0,
+    )
+    before = _user_rows(spark, sink, 1)
+    assert before == [("signup", 1000, None, True)]  # collapsed to one run
+    sink.merge_batch(
+        spark.createDataFrame([(1, "error", 1500, 99)], _SCHEMA), 1
+    )
+    assert _user_rows(spark, sink, 1) == before  # history untouched
+    q = spark.read.parquet(sink.quarantine_path)
+    assert [(r.user_id, r.event_id, r.reason) for r in q.collect()] == [
+        (1, 99, "out_of_order")
+    ]
+    # while an A@1500 (value in force, collapsed-region position) is a
+    # no-op and passes
+    sink.merge_batch(
+        spark.createDataFrame([(1, "signup", 1500, 100)], _SCHEMA), 2
+    )
+    assert _user_rows(spark, sink, 1) == before
+    assert len(glob.glob(os.path.join(sink.quarantine_path, "batch_id=*"))) == 1

@@ -294,3 +294,160 @@ def test_keyed_sink_bucket_compaction(spark, tmp_path):
         100,
     )
     assert sink.read(spark).count() == 2500
+
+
+# -- round 11: compaction concurrency guard, legacy migration, resplit ------
+
+
+def test_compact_aborts_on_concurrent_append(spark, tmp_path):
+    """ADVICE r10 (medium): dynamic partition overwrite would silently
+    delete rows appended to a todo bucket between the read and the swap.
+    compact() must re-list each todo bucket after materializing the
+    rewrite and ABORT on any change — nothing written, the concurrently
+    appended rows intact."""
+    import glob
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aws_localstack_stream_processing_spark.streaming.sinks import (
+        KeyedParquetSink,
+    )
+
+    sink = KeyedParquetSink(str(tmp_path / "kv"), "key")
+    for b in range(10):
+        sink.upsert_batch(
+            spark.range(b * 100, (b + 1) * 100).select(
+                F.sha2(F.col("id").cast("string"), 256).alias("key"),
+                F.lit(f"v{b}").alias("payload"),
+            ),
+            b,
+        )
+    racer = spark.range(5000, 5050).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("key"),
+        F.lit("raced").alias("payload"),
+    )
+
+    def _concurrent_append():
+        sink._compact_pre_swap = None  # the racer's upsert must not recurse
+        sink.upsert_batch(racer, 999)
+
+    sink._compact_pre_swap = _concurrent_append
+    n_before = 1000
+    with pytest.raises(RuntimeError, match="changed during the rewrite"):
+        sink.compact(spark, max_files_per_bucket=8)
+    # nothing lost: original rows AND the raced batch both readable
+    assert sink.read(spark).count() == n_before + 50
+    assert sink.read(spark).filter("payload = 'raced'").count() == 50
+    # with the stream quiet, the same compaction succeeds
+    compacted = sink.compact(spark, max_files_per_bucket=8)
+    assert compacted
+    for b in compacted:
+        assert (
+            len(glob.glob(os.path.join(
+                sink.path, f"{sink.BUCKET_COL}={b}", "*.parquet"
+            ))) == 1
+        )
+    assert sink.read(spark).count() == n_before + 50
+
+
+def test_legacy_flat_store_fails_loudly_then_migrates(spark, tmp_path):
+    """ADVICE r10: a store written by the pre-bucketing flat layout must
+    not silently read as absent (probe skipped → duplicate keys). The
+    sink fails loudly, and migrate_legacy() converts it one-shot — after
+    which upserts probe correctly against the migrated keys."""
+    import glob
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aws_localstack_stream_processing_spark.streaming.sinks import (
+        KeyedParquetSink,
+    )
+
+    path = str(tmp_path / "kv")
+    legacy = spark.range(500).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("key"),
+        F.lit("old").alias("payload"),
+    )
+    legacy.write.mode("overwrite").parquet(path)  # flat layout
+    sink = KeyedParquetSink(path, "key")
+    batch = spark.range(400, 600).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("key"),
+        F.lit("new").alias("payload"),
+    )
+    with pytest.raises(RuntimeError, match="legacy flat-layout"):
+        sink.upsert_batch(batch, 0)
+    n = sink.migrate_legacy(spark)
+    assert n > 0
+    assert not glob.glob(os.path.join(path, "*.parquet"))  # flat files gone
+    assert sink.exists(spark)
+    # 400-499 are dups of migrated keys: put-if-absent sees them
+    sink.upsert_batch(batch, 0)
+    out = sink.read(spark)
+    assert out.count() == 600
+    assert out.filter("payload = 'old'").count() == 500
+    # second migrate is a no-op
+    assert sink.migrate_legacy(spark) == 0
+
+
+def test_keyed_sink_resplit_doubles_buckets(spark, tmp_path):
+    """VERDICT r10 #6 done-criterion: store built at 16 buckets, resplit
+    to 32 — redelivery still converges (put-if-absent preserved), probes
+    prune to the NEW bucket layout, and a fresh sink instance adopts the
+    on-disk count from the meta sidecar."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_localstack_stream_processing_spark.streaming.sinks import (
+        KeyedParquetSink,
+    )
+
+    sink = KeyedParquetSink(str(tmp_path / "kv"), "key")
+    seed = spark.range(4000).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("key"),
+        F.lit("v").alias("payload"),
+    )
+    sink.upsert_batch(seed, 0)
+    assert sink.n_buckets == 16
+    sink.resplit(spark, 32)
+    assert sink.n_buckets == 32
+    dirs = {
+        int(p.rsplit("=", 1)[1])
+        for p in glob.glob(os.path.join(sink.path, f"{sink.BUCKET_COL}=*"))
+    }
+    assert max(dirs) >= 16 and len(dirs) == 32  # 4000 keys fill all 32
+    assert sink.read(spark).count() == 4000
+    # redelivery convergence over the resplit store
+    sink.upsert_batch(seed, 1)
+    assert sink.read(spark).count() == 4000
+    # a fresh instance (constructed with the DEFAULT count) adopts 32
+    # from the meta sidecar and probes the right buckets
+    sink2 = KeyedParquetSink(sink.path, "key")
+    batch = spark.range(3990, 4010).select(  # 10 dups + 10 new
+        F.sha2(F.col("id").cast("string"), 256).alias("key"),
+        F.lit("v2").alias("payload"),
+    )
+    sink2.upsert_batch(batch, 2)
+    assert sink2.n_buckets == 32
+    assert sink2.read(spark).count() == 4010
+    # and the pruned probe still reads only affected buckets
+    fresh = batch.dropDuplicates(["key"]).withColumn(
+        sink2.BUCKET_COL, sink2._bucket_expr()
+    )
+    buckets = [
+        r[0] for r in fresh.select(sink2.BUCKET_COL).distinct().collect()
+    ]
+    seen = (
+        spark.read.parquet(sink2.path)
+        .filter(F.col(sink2.BUCKET_COL).isin(buckets))
+        .select("key")
+    )
+    probe = KeyedParquetSink.probe_plan(seen, fresh, "key")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert f"PartitionFilters: [{sink2.BUCKET_COL}" in plan, plan
+    assert probe.count() == 0  # every key already present
