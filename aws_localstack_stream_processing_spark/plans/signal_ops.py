@@ -312,44 +312,55 @@ SELECT '{pair}' AS pair_name, {x} AS xv, {y} AS yv
 FROM {tbl(table, d)}"""
 
 
-def _mi_sql(d: str) -> str:
+def _mi_joint_sql(d: str) -> str:
     hod = "CAST(hour(ts) AS STRING)" if d == "spark" else "CAST(hour(ts) AS VARCHAR)"
     return f"""
 WITH src AS (
   {_mi_pair(d, 'events.event_type|hour_of_day', 'event_type', hod, 'events')}
   UNION ALL
   {_mi_pair(d, 'documents.lang|source', 'lang', 'source', 'documents')}
-),
-joint AS (
-  SELECT pair_name, xv, yv, CAST(COUNT(*) AS BIGINT) AS nxy
-  FROM src GROUP BY pair_name, xv, yv
-),
-mx AS (
-  SELECT pair_name, xv, CAST(SUM(nxy) AS BIGINT) AS nx
-  FROM joint GROUP BY pair_name, xv
-),
-my AS (
-  SELECT pair_name, yv, CAST(SUM(nxy) AS BIGINT) AS ny
-  FROM joint GROUP BY pair_name, yv
-),
-tot AS (
-  SELECT pair_name, CAST(SUM(nxy) AS BIGINT) AS n
-  FROM joint GROUP BY pair_name
-),
-terms AS (
+)
+SELECT pair_name, xv, yv, CAST(COUNT(*) AS BIGINT) AS nxy
+FROM src GROUP BY pair_name, xv, yv
+"""
+
+
+def _mi_sql(d: str, joint_table: str | None = None) -> str:
+    """The MI computation over a joint contingency table.
+
+    With ``joint_table`` set (the Spark path) the table is referenced
+    DIRECTLY as a derived table — not via a CTE: Spark's analyzer keeps
+    CTE definitions behind ``WithCTE``/``CTERelationRef`` nodes, and
+    CacheManager's plan substitution does not reach inside them, so a
+    persisted/temp-view joint wrapped in ``WITH joint AS (SELECT * FROM
+    mi_joint)`` silently recomputed from parquet (measured r11: zero
+    InMemoryTableScans, 8 file scans). Direct references substitute the
+    cache at every read site. The oracle (no ``joint_table``) keeps the
+    CTE form — DuckDB semantics are identical either way."""
+    jref = joint_table or f"({_mi_joint_sql(d).strip()})"
+    return f"""
+SELECT pair_name, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       round({dec_sum('term', 12)}, 6) AS mi_nats
+FROM (
   SELECT j.pair_name,
          round((CAST(j.nxy AS DOUBLE) / CAST(t.n AS DOUBLE))
                * ln(CAST(t.n AS DOUBLE) * CAST(j.nxy AS DOUBLE)
                     / (CAST(x.nx AS DOUBLE) * CAST(y.ny AS DOUBLE))),
                12) AS term
-  FROM joint j
-  JOIN mx x ON x.pair_name = j.pair_name AND x.xv = j.xv
-  JOIN my y ON y.pair_name = j.pair_name AND y.yv = j.yv
-  JOIN tot t ON t.pair_name = j.pair_name
-)
-SELECT pair_name, CAST(COUNT(*) AS BIGINT) AS n_cells,
-       round({dec_sum('term', 12)}, 6) AS mi_nats
-FROM terms
+  FROM {jref} j
+  JOIN (
+    SELECT pair_name, xv, CAST(SUM(nxy) AS BIGINT) AS nx
+    FROM {jref} GROUP BY pair_name, xv
+  ) x ON x.pair_name = j.pair_name AND x.xv = j.xv
+  JOIN (
+    SELECT pair_name, yv, CAST(SUM(nxy) AS BIGINT) AS ny
+    FROM {jref} GROUP BY pair_name, yv
+  ) y ON y.pair_name = j.pair_name AND y.yv = j.yv
+  JOIN (
+    SELECT pair_name, CAST(SUM(nxy) AS BIGINT) AS n
+    FROM {jref} GROUP BY pair_name
+  ) t ON t.pair_name = j.pair_name
+) terms
 GROUP BY pair_name
 ORDER BY pair_name
 """
@@ -370,9 +381,20 @@ def profile_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     a map-side combinable joint count; marginals derive from the joint
     (cells, not rows); the term join runs over contingency cells only,
     so everything downstream of the first GROUP BY is
-    cardinality-bounded, never row-bounded."""
+    cardinality-bounded, never row-bounded.
+
+    The joint table is PERSISTED (r11, VERDICT r10 #3): mx/my/tot/terms
+    all re-derive from it, and leaving the diamond implicit made the
+    plan depend on AQE's exchange-reuse race — whether the identical
+    joint subtrees' shuffle stages materialized before or after the
+    runtime replan flipped a join to broadcast (reproduced: 4/8 runs at
+    sf0.1 planned 7 exchanges, 4/8 planned 8, identical data and conf).
+    One explicit materialization = one scan pass over the inputs, four
+    cache reads, and a deterministic final plan."""
     views(spark, sf_dir, "events", "documents")
-    return spark.sql(_mi_sql("spark"))
+    joint = spark.sql(_mi_joint_sql("spark")).persist()
+    joint.createOrReplaceTempView("mi_joint")
+    return spark.sql(_mi_sql("spark", joint_table="mi_joint"))
 
 
 # ---------------------------------------------------------------------------
