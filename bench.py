@@ -157,9 +157,11 @@ def adjudicate_floors(
     live_fp,
     calib_ok: bool,
     par_eff=None,
+    par_sec=None,
     over_ratio: float = 1.25,
     board_max: float = 1.20,
     min_board: int = 20,
+    factor_cap: float = 5.0,
 ) -> dict:
     """The floor adjudication, pure and unit-testable (r10 continuation:
     every piece of this logic has been refined by a live-run incident —
@@ -216,6 +218,31 @@ def adjudicate_floors(
       can't poison the floor. Streaming queries have no cheap live
       fingerprint; their guard is the pin-change reset plus the oracle
       gate.
+    * **Parallel-throughput normalization** (VERDICT r10 #2): 8 straight
+      board-degraded windows (medians 1.29-1.51, eff 0.41-0.64) froze
+      every streak, so a real 1.3x same-plan regression could hide
+      indefinitely. The calibration's ``jvm_par_sec`` (fixed per-core
+      work on all cores) measures exactly the host state that inflates
+      the board: min-merge it like a floor (``jvm_par_floor`` — the
+      fastest parallel window ever gated, the same epoch the query
+      floors converge to), and divide every ratio by
+      ``clamp(par_sec / jvm_par_floor, 1, factor_cap)``. Streak and
+      regression ADJUDICATION runs on the normalized ratios: in a
+      uniformly-degraded window the normalized board median reads ~1.0
+      and a genuinely slowed query still stands out (host slowness
+      multiplies compute time; an injected stall does not shrink when
+      divided by the host factor). The factor never drops below 1 — a
+      fast window must not inflate ratios — and the streak FREEZE now
+      keys on the NORMALIZED median: it only engages when degradation
+      is non-uniform enough that normalization failed to explain it.
+      Raw medians still feed board_history/board_sustained (the
+      global-regression backstop) and the floors themselves still
+      min-merge raw times. With no ``par_sec`` the factor is 1.0 and
+      the behavior is exactly the pre-r11 rules.
+    * **Orphan prune** (ADVICE r10): a floor entry whose recorded pin no
+      longer exists in the committed pin files belongs to a removed or
+      renamed query — drop the floor, pin record, and streak instead of
+      carrying them forever.
     """
     floor = floor_doc["floor"]
     pins_rec: dict = floor_doc.setdefault("pins", {})
@@ -228,10 +255,25 @@ def adjudicate_floors(
         del floor[q]
         del pins_rec[q]
         streaks.pop(q, None)
+    orphaned = sorted(
+        q for q in floor if q in pins_rec and q not in cur_pins
+    )
+    for q in orphaned:
+        del floor[q]
+        del pins_rec[q]
+        streaks.pop(q, None)
+    pfloor = floor_doc.get("jvm_par_floor")
+    if par_sec:
+        pfloor = min(pfloor, par_sec) if pfloor else par_sec
+        floor_doc["jvm_par_floor"] = pfloor
+    host_factor = 1.0
+    if par_sec and pfloor:
+        host_factor = max(1.0, min(par_sec / pfloor, factor_cap))
     fratios = {
         q: round(t / floor[q], 2) for q, t in cur_all.items() if floor.get(q)
     }
-    over = sorted(q for q, r in fratios.items() if r > over_ratio)
+    nratios = {q: round(r / host_factor, 2) for q, r in fratios.items()}
+    over = sorted(q for q, r in nratios.items() if r > over_ratio)
     weather: list[str] = []
     unpinned: list[str] = []
     floor_regressions: list[str] = []
@@ -242,15 +284,24 @@ def adjudicate_floors(
         (floor_regressions if live_fp(q) != batch_pins[q] else weather).append(q)
     srt = sorted(fratios.values())
     board_median = srt[len(srt) // 2] if srt else None
+    nsrt = sorted(nratios.values())
+    board_median_norm = nsrt[len(nsrt) // 2] if nsrt else None
     board_degraded = (
         board_median is not None
         and len(srt) >= min_board
         and board_median > board_max
     )
+    # the streak freeze keys on the NORMALIZED median: a window the host
+    # factor fully explains keeps its discriminating power
+    freeze = (
+        board_median_norm is not None
+        and len(nsrt) >= min_board
+        and board_median_norm > board_max
+    )
     if calib_ok:
-        for q in fratios:
-            if fratios[q] > over_ratio:
-                if not board_degraded:
+        for q in nratios:
+            if nratios[q] > over_ratio:
+                if not freeze:
                     streaks[q] = int(streaks.get(q, 0)) + 1
             else:
                 streaks.pop(q, None)
@@ -261,7 +312,7 @@ def adjudicate_floors(
         effh.append(par_eff)
         del effh[:-8]
     sustained = sorted(
-        q for q, s in streaks.items() if int(s) >= 3 and q in fratios
+        q for q, s in streaks.items() if int(s) >= 3 and q in nratios
     )
     board_hist = floor_doc.get("board_history", [])
     board_sustained = len(board_hist) >= 3 and all(
@@ -284,14 +335,19 @@ def adjudicate_floors(
     return {
         "ref": "BENCH_FLOOR.json",
         "ratio": fratios,
+        "ratio_norm": nratios,
         "median_ratio": board_median,
+        "median_ratio_norm": board_median_norm,
+        "host_par_factor": round(host_factor, 3),
         "board_degraded": board_degraded,
+        "board_degraded_norm": freeze,
         "board_sustained": board_sustained,
         "regressions": floor_regressions,
         "sustained": sustained,
         "weather_over_floor": weather,
         "over_floor_unpinned": unpinned,
         "floor_reset_on_pin_change": floor_resets,
+        "floor_pruned_orphaned": orphaned,
         "floor_entries_lowered": updated,
         "lower_blocked_fp_mismatch": sorted(not_lowered),
     }
@@ -321,7 +377,14 @@ def main() -> None:
     # from "the VM changed".
     def _calibrate() -> dict[str, float]:
         jvm_trials, py_trials, one_trials, par_trials = [], [], [], []
-        ncpu = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        # real core count, not the env default (ADVICE r10): on a host with
+        # fewer cores than SPARK_GRAFT_CPUS the all-cores probe would be
+        # oversubscribed and eff systematically depressed every run,
+        # polluting eff_history's host-vs-engine attribution
+        ncpu = min(
+            spark.sparkContext.defaultParallelism,
+            os.cpu_count() or 32,
+        )
         for _ in range(3):
             t0 = time.perf_counter()
             spark.range(100_000_000).selectExpr(
@@ -683,22 +746,35 @@ def main() -> None:
             for name in sorted(q for q in qs if q.startswith("stream_")):
                 spark.catalog.clearCache()
                 n0 = len(listener.rows)
-                qs[name].fn(spark, SF_DIR).write.format("noop").mode(
-                    "overwrite"
-                ).save()
+                try:
+                    qs[name].fn(spark, SF_DIR).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except Exception as e:  # opsec is drift CONTEXT — a
+                    # transient stream failure (e.g. a Python worker
+                    # spawn flake under load) must not kill the bench's
+                    # one JSON line; the entry is omitted, visible as a
+                    # gap vs STREAMFP coverage
+                    print(f"stream opsec {name}: {e}", file=sys.stderr)
+                    continue
                 # listener delivery is async: wait until the bus drained
-                # (total stable and non-zero) before slicing the buffer
+                # (total stable across one interval) before slicing the
+                # buffer. Stability alone suffices (ADVICE r10): requiring
+                # cur > 0 made a query with zero progress events burn the
+                # full deadline and record a 0.0 indistinguishable from a
+                # real near-zero timing — instead, OMIT the entry when no
+                # events arrived.
                 deadline = time.time() + 5
-                last = -1
+                last = None
                 while time.time() < deadline:
                     cur = sum(r[3] for r in listener.rows[n0:])
-                    if cur == last and cur > 0:
+                    if last is not None and cur == last:
                         break
                     last = cur
                     time.sleep(0.3)
-                stream_opsec[name] = round(
-                    sum(r[3] for r in listener.rows[n0:]) / 1000.0, 3
-                )
+                total_ms = sum(r[3] for r in listener.rows[n0:])
+                if total_ms > 0:
+                    stream_opsec[name] = round(total_ms / 1000.0, 3)
         finally:
             spark.streams.removeListener(listener)
 
@@ -843,7 +919,29 @@ def main() -> None:
             _live_fp,
             detail["calib_ok"],
             par_eff=calib.get("jvm_par_eff"),
+            par_sec=calib.get("jvm_par_sec"),
         )
+        # Streaming opsec lane under the same floor discipline (VERDICT
+        # r10 #4): harness-subtracted trigger-execution totals min-merge
+        # into their own floor namespace with identical pin-reset
+        # (STREAMFP is the pin), normalization, and sustained rules — the
+        # 16 stream queries with no gated wall-clock timing get regression
+        # coverage. Single-trial timings carry more variance than the
+        # min-of-N lanes, which the >=3-consecutive-runs sustained rule
+        # absorbs; there is no live batch fingerprint, so over-floor
+        # entries adjudicate via streaks, not fp diffs.
+        if stream_opsec:
+            ops_doc = floor_doc.setdefault("opsec", {"floor": {}})
+            detail["vs_floor_opsec"] = adjudicate_floors(
+                ops_doc,
+                stream_opsec,
+                cur_pins,
+                {},
+                lambda q: None,
+                detail["calib_ok"],
+                par_eff=calib.get("jvm_par_eff"),
+                par_sec=calib.get("jvm_par_sec"),
+            )
         with open(os.path.join(root_, "BENCH_FLOOR.json"), "w") as f:
             json.dump(floor_doc, f, indent=1, sort_keys=True)
 
@@ -867,6 +965,8 @@ def main() -> None:
         vf = detail["vs_floor"]
         report["vs_floor"] = {
             "median_ratio": vf["median_ratio"],
+            "median_ratio_norm": vf["median_ratio_norm"],
+            "host_par_factor": vf["host_par_factor"],
             "board_degraded": vf["board_degraded"],
             "board_sustained": vf["board_sustained"],
             "regressions": vf["regressions"][:10],
@@ -874,6 +974,15 @@ def main() -> None:
             "n_weather_over_floor": len(vf["weather_over_floor"]),
             "n_unpinned_over_floor": len(vf["over_floor_unpinned"]),
             "n_floor_resets": len(vf["floor_reset_on_pin_change"]),
+        }
+    if "vs_floor_opsec" in detail:
+        vo = detail["vs_floor_opsec"]
+        report["vs_floor_opsec"] = {
+            "median_ratio_norm": vo["median_ratio_norm"],
+            "sustained": vo["sustained"][:6],
+            "n_over": len(vo["over_floor_unpinned"])
+            + len(vo["regressions"])
+            + len(vo["weather_over_floor"]),
         }
     if prev_bench:
         report["vs_prev"] = {

@@ -272,3 +272,130 @@ def test_adjudication_is_idempotent_on_state_copies(floor, cur):
     )
     assert r1 == r2
     assert d1 == d2
+
+
+# ---------------------------------------------------------------------------
+# round 11: parallel-throughput normalization (VERDICT r10 #2), orphan
+# pruning (ADVICE r10), and the stream-opsec floor lane (VERDICT r10 #4).
+# ---------------------------------------------------------------------------
+
+
+def _runp(doc, cur, par_sec, *, streaks=None, calib_ok=True, min_board=1,
+          cur_pins=None, batch_pins=None, live=None):
+    if streaks is not None:
+        doc["over_streak"] = dict(streaks)
+    live = live or {}
+    return bench.adjudicate_floors(
+        doc, cur, cur_pins or {}, batch_pins or {},
+        lambda q: live.get(q), calib_ok, par_eff=0.5, par_sec=par_sec,
+        min_board=min_board,
+    )
+
+
+def test_degraded_window_normalizes_to_one():
+    """Floors set at jvm_par_floor=1.0; a window where parallel
+    throughput halved (par_sec=1.4) inflates every raw ratio to 1.4 —
+    normalization must read the board as quiet (norm median ~1.0), with
+    the raw median still reported for board_history."""
+    floor = {f"q{i}": 1.0 for i in range(25)}
+    doc = {"floor": dict(floor), "sf": 0.1, "jvm_par_floor": 1.0}
+    rep = _runp(doc, {q: 1.4 for q in floor}, par_sec=1.4, min_board=20)
+    assert rep["host_par_factor"] == 1.4
+    assert rep["median_ratio"] == 1.4 and rep["board_degraded"] is True
+    assert rep["median_ratio_norm"] == 1.0
+    assert rep["board_degraded_norm"] is False
+    assert rep["regressions"] == [] and rep["sustained"] == []
+    assert doc["over_streak"] == {}  # nothing flagged: window explained
+
+
+def test_slowed_query_still_flagged_in_degraded_window():
+    """THE point of normalization: a genuinely slowed query (injected
+    stall — its exceedance does not shrink with the host factor) must
+    still accumulate streak and reach sustained, even while the whole
+    board sits 1.4x over raw floor. Pre-r11 rules froze the streak here
+    indefinitely."""
+    floor = {f"q{i}": 1.0 for i in range(25)}
+    doc = {"floor": dict(floor), "sf": 0.1, "jvm_par_floor": 1.0}
+    cur = {q: 1.4 for q in floor}
+    cur["q0"] = 2.8  # 2x over even AFTER normalization
+    _runp(doc, cur, par_sec=1.4, min_board=20, streaks={"q0": 2})
+    assert doc["over_streak"]["q0"] == 3
+    rep = _runp(doc, cur, par_sec=1.4, min_board=20)
+    assert "q0" in rep["sustained"]
+
+
+def test_normalization_never_inflates_and_caps():
+    """A window FASTER than the par floor must not inflate ratios
+    (factor clamps at 1.0 — otherwise fast windows flag phantom
+    regressions), and an absurd par reading clamps at the cap."""
+    floor = {f"q{i}": 1.0 for i in range(5)}
+    doc = {"floor": dict(floor), "sf": 0.1, "jvm_par_floor": 2.0}
+    rep = _runp(dict(doc, floor=dict(floor)), {q: 1.0 for q in floor},
+                par_sec=1.0)
+    assert rep["host_par_factor"] == 1.0  # faster than floor: no shrink
+    doc2 = {"floor": dict(floor), "sf": 0.1, "jvm_par_floor": 1.0}
+    rep2 = _runp(doc2, {q: 1.0 for q in floor}, par_sec=50.0)
+    assert rep2["host_par_factor"] == 5.0  # capped
+
+
+def test_par_floor_min_merges():
+    doc = {"floor": {"q": 1.0}, "sf": 0.1, "jvm_par_floor": 1.4}
+    _runp(doc, {"q": 1.0}, par_sec=1.1)
+    assert doc["jvm_par_floor"] == 1.1
+    _runp(doc, {"q": 1.0}, par_sec=1.9)
+    assert doc["jvm_par_floor"] == 1.1  # min-merge: never raised
+
+
+def test_plan_identical_rerun_no_false_positives_under_normalization():
+    """The 'zero false positives' contract survives normalization: a
+    plan-identical re-run at raw floor speed in a quiet window reports
+    nothing, streaks stay empty."""
+    floor = {f"q{i}": 1.0 for i in range(25)}
+    doc = {"floor": dict(floor), "sf": 0.1, "jvm_par_floor": 1.0}
+    for _ in range(3):
+        rep = _runp(doc, dict(floor), par_sec=1.0, min_board=20)
+        assert rep["regressions"] == [] and rep["sustained"] == []
+        assert doc["over_streak"] == {}
+
+
+def test_orphaned_pin_prunes_floor_entry():
+    """ADVICE r10: a floor entry whose recorded pin vanished from the
+    committed pin files (query removed/renamed) is pruned — floor, pin
+    record, and streak — instead of living in BENCH_FLOOR.json forever."""
+    doc = _doc({"gone": 1.0, "kept": 1.0},
+               pins={"gone": "X", "kept": "A"}, streaks={"gone": 2})
+    rep = _run(doc, {"kept": 1.0}, cur_pins={"kept": "A"},
+               batch_pins={"kept": "A"}, live={"kept": "A"})
+    assert rep["floor_pruned_orphaned"] == ["gone"]
+    assert "gone" not in doc["floor"] and "gone" not in doc["pins"]
+    assert doc["over_streak"] == {}
+    # a floor entry with NO recorded pin (pre-pin legacy) is kept
+    doc2 = _doc({"legacy": 1.0}, pins={})
+    rep2 = _run(doc2, {"legacy": 1.0})
+    assert rep2["floor_pruned_orphaned"] == []
+    assert "legacy" in doc2["floor"]
+
+
+def test_opsec_lane_flags_deliberate_slowdown():
+    """VERDICT r10 #4 done-criterion: the stream-opsec lane (same
+    adjudicator, own namespace, STREAMFP pins, no live fingerprint) must
+    flag a deliberately slowed streaming query via the sustained rule,
+    and reset it when the cost returns to floor."""
+    ops = {"floor": {"stream_x": 2.0, "stream_y": 1.0}}
+    pins = {"stream_x": "S1", "stream_y": "S2"}
+    slow = {"stream_x": 3.2, "stream_y": 1.0}  # extra state op: 1.6x
+    for _ in range(3):
+        rep = bench.adjudicate_floors(
+            ops, slow, pins, {}, lambda q: None, True, min_board=20,
+        )
+    assert rep["over_floor_unpinned"] == ["stream_x"]
+    assert rep["sustained"] == ["stream_x"]
+    # an intentional plan change (STREAMFP pin regenerates) resets it
+    ops["pins"]["stream_x"] = "S1"
+    rep2 = bench.adjudicate_floors(
+        ops, slow, {"stream_x": "S1-new", "stream_y": "S2"}, {},
+        lambda q: None, True, min_board=20,
+    )
+    assert rep2["floor_reset_on_pin_change"] == ["stream_x"]
+    assert ops["floor"]["stream_x"] == 3.2  # re-seeded
+    assert "stream_x" not in ops["over_streak"]
