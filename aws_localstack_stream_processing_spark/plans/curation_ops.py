@@ -15,6 +15,7 @@ the two-phase bucket-numbering idiom or ``TakeOrderedAndProject``.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions import hashing
 from .dialect import intdiv, qsample, tbl, to_double_arr, dot, views
@@ -317,6 +318,191 @@ def emb_ivf_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combinable, and the totals row is a broadcast scalar."""
     views(spark, sf_dir, "embeddings")
     return spark.sql(_ivf_balance_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# emb_ivf_incremental_upsert — grow-only IVF index maintenance.
+# ---------------------------------------------------------------------------
+
+# "new arrivals" slice: vec_id % 10 == 7 (~10% of the corpus). The frozen
+# centroid set (vec_id % _IVF_CENT_MOD == 0) is disjoint from it by
+# construction (50 | vec_id ⇒ vec_id % 10 == 0), so the centroids are
+# trained entirely on the retained corpus — the upsert never retrains.
+_IVF_NEW_MOD = 10
+_IVF_NEW_REM = 7
+
+
+def _ivf_upsert_sql(d: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT vec_id, {to_double_arr('embedding', d)} AS emb
+  FROM {tbl('embeddings', d)}
+),
+normed AS (
+  SELECT vec_id, emb, sqrt({dot('emb', 'emb', DIM, d)}) AS nrm,
+         (vec_id % {_IVF_NEW_MOD} = {_IVF_NEW_REM}) AS is_new
+  FROM base
+),
+cents AS (
+  SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM normed
+  WHERE vec_id % {_IVF_CENT_MOD} = 0
+),
+assign AS (
+  SELECT vec_id, is_new, cid FROM (
+    SELECT n.vec_id, n.is_new, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY {dot('n.emb', 'c.cemb', DIM, d)} / (n.nrm * c.cnrm)
+                        DESC,
+                      c.cid
+           ) AS crnk
+    FROM normed n CROSS JOIN cents c
+  ) a WHERE crnk = 1
+),
+cells AS (
+  SELECT cid,
+         CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+         CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+         CAST(COUNT(*) AS BIGINT) AS n_total
+  FROM assign GROUP BY cid
+),
+tot AS (
+  SELECT CAST(SUM(n_base) AS BIGINT) AS t_base,
+         CAST(SUM(n_total) AS BIGINT) AS t_total,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM cells
+)
+SELECT c.cid, c.n_base, c.n_added, c.n_total,
+       round(CAST(c.n_total AS DOUBLE) / t.t_total, 6) AS share_after,
+       round(CAST(c.n_base AS DOUBLE) * t.n_cells / t.t_base, 6)
+         AS balance_before,
+       round(CAST(c.n_total AS DOUBLE) * t.n_cells / t.t_total, 6)
+         AS balance_after
+FROM cells c CROSS JOIN tot t
+ORDER BY c.cid
+"""
+
+
+def ivf_assign(df: DataFrame, cents: DataFrame) -> DataFrame:
+    """Coarse-quantize ``df`` (columns ``vec_id, emb, nrm``) against the
+    broadcast centroid set (``cid, cemb, cnrm``): (vec_id, cid) of each
+    vector's nearest centroid, ties to the lowest cid.
+
+    The argmax is an aggregation ``max(struct(cos, -cid))`` — map-side
+    combinable, no sort, no shuffle of the (vector × centroid) product —
+    the same idiom as ``sim_ann_ivf``/``emb_kmeans_lloyd``; shared here
+    so the index build, the incremental upsert, and the rebuild-audit
+    test all quantize through ONE code path."""
+    cos = F.expr(dot("emb", "cemb", DIM, "spark")) / (
+        F.col("nrm") * F.col("cnrm")
+    )
+    scored = df.join(cents).withColumn("ccos", cos)
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("ccos"), (-F.col("cid")).alias("nc"))
+            ).alias("b")
+        )
+        .select("vec_id", (-F.col("b.nc")).alias("cid"))
+    )
+
+
+@query(
+    "emb_ivf_incremental_upsert",
+    oracle=_ivf_upsert_sql("duck"),
+    tags=("llm", "similarity", "incremental"),
+)
+def emb_ivf_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance (VERDICT r11 #4): new vectors
+    are assigned to the EXISTING frozen centroids and appended to the
+    inverted lists — FAISS ``add_with_ids`` semantics, the vector-valued
+    analogue of the reference's grow-only keyed store
+    (signer/index.js:229-242). A 100 TB corpus never rebuilds its vector
+    index from scratch; the delta assignment is the whole per-ingest
+    cost, and because per-vector assignment under a FROZEN centroid set
+    is independent of every other vector, the incrementally-grown index
+    is EXACTLY the index a full rebuild would produce (the equivalence
+    ``tests/test_approx.py`` pins against the batch-built
+    ``emb_ivf_balance_stats`` cells and a from-scratch rebuild).
+
+    The emitted table is the upsert's operational product: per-cell list
+    sizes before/after, the delta, and the FAISS-style imbalance factor
+    before/after — the re-cluster tripwire. A cell whose balance_after
+    drifts far above 1 makes every probe of that cell proportionally
+    more expensive; when the post-upsert imbalance crosses the
+    deployment's threshold, THAT (not the upsert itself) schedules the
+    offline re-train, exactly like ``KeyedParquetSink.resplit``'s
+    bucket-count evolution.
+
+    Plan shape: the retained-index pass scores only retained rows, the
+    upsert pass only the ~10% delta slice — disjoint slices, so total
+    scoring work equals one corpus pass; both passes broadcast the
+    ~sqrt(N) centroid set and aggregate map-side (``ivf_assign``); the
+    per-cell merge is a |cells|-sized groupBy and the totals row a
+    broadcast scalar."""
+    views(spark, sf_dir, "embeddings")
+    normed = spark.sql(
+        f"""
+SELECT vec_id, emb, sqrt({dot('emb', 'emb', DIM, 'spark')}) AS nrm
+FROM (SELECT vec_id, {to_double_arr('embedding', 'spark')} AS emb
+      FROM {tbl('embeddings', 'spark')})
+"""
+    ).persist()
+    cents = F.broadcast(
+        normed.filter(F.col("vec_id") % _IVF_CENT_MOD == 0).select(
+            F.col("vec_id").alias("cid"),
+            F.col("emb").alias("cemb"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    is_new = F.col("vec_id") % _IVF_NEW_MOD == _IVF_NEW_REM
+    retained = ivf_assign(normed.filter(~is_new), cents)  # standing index
+    upserted = ivf_assign(normed.filter(is_new), cents)  # the delta pass
+    assign = retained.withColumn("is_new", F.lit(False)).unionByName(
+        upserted.withColumn("is_new", F.lit(True))
+    )
+    cells = assign.groupBy("cid").agg(
+        F.sum(F.when(F.col("is_new"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_base"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_added"),
+        F.count("*").cast("bigint").alias("n_total"),
+    )
+    tot = F.broadcast(
+        cells.agg(
+            F.sum("n_base").cast("bigint").alias("t_base"),
+            F.sum("n_total").cast("bigint").alias("t_total"),
+            F.count("*").cast("bigint").alias("n_cells"),
+        )
+    )
+    return (
+        cells.crossJoin(tot)
+        .select(
+            "cid",
+            "n_base",
+            "n_added",
+            "n_total",
+            F.round(
+                F.col("n_total").cast("double") / F.col("t_total"), 6
+            ).alias("share_after"),
+            F.round(
+                F.col("n_base").cast("double")
+                * F.col("n_cells")
+                / F.col("t_base"),
+                6,
+            ).alias("balance_before"),
+            F.round(
+                F.col("n_total").cast("double")
+                * F.col("n_cells")
+                / F.col("t_total"),
+                6,
+            ).alias("balance_after"),
+        )
+        .orderBy("cid")
+    )
 
 
 # ---------------------------------------------------------------------------

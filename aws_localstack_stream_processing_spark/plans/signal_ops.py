@@ -366,6 +366,11 @@ ORDER BY pair_name
 """
 
 
+# the previous profile_mutual_information call's persisted joint — see the
+# query docstring's lifecycle contract
+_MI_JOINT_LIVE: list = []
+
+
 @query(
     "profile_mutual_information",
     oracle=_mi_sql("duck"),
@@ -390,11 +395,30 @@ def profile_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     runtime replan flipped a join to broadcast (reproduced: 4/8 runs at
     sf0.1 planned 7 exchanges, 4/8 planned 8, identical data and conf).
     One explicit materialization = one scan pass over the inputs, four
-    cache reads, and a deterministic final plan."""
+    cache reads, and a deterministic final plan.
+
+    Cache/view lifecycle (ADVICE r11): the joint is registered under a
+    PER-CALL unique view name (concurrent or interleaved invocations in
+    one session never race on a shared name — the fingerprint is a
+    node-count vector, so the name never perturbs the PLANFP pin), and
+    each invocation unpersists the PREVIOUS call's joint, bounding a
+    no-clearCache session (tests, verify harness, interactive) to one
+    cached relation. The returned DataFrame is lazy, so the CURRENT
+    call's cache cannot be dropped here; a caller wanting a fully clean
+    session uses ``spark.catalog.clearCache()`` after materializing."""
+    import uuid
+
     views(spark, sf_dir, "events", "documents")
+    while _MI_JOINT_LIVE:
+        try:
+            _MI_JOINT_LIVE.pop().unpersist()
+        except Exception:
+            pass
     joint = spark.sql(_mi_joint_sql("spark")).persist()
-    joint.createOrReplaceTempView("mi_joint")
-    return spark.sql(_mi_sql("spark", joint_table="mi_joint"))
+    _MI_JOINT_LIVE.append(joint)
+    name = f"mi_joint_{uuid.uuid4().hex[:8]}"
+    joint.createOrReplaceTempView(name)
+    return spark.sql(_mi_sql("spark", joint_table=name))
 
 
 # ---------------------------------------------------------------------------

@@ -29,6 +29,7 @@ from .registry import query
 # ..streaming.planlog (batch queries can be plan-inspected lazily, but a
 # streaming plan only exists while its query runs).
 from ..streaming.planlog import note_plan as _note_plan
+from ..streaming.resilience import start_and_await as _start_and_await
 from ..streaming.statelog import note_state_metrics as _note_state
 from ..streaming.statestore import apply_state_store as _apply_state_store
 
@@ -51,20 +52,27 @@ def _to_memory(df: DataFrame, mode: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     _apply_state_store(spark)
     try:
-        name = f"slsp_mem_{uuid.uuid4().hex[:12]}"
-        q = (
-            df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        names: list[str] = []
+
+        def _start():
+            # fresh memory-sink table per attempt: a spawn-flake retry
+            # (resilience.start_and_await) must not collide with the
+            # dead attempt's registered sink name
+            names.append(f"slsp_mem_{uuid.uuid4().hex[:12]}")
+            return (
+                df.writeStream.format("memory")
+                .queryName(names[-1])
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        q = _start_and_await(_start)
         _note_plan(q)
         _note_state(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    return spark.table(names[-1])
 
 
 @query("stream_minute_sum", oracle=_minute_sum_sql("duck"), tags=("streaming", "agg"))
@@ -843,16 +851,14 @@ def stream_alarm_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     _apply_state_store(spark)
     try:
-        q = (
-            hourly.writeStream.foreachBatch(sink.process_batch)
+        ckpt = tempfile.mkdtemp(prefix="slsp_alarm_ckpt_")
+        q = _start_and_await(
+            lambda: hourly.writeStream.foreachBatch(sink.process_batch)
             .outputMode("complete")
-            .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="slsp_alarm_ckpt_")
-            )
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
         _note_plan(q)
         _note_state(q)
     finally:
@@ -970,14 +976,14 @@ def stream_kv_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = spark.readStream.schema(keyed_schema).parquet(f"{work}/src")
     store = tempfile.mkdtemp(prefix="slsp_kv_store_")
     _apply_state_store(spark)
-    q = (
-        keyed.writeStream.format("kv_upsert")
+    ckpt = tempfile.mkdtemp(prefix="slsp_kv_ckpt_")
+    q = _start_and_await(
+        lambda: keyed.writeStream.format("kv_upsert")
         .option("path", store)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="slsp_kv_ckpt_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
     _note_plan(q)
     _note_state(q)
     back = read_kv_table(spark, store, "key")
@@ -1808,13 +1814,12 @@ def stream_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        q = (
-            stream.writeStream.foreachBatch(sink.merge_batch)
+        q = _start_and_await(
+            lambda: stream.writeStream.foreachBatch(sink.merge_batch)
             .option("checkpointLocation", f"{work}/ckpt")
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     _note_plan(q)
@@ -1922,13 +1927,12 @@ def stream_cdc_scd2_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        q = (
-            stream.writeStream.foreachBatch(sink.merge_batch)
+        q = _start_and_await(
+            lambda: stream.writeStream.foreachBatch(sink.merge_batch)
             .option("checkpointLocation", f"{work}/ckpt")
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     _note_plan(q)

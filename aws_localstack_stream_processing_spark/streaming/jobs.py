@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing
 from .dlq import foreach_batch_dlq
+from .resilience import start_and_await
 from .source import events_stream
 from .statestore import apply_state_store
 
@@ -54,8 +55,8 @@ def run_ingest_stream(
     (raw/partition_N/year=/month=/day=/hour=, app.ts:400,411)."""
     ev = events_stream(spark, sf_dir, max_files_per_trigger)
     apply_state_store(spark)
-    q = (
-        ingest_columns(ev)
+    start_and_await(
+        lambda: ingest_columns(ev)
         .writeStream.format("parquet")
         .partitionBy("partition", "year", "month", "day", "hour")
         .option("path", lake_dir)
@@ -63,7 +64,6 @@ def run_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
 
 
 def run_ingest_stream_manifest(
@@ -95,13 +95,12 @@ def run_ingest_stream_manifest(
         append_manifest(lake_dir, files, commit_id=batch_id)
 
     apply_state_store(spark)
-    q = (
-        source.writeStream.foreachBatch(_sink)
+    start_and_await(
+        lambda: source.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
 
 
 def run_dlq_stream(
@@ -120,13 +119,12 @@ def run_dlq_stream(
         ),
     )
     apply_state_store(spark)
-    q = (
-        ev.writeStream.foreachBatch(foreach_batch_dlq(ok_path, err_path))
+    start_and_await(
+        lambda: ev.writeStream.foreachBatch(foreach_batch_dlq(ok_path, err_path))
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
 
 
 def signed_stream(spark: SparkSession, sf_dir: str, n_keys: int = 100) -> DataFrame:
@@ -160,11 +158,10 @@ def run_signing_stream(
 
     sink = KeyedParquetSink(sink_path, "tx_hash")
     apply_state_store(spark)
-    q = (
-        signed_stream(spark, sf_dir)
+    start_and_await(
+        lambda: signed_stream(spark, sf_dir)
         .writeStream.foreachBatch(sink.upsert_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()

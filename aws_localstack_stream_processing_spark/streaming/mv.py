@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .resilience import start_and_await
 from .statestore import apply_state_store
 
 
@@ -37,13 +38,12 @@ def run_mv_stream(
         partial.write.mode("overwrite").parquet(f"{mv_dir}/batch_id={batch_id}")
 
     apply_state_store(spark)
-    q = (
-        source.writeStream.foreachBatch(handle)
+    q = start_and_await(
+        lambda: source.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
     from .planlog import note_plan
     from .statelog import note_state_metrics
 

@@ -111,23 +111,51 @@ class KeyedParquetSink:
     def migrate_legacy(self, spark: SparkSession) -> int:
         """One-shot migration of a pre-bucketing flat store into the
         bucketed layout (ADVICE r10): read the top-level files, route
-        every row to its bucket partition, remove the flat files. Must
+        every row to its bucket partition, retire the flat files. Must
         run with the owning stream stopped (same precondition as
         :meth:`compact`). Returns the number of flat files migrated;
-        idempotent (no flat files ⇒ no-op)."""
+        idempotent (no flat files ⇒ no-op).
+
+        Crash tolerance (ADVICE r11): the original append-then-delete
+        order could crash between the two and leave the rows present in
+        BOTH layouts — a re-run would then append them a second time
+        despite the idempotence claim. Instead the migrated layout is
+        staged to a sibling directory (meta sidecar included, so it
+        travels with the data) and swapped in with the same two-rename
+        protocol as :meth:`resplit`. Any bucketed rows already present
+        (a crashed earlier migration) are unioned in and key-deduped, so
+        every crash point re-runs to the same converged store. A crash
+        BETWEEN the two renames leaves the ``.migrate_old`` backup;
+        recovery = rename it back."""
+        import glob as _glob
+        import shutil
+
         flat = self._legacy_flat_files()
         if not flat:
             return 0
-        df = spark.read.parquet(*flat)
-        bucketed = df.withColumn(
+        rows = spark.read.parquet(*flat).withColumn(
             self.BUCKET_COL, self._bucket_expr()
-        ).localCheckpoint(eager=True)
-        bucketed.write.mode("append").partitionBy(self.BUCKET_COL).parquet(
-            self.path
         )
-        for f in flat:
-            os.remove(f)
-        self._write_meta()
+        prior_dirs = sorted(
+            _glob.glob(os.path.join(self.path, f"{self.BUCKET_COL}=*"))
+        )
+        if prior_dirs:
+            prior = spark.read.option("basePath", self.path).parquet(
+                *prior_dirs
+            )
+            rows = prior.unionByName(rows).dropDuplicates([self.key_col])
+        staged = self.path.rstrip("/") + ".migrate"
+        shutil.rmtree(staged, ignore_errors=True)
+        rows.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(
+            staged
+        )
+        with open(os.path.join(staged, self.META_FILE), "w") as f:
+            json.dump({"n_buckets": self.n_buckets}, f)
+        backup = self.path.rstrip("/") + ".migrate_old"
+        shutil.rmtree(backup, ignore_errors=True)
+        os.rename(self.path, backup)
+        os.rename(staged, self.path)
+        shutil.rmtree(backup)
         return len(flat)
 
     def _bucket_expr(self):
@@ -303,11 +331,14 @@ class KeyedParquetSink:
         Every row re-routes to ``pmod(xxhash64(key), new_n)`` — a key's
         old and new bucket differ, so this is a full rewrite, NOT a
         dynamic partition overwrite: the new layout is staged to a
-        sibling directory and swapped in with two renames (crash
-        between them leaves the ``.resplit_old`` backup; recovery =
-        rename it back). Must run with the owning stream stopped. The
-        meta sidecar records the new count so every later open probes
-        correctly.
+        sibling directory — with the meta sidecar recording the new
+        count written INTO the staged dir, so the count travels with
+        the data through the swap (ADVICE r11: writing it after the
+        swap left a crash window in which a fresh sink would probe a
+        resplit store at the constructor default and duplicate keys) —
+        and swapped in with two renames (crash between them leaves the
+        ``.resplit_old`` backup; recovery = rename it back). Must run
+        with the owning stream stopped.
         """
         import shutil
 
@@ -321,11 +352,12 @@ class KeyedParquetSink:
         df.withColumn(self.BUCKET_COL, self._bucket_expr()).write.mode(
             "overwrite"
         ).partitionBy(self.BUCKET_COL).parquet(staged)
+        with open(os.path.join(staged, self.META_FILE), "w") as f:
+            json.dump({"n_buckets": self.n_buckets}, f)
         backup = self.path.rstrip("/") + ".resplit_old"
         os.rename(self.path, backup)
         os.rename(staged, self.path)
         shutil.rmtree(backup)
-        self._write_meta()
 
 
 class Scd2ParquetSink:
@@ -444,6 +476,21 @@ class Scd2ParquetSink:
             self._sync_meta()
             return True
         return False
+
+    def _read_history(self, spark: SparkSession) -> DataFrame:
+        """Every read of the history table schema-merges (ADVICE r11):
+        after the first merge over a pre-r11 store, only the affected
+        buckets carry ``seen_ts_s``/``seen_event_id`` (dynamic partition
+        overwrite rewrites nothing else), and a plain parquet read infers
+        the schema from an ARBITRARY file — so the guard's
+        ``"seen_ts_s" in hist.columns`` checks were nondeterministic:
+        when a legacy file won inference, existing guard metadata was
+        silently dropped and the guard degraded to the retained-opening
+        head, the exact collapsed-tail corruption it exists to catch.
+        With ``mergeSchema`` the superset schema always wins; legacy
+        rows surface NULL metadata, which the per-row ``coalesce``
+        fallbacks already absorb."""
+        return spark.read.option("mergeSchema", "true").parquet(self.path)
 
     @staticmethod
     def merge_plan(cand: DataFrame) -> DataFrame:
@@ -592,7 +639,7 @@ class Scd2ParquetSink:
         hist = None
         if present:
             hist = (
-                spark.read.parquet(self.path)
+                self._read_history(spark)
                 .filter(F.col("bucket").isin(buckets))
                 .persist()
             )
@@ -748,7 +795,7 @@ class Scd2ParquetSink:
                 F.col("__seen.e").alias("seen_event_id"),
             )
             keep = (
-                spark.read.parquet(self.path)
+                self._read_history(spark)
                 .filter(F.col("bucket").isin(buckets))
                 .join(F.broadcast(flagged), "user_id", "left_anti")
             )
@@ -773,9 +820,11 @@ class Scd2ParquetSink:
 
     def resplit(self, spark: SparkSession, n_buckets: int) -> None:
         """Offline bucket-count evolution — same contract as
-        :meth:`KeyedParquetSink.resplit` (stage to a sibling directory,
-        two-rename swap, meta sidecar records the new count); buckets
-        here are ``pmod(user_id, n)``. Must run with the stream stopped.
+        :meth:`KeyedParquetSink.resplit` (stage to a sibling directory
+        with the meta sidecar written INTO it so the new count travels
+        through the two-rename swap — ADVICE r11, see that method);
+        buckets here are ``pmod(user_id, n)``. Must run with the stream
+        stopped.
         """
         import shutil
 
@@ -786,16 +835,17 @@ class Scd2ParquetSink:
         if n_buckets == self.n_buckets:
             return
         self.n_buckets = int(n_buckets)
-        df = spark.read.parquet(self.path).withColumn(
+        df = self._read_history(spark).withColumn(
             "bucket", F.pmod("user_id", F.lit(self.n_buckets)).cast("int")
         )
         staged = self.path.rstrip("/") + f".resplit{n_buckets}"
         df.write.mode("overwrite").partitionBy("bucket").parquet(staged)
+        with open(os.path.join(staged, self.META_FILE), "w") as f:
+            json.dump({"n_buckets": self.n_buckets}, f)
         backup = self.path.rstrip("/") + ".resplit_old"
         os.rename(self.path, backup)
         os.rename(staged, self.path)
         shutil.rmtree(backup)
-        self._write_meta()
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.path)
+        return self._read_history(spark)

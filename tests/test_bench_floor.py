@@ -399,3 +399,83 @@ def test_opsec_lane_flags_deliberate_slowdown():
     assert rep2["floor_reset_on_pin_change"] == ["stream_x"]
     assert ops["floor"]["stream_x"] == 3.2  # re-seeded
     assert "stream_x" not in ops["over_streak"]
+
+
+# ---------------------------------------------------------------------------
+# round 12: orphan-prune guard on pin-load failure (ADVICE r11 #1) and the
+# freeze-don't-pop streak rule for raw-over/normalized-under readings
+# (ADVICE r11 #5).
+# ---------------------------------------------------------------------------
+
+
+def test_pin_load_failure_skips_orphan_prune():
+    """pins_ok=False (a pin file failed to load): every floor entry would
+    look orphaned against the partial/empty cur_pins — the prune must be
+    skipped entirely and the failure surfaced, not wipe the accumulated
+    floors and re-seed them from the current run."""
+    doc = _doc({"a": 1.0, "b": 1.0},
+               pins={"a": "A", "b": "B"}, streaks={"a": 2})
+    rep = bench.adjudicate_floors(
+        doc, {"a": 3.0, "b": 3.0}, {}, {}, lambda q: None, True,
+        min_board=1, pins_ok=False,
+    )
+    assert rep["pin_files_ok"] is False
+    assert rep["floor_pruned_orphaned"] == []
+    assert doc["floor"]["a"] == 1.0 and doc["floor"]["b"] == 1.0
+    assert doc["pins"] == {"a": "A", "b": "B"}
+    assert doc["over_streak"]["a"] >= 2  # streak evidence preserved
+
+
+def test_partial_pin_set_does_not_prune_missing_halves():
+    """Even with pins_ok defaulting True, an EMPTY cur_pins (both files
+    unreadable but swallowed) must not prune: the guard requires a
+    non-empty committed pin set before trusting absence as orphanhood."""
+    doc = _doc({"a": 1.0}, pins={"a": "A"})
+    rep = bench.adjudicate_floors(
+        doc, {"a": 1.0}, {}, {}, lambda q: None, True, min_board=1,
+    )
+    assert rep["floor_pruned_orphaned"] == []
+    assert "a" in doc["floor"]
+
+
+def test_raw_over_normalized_under_freezes_streak():
+    """ADVICE r11: a query whose raw ratio is over threshold but whose
+    normalized ratio is under must FREEZE its accumulated streak, not pop
+    it — a fixed-cost query (cost does not scale with parallel
+    throughput) in a degraded window would otherwise launder a genuine
+    same-plan regression by popping its evidence every degraded run."""
+    floor = {f"q{i}": 1.0 for i in range(25)}
+    doc = {"floor": dict(floor), "sf": 0.1, "jvm_par_floor": 1.0,
+           "over_streak": {"q0": 2}}
+    cur = {q: 1.4 for q in floor}  # raw 1.4, normalized 1.0 at factor 1.4
+    bench.adjudicate_floors(
+        doc, cur, {}, {}, lambda q: None, True, par_sec=1.4, min_board=20,
+    )
+    assert doc["over_streak"]["q0"] == 2  # frozen: neither popped nor grown
+    # ... and a genuinely-at-raw-floor reading still resets it
+    quiet = dict(cur)
+    quiet["q0"] = 1.0
+    bench.adjudicate_floors(
+        doc, quiet, {}, {}, lambda q: None, True, par_sec=1.4, min_board=20,
+    )
+    assert "q0" not in doc["over_streak"]
+
+
+def test_board_history_norm_recorded_alongside_raw():
+    """VERDICT r11 #3: gated runs append the NORMALIZED board median to
+    its own capped history so the freeze-vs-live question is answerable
+    from BENCH_FLOOR.json alone."""
+    floor = {f"q{i}": 1.0 for i in range(25)}
+    doc = {"floor": dict(floor), "sf": 0.1, "jvm_par_floor": 1.0}
+    bench.adjudicate_floors(
+        doc, {q: 1.4 for q in floor}, {}, {}, lambda q: None, True,
+        par_sec=1.4, min_board=20,
+    )
+    assert doc["board_history"][-1] == 1.4
+    assert doc["board_history_norm"][-1] == 1.0
+    doc["board_history_norm"] = [1.0] * 8
+    bench.adjudicate_floors(
+        doc, {q: 1.4 for q in floor}, {}, {}, lambda q: None, True,
+        par_sec=1.4, min_board=20,
+    )
+    assert len(doc["board_history_norm"]) == 8  # capped like the raw lane
