@@ -259,10 +259,30 @@ def adjudicate_floors(
       wipe the accumulated floors in one run. Callers pass
       ``pins_ok=False`` when any pin file failed to load; the prune is
       skipped and the failure surfaced in the report.
+    * **Board-relative lane** (r12, VERDICT r11 #3): ten consecutive
+      gated windows froze — this host has shown NO window quiet enough
+      for the absolute streak lane since r8, and the run-level parallel
+      calibration under-corrects bursty degradation (r12 observation:
+      raw median 2.06, par factor 1.43 → norm 1.44, still frozen; the
+      per-trial steal jiffies CANNOT be the normalizer because the
+      steal-filtered minimums themselves read 2× floors at 6.6% total
+      steal — the slowdown is frequency/bandwidth weather invisible to
+      steal accounting). The board itself is the only instrument that
+      is always calibrated: host weather is board-wide by definition,
+      so each query's floor ratio DIVIDED BY THE RUN'S BOARD MEDIAN
+      cancels the window entirely. ``rel_streak`` counts consecutive
+      runs (gated or not — the cancellation needs no quiet window) in
+      which a query reads over ``over_ratio`` × board median;
+      ``sustained_rel`` fires at ≥3. Zero-false-positive property: a
+      plan-identical board moves together, so every rel ratio ≈ 1
+      regardless of weather. Its blind spot — a truly global regression
+      moves the median itself — is exactly what ``board_sustained`` +
+      ``eff_history`` attribution already cover.
     """
     floor = floor_doc["floor"]
     pins_rec: dict = floor_doc.setdefault("pins", {})
     streaks: dict = floor_doc.setdefault("over_streak", {})
+    rel_streaks: dict = floor_doc.setdefault("rel_streak", {})
     floor_resets = sorted(
         q for q in floor
         if q in pins_rec and q in cur_pins and pins_rec[q] != cur_pins[q]
@@ -271,6 +291,7 @@ def adjudicate_floors(
         del floor[q]
         del pins_rec[q]
         streaks.pop(q, None)
+        rel_streaks.pop(q, None)
     orphaned = []
     if pins_ok and cur_pins:
         orphaned = sorted(
@@ -280,6 +301,7 @@ def adjudicate_floors(
         del floor[q]
         del pins_rec[q]
         streaks.pop(q, None)
+        rel_streaks.pop(q, None)
     pfloor = floor_doc.get("jvm_par_floor")
     if par_sec:
         pfloor = min(pfloor, par_sec) if pfloor else par_sec
@@ -342,6 +364,20 @@ def adjudicate_floors(
         effh = floor_doc.setdefault("eff_history", [])
         effh.append(par_eff)
         del effh[:-8]
+    # board-relative lane: live in EVERY window (see docstring). A board
+    # below min_board has no statistical control group — leave the rel
+    # streaks untouched rather than adjudicate on noise.
+    rel: dict = {}
+    if board_median and len(fratios) >= min_board:
+        rel = {q: round(r / board_median, 2) for q, r in fratios.items()}
+        for q, rv in rel.items():
+            if rv > over_ratio:
+                rel_streaks[q] = int(rel_streaks.get(q, 0)) + 1
+            else:
+                rel_streaks.pop(q, None)
+    sustained_rel = sorted(
+        q for q, s in rel_streaks.items() if int(s) >= 3 and q in rel
+    )
     sustained = sorted(
         q for q, s in streaks.items() if int(s) >= 3 and q in nratios
     )
@@ -363,10 +399,13 @@ def adjudicate_floors(
     floor_doc["floor"] = dict(sorted(floor.items()))
     floor_doc["pins"] = dict(sorted(pins_rec.items()))
     floor_doc["over_streak"] = dict(sorted(streaks.items()))
+    floor_doc["rel_streak"] = dict(sorted(rel_streaks.items()))
     return {
         "ref": "BENCH_FLOOR.json",
         "ratio": fratios,
         "ratio_norm": nratios,
+        "ratio_rel": rel,
+        "sustained_rel": sustained_rel,
         "median_ratio": board_median,
         "median_ratio_norm": board_median_norm,
         "host_par_factor": round(host_factor, 3),
@@ -1068,6 +1107,7 @@ def main() -> None:
             "board_sustained": vf["board_sustained"],
             "regressions": vf["regressions"][:10],
             "sustained": vf["sustained"][:10],
+            "sustained_rel": vf["sustained_rel"][:10],
             "n_weather_over_floor": len(vf["weather_over_floor"]),
             "n_unpinned_over_floor": len(vf["over_floor_unpinned"]),
             "n_floor_resets": len(vf["floor_reset_on_pin_change"]),
@@ -1077,6 +1117,7 @@ def main() -> None:
         report["vs_floor_opsec"] = {
             "median_ratio_norm": vo["median_ratio_norm"],
             "sustained": vo["sustained"][:6],
+            "sustained_rel": vo["sustained_rel"][:6],
             "n_over": len(vo["over_floor_unpinned"])
             + len(vo["regressions"])
             + len(vo["weather_over_floor"]),

@@ -479,3 +479,82 @@ def test_board_history_norm_recorded_alongside_raw():
         par_sec=1.4, min_board=20,
     )
     assert len(doc["board_history_norm"]) == 8  # capped like the raw lane
+
+
+# ---------------------------------------------------------------------------
+# round 12: the board-relative lane (VERDICT r11 #3 — regression teeth that
+# survive a host with NO quiet windows: normalize by the run's own board
+# median, streaks live in every window).
+# ---------------------------------------------------------------------------
+
+
+def test_slowed_query_still_flagged_via_board_relative_lane():
+    """THE case ten straight frozen windows could not adjudicate: every
+    window degraded (board 1.5-2.1x, calib_ok False), one query carries
+    a genuine same-plan 2x regression on top. The absolute lanes freeze
+    (correctly — the window lies), but the board-relative ratio cancels
+    the window: rel(q0) ≈ 2.0 while the board reads 1.0, and three such
+    runs — even non-gated — raise sustained_rel."""
+    floor = {f"q{i}": 1.0 for i in range(25)}
+    doc = {"floor": dict(floor), "sf": 0.1, "jvm_par_floor": 1.0}
+    for run in range(3):
+        cur = {q: 1.5 + 0.3 * run for q in floor}  # varying bad weather
+        cur["q0"] = 2 * (1.5 + 0.3 * run)  # 2x over the board, every run
+        rep = bench.adjudicate_floors(
+            doc, cur, {}, {}, lambda q: None, False,  # never gated
+            par_sec=1.0, min_board=20,
+        )
+        assert doc["over_streak"] == {}  # absolute lane frozen (non-gated)
+    assert doc["rel_streak"]["q0"] == 3
+    assert rep["sustained_rel"] == ["q0"]
+    # ... and the board itself reads as the control group
+    assert rep["ratio_rel"]["q0"] == 2.0
+
+
+def test_board_relative_lane_zero_false_positives_in_degraded_windows():
+    """A plan-identical board moving TOGETHER through arbitrary weather
+    must never accumulate a rel streak: every rel ratio ≈ 1.0."""
+    floor = {f"q{i}": 1.0 for i in range(25)}
+    doc = {"floor": dict(floor), "sf": 0.1}
+    for mult in (1.0, 1.6, 2.1, 1.3):
+        rep = bench.adjudicate_floors(
+            doc, {q: mult for q in floor}, {}, {}, lambda q: None,
+            mult == 1.0, min_board=20,
+        )
+        assert rep["sustained_rel"] == []
+    assert doc["rel_streak"] == {}
+
+
+def test_board_relative_recovery_resets_streak():
+    """A query back at board parity pops its rel streak — evidence of
+    recovery is recovery relative to the board, not to the floor."""
+    floor = {f"q{i}": 1.0 for i in range(25)}
+    doc = {"floor": dict(floor), "sf": 0.1, "rel_streak": {"q0": 2}}
+    cur = {q: 1.5 for q in floor}  # q0 back in line with the board
+    bench.adjudicate_floors(
+        doc, cur, {}, {}, lambda q: None, False, min_board=20,
+    )
+    assert "q0" not in doc["rel_streak"]
+
+
+def test_board_relative_needs_min_board():
+    """Below min_board there is no statistical control group: rel
+    streaks must be left untouched, not adjudicated on noise."""
+    doc = {"floor": {"a": 1.0, "b": 1.0}, "sf": 0.1,
+           "rel_streak": {"a": 2}}
+    rep = bench.adjudicate_floors(
+        doc, {"a": 9.0, "b": 1.0}, {}, {}, lambda q: None, True,
+        min_board=20,
+    )
+    assert rep["ratio_rel"] == {}
+    assert doc["rel_streak"] == {"a": 2}  # untouched
+
+
+def test_pin_change_resets_rel_streak_too():
+    doc = _doc({"q": 1.0}, pins={"q": "old"})
+    doc["rel_streak"] = {"q": 2}
+    bench.adjudicate_floors(
+        doc, {"q": 3.0}, {"q": "new"}, {"q": "new"}, lambda q: "new",
+        True, min_board=1,
+    )
+    assert "q" not in doc["rel_streak"]
