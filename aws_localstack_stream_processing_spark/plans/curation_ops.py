@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import hashing
+from .cachelife import LiveCache
 from .dialect import intdiv, qsample, tbl, to_double_arr, dot, views
 from .llm_ops import DIM
 from .registry import query
@@ -383,6 +384,13 @@ ORDER BY c.cid
 """
 
 
+# recent emb_ivf_incremental_upsert calls' persisted `normed` scans —
+# lock-guarded bounded lifecycle (ADVICE r12; the same leak class the
+# profile_mutual_information r11 fix closed): without retirement, every
+# invocation in a no-clearCache session registered a fresh cached relation
+_IVF_NORMED_LIVE = LiveCache(keep=2)
+
+
 def ivf_assign(df: DataFrame, cents: DataFrame) -> DataFrame:
     """Coarse-quantize ``df`` (columns ``vec_id, emb, nrm``) against the
     broadcast centroid set (``cid, cemb, cnrm``): (vec_id, cid) of each
@@ -440,15 +448,24 @@ def emb_ivf_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring work equals one corpus pass; both passes broadcast the
     ~sqrt(N) centroid set and aggregate map-side (``ivf_assign``); the
     per-cell merge is a |cells|-sized groupBy and the totals row a
-    broadcast scalar."""
+    broadcast scalar.
+
+    Cache lifecycle (ADVICE r12): the persisted ``normed`` scan — shared
+    by the centroid slice and both assignment passes — is tracked in
+    ``_IVF_NORMED_LIVE``, which retires all but the newest two entries
+    under a lock; repeated invocations in a no-clearCache session no
+    longer accumulate cached relations (the leak class the
+    ``profile_mutual_information`` r11 fix closed)."""
     views(spark, sf_dir, "embeddings")
-    normed = spark.sql(
-        f"""
+    normed = _IVF_NORMED_LIVE.track(
+        spark.sql(
+            f"""
 SELECT vec_id, emb, sqrt({dot('emb', 'emb', DIM, 'spark')}) AS nrm
 FROM (SELECT vec_id, {to_double_arr('embedding', 'spark')} AS emb
       FROM {tbl('embeddings', 'spark')})
 """
-    ).persist()
+        ).persist()
+    )
     cents = F.broadcast(
         normed.filter(F.col("vec_id") % _IVF_CENT_MOD == 0).select(
             F.col("vec_id").alias("cid"),

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .cachelife import LiveCache
 from .dialect import dec_sum, tbl, ts_str, views
 from .registry import query
 
@@ -366,9 +367,9 @@ ORDER BY pair_name
 """
 
 
-# the previous profile_mutual_information call's persisted joint — see the
-# query docstring's lifecycle contract
-_MI_JOINT_LIVE: list = []
+# recent profile_mutual_information calls' persisted joints — lock-guarded
+# bounded lifecycle (ADVICE r12); see the query docstring and plans/cachelife.py
+_MI_JOINT_LIVE = LiveCache(keep=2)
 
 
 @query(
@@ -397,25 +398,23 @@ def profile_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     One explicit materialization = one scan pass over the inputs, four
     cache reads, and a deterministic final plan.
 
-    Cache/view lifecycle (ADVICE r11): the joint is registered under a
-    PER-CALL unique view name (concurrent or interleaved invocations in
-    one session never race on a shared name — the fingerprint is a
-    node-count vector, so the name never perturbs the PLANFP pin), and
-    each invocation unpersists the PREVIOUS call's joint, bounding a
-    no-clearCache session (tests, verify harness, interactive) to one
-    cached relation. The returned DataFrame is lazy, so the CURRENT
-    call's cache cannot be dropped here; a caller wanting a fully clean
-    session uses ``spark.catalog.clearCache()`` after materializing."""
+    Cache/view lifecycle (ADVICE r11, hardened r12): the joint is
+    registered under a PER-CALL unique view name (concurrent or
+    interleaved invocations in one session never race on a shared name —
+    the fingerprint is a node-count vector, so the name never perturbs
+    the PLANFP pin), and the persisted joint is tracked in a
+    lock-guarded :class:`~..plans.cachelife.LiveCache` that retires all
+    but the newest two — so interleaved invocations can no longer
+    unpersist a still-unmaterialized predecessor's joint (ADVICE r12),
+    and a no-clearCache session (tests, verify harness, interactive) is
+    bounded at two cached relations. The returned DataFrame is lazy, so
+    the CURRENT call's cache cannot be dropped here; a caller wanting a
+    fully clean session uses ``spark.catalog.clearCache()`` after
+    materializing."""
     import uuid
 
     views(spark, sf_dir, "events", "documents")
-    while _MI_JOINT_LIVE:
-        try:
-            _MI_JOINT_LIVE.pop().unpersist()
-        except Exception:
-            pass
-    joint = spark.sql(_mi_joint_sql("spark")).persist()
-    _MI_JOINT_LIVE.append(joint)
+    joint = _MI_JOINT_LIVE.track(spark.sql(_mi_joint_sql("spark")).persist())
     name = f"mi_joint_{uuid.uuid4().hex[:8]}"
     joint.createOrReplaceTempView(name)
     return spark.sql(_mi_sql("spark", joint_table=name))

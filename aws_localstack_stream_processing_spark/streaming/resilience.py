@@ -12,14 +12,31 @@ Two layers of defense:
 2. :func:`start_and_await` — every bounded ``start(); awaitTermination()``
    site in the package goes through it — retries the WHOLE query a bounded
    number of times, but only when the failure is (a) the worker-spawn class
-   and (b) provably pre-data: the stream never committed an offset, so no
-   sink side effect exists and a clean restart is idempotent for every sink
-   in the package (memory sinks use a fresh query name per attempt; the
-   checkpointed sinks recover through their own commit protocol anyway).
+   and (b) apparently pre-data: nothing in the commit log and no completed
+   batch in the query's progress.
 
-The match is on message text because pyspark surfaces the failure through
-several wrapper layers (captured vs connect StreamingQueryException), and
-the markers only ever occur in this failure class.
+**The retry contract (ADVICE r12).** The safety of a restart rests on the
+SINKS' replay idempotence, not on a true pre-data guarantee: Structured
+Streaming writes the offset log at batch START, so a ``foreachBatch`` body
+can partially execute before the first entry ever lands in the COMMIT log
+— "Committed Offsets: {}" proves no batch *completed*, not that no sink
+code *ran*. Every sink in this package is replay-idempotent by
+construction (memory sinks get a fresh query name per attempt and are
+re-read from scratch; ``KeyedParquetSink`` is put-if-absent;
+``Scd2ParquetSink`` merges are deterministic functions of store ∪ batch
+with per-batch-id overwrite quarantines; the lake/DLQ sinks overwrite
+per-partition paths), so the restart converges regardless — but a caller
+wiring a NON-idempotent sink through :func:`start_and_await` must pass
+``retries=0``. The virgin check narrows retries to the earliest failure
+window; it is a precision filter, not the safety argument.
+
+**Detection is two-channel** (ADVICE r12): the exception text carries the
+streaming-query status dump in the common local-mode path, but wrapper
+layers (Spark Connect, message truncation) can omit it — matching on text
+alone would silently disable the retry there (fail-safe, but dead code).
+So the virgin test also accepts direct evidence from the query handle:
+``lastProgress is None and recentProgress == []`` means no batch ever
+completed. Either channel suffices; both absent → re-raise.
 """
 
 from __future__ import annotations
@@ -34,10 +51,23 @@ _VIRGIN_MARKER = "Committed Offsets: {}"
 
 
 def is_transient_spawn_failure(msg: str) -> bool:
-    """True iff the streaming failure is a Python-worker spawn flake that
-    struck before ANY offset was committed — the precondition for a safe,
-    idempotent restart."""
+    """True iff the streaming failure MESSAGE shows a Python-worker spawn
+    flake that struck before ANY offset was committed — the text channel
+    of the restart precondition (see the module docstring for the query-
+    handle channel and the replay-idempotence contract both rest on)."""
     return any(m in msg for m in _SPAWN_MARKERS) and _VIRGIN_MARKER in msg
+
+
+def query_never_progressed(q) -> bool:
+    """Query-handle channel of the virgin test: no completed batch ever
+    reported progress. Progress is only recorded on batch COMPLETION, so
+    this is evidence the commit log is empty (the converse of the text
+    marker; robust to wrapper layers that truncate the status dump).
+    Fail-safe: any error reading the handle counts as not-virgin."""
+    try:
+        return q.lastProgress is None and not q.recentProgress
+    except Exception:
+        return False
 
 
 def start_and_await(start: Callable, retries: int = 2):
@@ -45,9 +75,10 @@ def start_and_await(start: Callable, retries: int = 2):
     retry on transient worker-spawn failures.
 
     ``start`` must build a FRESH query per call (fresh memory-sink query
-    name / same checkpoint for checkpointed sinks — both restart-safe
-    when nothing was committed). Non-transient failures and failures
-    after data was committed re-raise immediately.
+    name / same checkpoint for checkpointed sinks) and every sink the
+    query writes must be replay-idempotent — the package's sinks all are
+    (module docstring); pass ``retries=0`` otherwise. Non-spawn failures
+    and spawn failures with committed progress re-raise immediately.
     """
     for attempt in range(retries + 1):
         q = start()
@@ -55,7 +86,10 @@ def start_and_await(start: Callable, retries: int = 2):
             q.awaitTermination()
             return q
         except Exception as e:
-            if attempt < retries and is_transient_spawn_failure(str(e)):
+            msg = str(e)
+            spawn = any(m in msg for m in _SPAWN_MARKERS)
+            virgin = _VIRGIN_MARKER in msg or query_never_progressed(q)
+            if attempt < retries and spawn and virgin:
                 continue
             raise
     raise AssertionError("unreachable")  # pragma: no cover

@@ -229,6 +229,32 @@ class KeyedParquetSink:
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path).drop(self.BUCKET_COL)
 
+    def fetch(self, spark: SparkSession, keys: DataFrame) -> DataFrame:
+        """Bucket-pruned point lookup (r13, for the streaming near-dup
+        gate): the store rows whose key appears in ``keys`` (a single
+        ``key_col`` column, batch-bounded). Read cost is |affected
+        buckets| partitions — the put-if-absent probe's read path, exposed
+        for callers that need the matched rows' PAYLOAD (e.g. fetching
+        candidate docs' shingle sets for Jaccard verification) rather
+        than the absence set. Only the batch-sized key set rides a
+        broadcast; the store is never shuffled or broadcast."""
+        from pyspark.sql import functions as F
+
+        self._sync_meta()
+        want = keys.select(self.key_col).distinct().withColumn(
+            self.BUCKET_COL, self._bucket_expr()
+        )
+        buckets = [
+            r[0] for r in want.select(self.BUCKET_COL).distinct().collect()
+        ]
+        return (
+            spark.read.parquet(self.path)
+            .filter(F.col(self.BUCKET_COL).isin(buckets))
+            .join(F.broadcast(want.drop(self.BUCKET_COL)), self.key_col,
+                  "left_semi")
+            .drop(self.BUCKET_COL)
+        )
+
     def _bucket_files(self, b: int) -> list[str]:
         import glob
 
@@ -360,6 +386,139 @@ class KeyedParquetSink:
         shutil.rmtree(backup)
 
 
+class BandIndexSink:
+    """Bucketed MinHash band inverted index — the streaming near-dup
+    gate's standing state (r13, VERDICT r12 #2): rows ``(band INT,
+    bv STRING, doc_id BIGINT)``, hash-bucketed on the BAND KEY
+    ``(band, bv)`` so a micro-batch's probe reads only the buckets its
+    own band values can live in — the ``KeyedParquetSink`` bucket-pruning
+    lever applied to an index whose key is legitimately NON-unique (many
+    documents share a band bucket; that collision IS the candidate
+    signal), which is exactly why the put-if-absent sink itself cannot
+    hold it: its probe dedups by key.
+
+    Idempotence contract: :meth:`append_batch` is put-if-absent on the
+    full composite ``(band, bv, doc_id)`` — a redelivered batch re-derives
+    identical band rows and every one drops in the anti-join, so the
+    index converges under at-least-once delivery exactly like the
+    reference's keyed store (signer/index.js:229-242), generalized from
+    content-equality to content-similarity.
+
+    Scale shape: per batch, the probe collects ≤ n_buckets distinct
+    bucket ids (bounded driver list), reads those hive partitions only,
+    and semi-joins them against the BROADCAST batch band keys; the store
+    is never shuffled, never broadcast, never scanned whole. At 100 TB
+    the store is the corpus's band table (4 rows/doc here) — bucket
+    count evolves offline exactly like ``KeyedParquetSink.resplit``."""
+
+    N_BUCKETS = 16
+    BUCKET_COL = "__bucket"
+    META_FILE = "_slsp_meta.json"
+
+    def __init__(self, path: str, n_buckets: int | None = None):
+        self.path = path
+        self.n_buckets = int(n_buckets or self.N_BUCKETS)
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, self.META_FILE)
+
+    def _sync_meta(self) -> None:
+        try:
+            with open(self._meta_path()) as f:
+                self.n_buckets = int(json.load(f)["n_buckets"])
+        except (OSError, ValueError, KeyError):
+            pass
+
+    def _write_meta(self) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        with open(self._meta_path(), "w") as f:
+            json.dump({"n_buckets": self.n_buckets}, f)
+
+    def exists(self) -> bool:
+        if os.path.isdir(self.path) and any(
+            f.startswith(f"{self.BUCKET_COL}=") for f in os.listdir(self.path)
+        ):
+            self._sync_meta()
+            return True
+        return False
+
+    def _bucket_expr(self):
+        from pyspark.sql import functions as F
+
+        return F.pmod(
+            F.xxhash64(
+                F.concat_ws(
+                    ":", F.col("band").cast("string"), F.col("bv")
+                )
+            ),
+            F.lit(self.n_buckets),
+        ).cast("int")
+
+    def append_batch(self, bands_df: DataFrame) -> None:
+        """Put-if-absent append of ``(band, bv, doc_id)`` rows (see the
+        class docstring). Within-batch duplicates collapse first; the
+        cross-run probe prunes to the batch's buckets and anti-joins on
+        the composite — only batch-sized sets ride broadcasts."""
+        from pyspark.sql import functions as F
+
+        spark = bands_df.sparkSession
+        present = self.exists()  # syncs n_buckets before bucketing
+        fresh = bands_df.select("band", "bv", "doc_id").dropDuplicates(
+            ["band", "bv", "doc_id"]
+        ).withColumn(self.BUCKET_COL, self._bucket_expr())
+        if present:
+            buckets = [
+                r[0]
+                for r in fresh.select(self.BUCKET_COL).distinct().collect()
+            ]
+            seen = (
+                spark.read.parquet(self.path)
+                .filter(F.col(self.BUCKET_COL).isin(buckets))
+                .select("band", "bv", "doc_id")
+            )
+            hits = seen.join(
+                F.broadcast(fresh.select("band", "bv", "doc_id")),
+                ["band", "bv", "doc_id"],
+                "left_semi",
+            )
+            fresh = fresh.join(
+                F.broadcast(hits), ["band", "bv", "doc_id"], "left_anti"
+            )
+        fresh.write.mode("append").partitionBy(self.BUCKET_COL).parquet(
+            self.path
+        )
+        if not present:
+            self._write_meta()
+
+    def probe(self, spark: SparkSession, bands_df: DataFrame) -> DataFrame:
+        """Store rows whose ``(band, bv)`` key appears in the batch's
+        band set: bucket-pruned read, semi-join against the BROADCAST
+        batch keys. The result is the candidate postings list — every
+        indexed doc sharing a band bucket with some batch doc."""
+        from pyspark.sql import functions as F
+
+        self._sync_meta()
+        want = bands_df.select("band", "bv").distinct().withColumn(
+            self.BUCKET_COL, self._bucket_expr()
+        )
+        buckets = [
+            r[0] for r in want.select(self.BUCKET_COL).distinct().collect()
+        ]
+        return (
+            spark.read.parquet(self.path)
+            .filter(F.col(self.BUCKET_COL).isin(buckets))
+            .join(
+                F.broadcast(want.drop(self.BUCKET_COL)),
+                ["band", "bv"],
+                "left_semi",
+            )
+            .drop(self.BUCKET_COL)
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path).drop(self.BUCKET_COL)
+
+
 class Scd2ParquetSink:
     """Streaming CDC → type-2 history MERGE (SURVEY §2.1 S8 extended).
 
@@ -478,19 +637,63 @@ class Scd2ParquetSink:
         return False
 
     def _read_history(self, spark: SparkSession) -> DataFrame:
-        """Every read of the history table schema-merges (ADVICE r11):
-        after the first merge over a pre-r11 store, only the affected
-        buckets carry ``seen_ts_s``/``seen_event_id`` (dynamic partition
-        overwrite rewrites nothing else), and a plain parquet read infers
-        the schema from an ARBITRARY file — so the guard's
+        """Every read of the history table uses an EXPLICIT superset
+        schema (ADVICE r12, refining the r11 fix): after the first merge
+        over a pre-r11 store, only the affected buckets carry
+        ``seen_ts_s``/``seen_event_id`` (dynamic partition overwrite
+        rewrites nothing else), and a plain parquet read infers the
+        schema from an ARBITRARY file — so the guard's
         ``"seen_ts_s" in hist.columns`` checks were nondeterministic:
         when a legacy file won inference, existing guard metadata was
         silently dropped and the guard degraded to the retained-opening
         head, the exact collapsed-tail corruption it exists to catch.
-        With ``mergeSchema`` the superset schema always wins; legacy
-        rows surface NULL metadata, which the per-row ``coalesce``
-        fallbacks already absorb."""
-        return spark.read.option("mergeSchema", "true").parquet(self.path)
+
+        r11's answer was ``mergeSchema``, which is deterministic but
+        reads EVERY file's footer at planning time — before the bucket
+        filter applies — turning the documented O(affected buckets)
+        per-batch cost into O(total files) (ADVICE r12). Instead we now
+        sample ONE data file's footer, extend its schema with the two
+        guard-metadata fields when the sampled file is legacy (types
+        copied from ``valid_from_s``/``event_id`` — the metadata records
+        positions in those columns' domains), add the ``bucket``
+        partition column, and hand the superset to ``spark.read.schema``:
+        zero inference, one footer read regardless of store size, legacy
+        rows still surface NULL metadata for the per-row ``coalesce``
+        fallbacks. Mixed stores stay deterministic because the only
+        schema drift this store can exhibit is exactly those two
+        optional columns — new files are a strict superset of legacy
+        ones (pinned by
+        ``test_mixed_schema_store_guard_metadata_deterministic``).
+
+        The sample uses a local ``glob`` like :meth:`exists` /
+        :meth:`needs_rebuild`; on an object store this becomes one
+        ``FileSystem.listStatus`` of one bucket directory — still O(1)
+        in store size."""
+        import glob as _glob
+
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        files = sorted(
+            _glob.glob(os.path.join(self.path, "bucket=*", "*.parquet"))
+        )
+        if not files:  # empty store: preserve the old failure mode
+            return spark.read.parquet(self.path)
+        sampled = spark.read.parquet(files[0]).schema
+        by_name = {f.name: f for f in sampled.fields}
+        fields = [f for f in sampled.fields if f.name != "bucket"]
+        if "seen_ts_s" not in by_name:
+            fields.append(
+                StructField(
+                    "seen_ts_s", by_name["valid_from_s"].dataType, True
+                )
+            )
+            fields.append(
+                StructField(
+                    "seen_event_id", by_name["event_id"].dataType, True
+                )
+            )
+        fields.append(StructField("bucket", IntegerType(), True))
+        return spark.read.schema(StructType(fields)).parquet(self.path)
 
     @staticmethod
     def merge_plan(cand: DataFrame) -> DataFrame:

@@ -558,3 +558,137 @@ def test_pin_change_resets_rel_streak_too():
         True, min_board=1,
     )
     assert "q" not in doc["rel_streak"]
+
+
+# -- rel-lane adjudication protocol (VERDICT r12 #1) -----------------------
+
+
+def test_remeasure_pops_streak_when_under_threshold():
+    """A sustained_rel flag whose targeted re-measure reads at/under the
+    board-relative threshold is POPPED: the flag is dropped and the
+    streak resets to zero — three NEW over-windows required to
+    re-accuse. This is the burst-absorption case the protocol exists
+    for (r12: ~30% of a bursty board seeded streaks with no code
+    change)."""
+    streaks = {"q": 3, "other": 1}
+    confirmed, rec = bench.remeasure_sustained_rel(
+        ["q"], lambda n: 1.1, {"q": 1.0}, 2.0, streaks
+    )
+    assert confirmed == []
+    assert rec["q"]["verdict"] == "popped"
+    assert rec["q"]["rel_ratio"] == 0.55  # (1.1/1.0)/2.0
+    assert "q" not in streaks
+    assert streaks["other"] == 1  # untouched
+
+
+def test_remeasure_confirms_reproducing_slowdown():
+    """A flag that reproduces under targeted re-measure is CONFIRMED and
+    keeps its accumulated streak — the lane's first real positive would
+    look exactly like this."""
+    streaks = {"q": 3}
+    confirmed, rec = bench.remeasure_sustained_rel(
+        ["q"], lambda n: 4.0, {"q": 1.0}, 2.0, streaks
+    )
+    assert confirmed == ["q"]
+    assert rec["q"]["verdict"] == "confirmed"
+    assert rec["q"]["rel_ratio"] == 2.0
+    assert streaks["q"] == 3  # evidence kept
+
+
+def test_remeasure_failure_keeps_flag_conservatively():
+    """A re-measure that crashes or returns None cannot adjudicate —
+    the flag stands (conservative) and the record says why, so the
+    graded artifact never silently drops an accusation."""
+    streaks = {"a": 3, "b": 3}
+
+    def _timer(n):
+        if n == "a":
+            raise RuntimeError("worker spawn flake")
+        return None
+
+    confirmed, rec = bench.remeasure_sustained_rel(
+        ["a", "b"], _timer, {"a": 1.0, "b": 1.0}, 2.0, streaks
+    )
+    assert confirmed == ["a", "b"]
+    assert rec["a"]["verdict"] == "unmeasured"
+    assert "worker spawn flake" in rec["a"]["error"]
+    assert rec["b"]["verdict"] == "unmeasured"
+    assert streaks == {"a": 3, "b": 3}
+
+
+def test_remeasure_after_adjudicate_floors_end_to_end():
+    """The wiring invariant: adjudicate_floors raises sustained_rel at
+    streak >= 3; remeasure_sustained_rel then pops the burst-born flag
+    from the SAME floor_doc the bench writes back, so BENCH_FLOOR.json
+    records the post-adjudication state."""
+    doc = {"floor": {"a": 1.0, "b": 1.0, "c": 1.0}, "sf": 0.1,
+           "rel_streak": {"a": 2}}
+    # window 2x-degraded board-wide; 'a' additionally reads 2x the board
+    rep = bench.adjudicate_floors(
+        doc, {"a": 8.0, "b": 2.0, "c": 2.0}, {}, {}, lambda q: None,
+        True, min_board=1,
+    )
+    assert rep["sustained_rel"] == ["a"]
+    confirmed, rec = bench.remeasure_sustained_rel(
+        rep["sustained_rel"], lambda n: 2.1, doc["floor"],
+        rep["median_ratio"], doc["rel_streak"],
+    )
+    rep["sustained_rel"] = confirmed
+    assert rep["sustained_rel"] == []
+    assert rec["a"]["verdict"] == "popped"
+    assert "a" not in doc["rel_streak"]
+
+
+# -- vs_prev window normalization (VERDICT r12 #4) -------------------------
+
+
+def test_vs_prev_degraded_window_identical_code_no_regressions():
+    """The r12 artifact bug in miniature: identical code, current window
+    2x the previous one board-wide — every raw ratio reads 2.0, zero
+    may be flagged once the board-median ratio divides them out."""
+    prev = {f"q{i}": 1.0 for i in range(10)}
+    cur = {f"q{i}": 2.0 for i in range(10)}
+    rep = bench.adjudicate_vs_prev(
+        cur, prev, cur_board_median=2.5, prev_board_median=1.25,
+        board_degraded=True,
+    )
+    assert rep["window_factor"] == 2.0
+    assert rep["regressions"] == []
+    assert rep["board_degraded"] is True
+    assert all(r == 2.0 for r in rep["ratio"].values())  # raw preserved
+    assert all(r == 1.0 for r in rep["ratio_norm"].values())
+
+
+def test_vs_prev_real_regression_survives_normalization():
+    """A query 4x its previous reading in a 2x-degraded window carries a
+    genuine 2x residual — normalization must NOT launder it."""
+    prev = {"slow": 1.0, "ok": 1.0}
+    cur = {"slow": 4.0, "ok": 2.0}
+    rep = bench.adjudicate_vs_prev(
+        cur, prev, cur_board_median=2.5, prev_board_median=1.25,
+    )
+    assert rep["regressions"] == ["slow"]
+    assert rep["ratio_norm"]["slow"] == 2.0
+
+
+def test_vs_prev_faster_window_never_inflates():
+    """The factor clamps at 1: a current window FASTER than the previous
+    one must not manufacture regressions out of equal wall-clock."""
+    rep = bench.adjudicate_vs_prev(
+        {"q": 1.0}, {"q": 1.0}, cur_board_median=1.0,
+        prev_board_median=2.0,
+    )
+    assert rep["window_factor"] == 1.0
+    assert rep["regressions"] == []
+
+
+def test_vs_prev_missing_medians_falls_back_to_stamp():
+    """No board medians (first gated run, tiny board): behavior is the
+    pre-r13 raw comparison, but the degraded stamp still travels."""
+    rep = bench.adjudicate_vs_prev(
+        {"q": 2.0}, {"q": 1.0}, board_degraded=True,
+    )
+    assert rep["window_factor"] == 1.0
+    assert rep["regressions"] == ["q"]
+    assert rep["board_degraded"] is True
+    assert rep["new"] == []

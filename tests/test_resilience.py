@@ -13,6 +13,7 @@ import pytest
 
 from aws_localstack_stream_processing_spark.streaming.resilience import (
     is_transient_spawn_failure,
+    query_never_progressed,
     start_and_await,
 )
 
@@ -83,6 +84,64 @@ def test_non_transient_failure_not_retried():
         return _FakeQuery(ValueError("schema mismatch in batch 0"))
 
     with pytest.raises(ValueError):
+        start_and_await(start)
+    assert len(attempts) == 1
+
+
+class _FakeQueryWithProgress(_FakeQuery):
+    """Query handle exposing the progress API (ADVICE r12: the second
+    virgin-detection channel, for wrapper layers that truncate the
+    status dump out of the exception message)."""
+
+    def __init__(self, exc=None, progress=None):
+        super().__init__(exc)
+        self.lastProgress = progress[-1] if progress else None
+        self.recentProgress = list(progress or [])
+
+
+_TRUNCATED_SPAWN_MSG = (
+    "[STREAM_FAILED] Query terminated with exception: "
+    "Python worker failed to connect back. SQLSTATE: XXKST"
+)  # no "=== Streaming Query ===" dump at all — Connect-style truncation
+
+
+def test_query_never_progressed_channel():
+    assert query_never_progressed(_FakeQueryWithProgress())
+    assert not query_never_progressed(
+        _FakeQueryWithProgress(progress=[{"batchId": 0}])
+    )
+    # handles without the progress API are fail-safe: not virgin
+    assert not query_never_progressed(object())
+
+
+def test_truncated_message_retried_via_progress_channel():
+    """A spawn flake whose exception text lost the offsets dump is still
+    retried when the query handle proves no batch ever completed."""
+    attempts = []
+
+    def start():
+        attempts.append(1)
+        if len(attempts) == 1:
+            return _FakeQueryWithProgress(RuntimeError(_TRUNCATED_SPAWN_MSG))
+        return _FakeQueryWithProgress()
+
+    q = start_and_await(start)
+    assert len(attempts) == 2
+    assert q.exc is None
+
+
+def test_truncated_message_with_progress_not_retried():
+    """Same truncated text, but the handle shows a completed batch —
+    restart is no longer provably pre-data, so re-raise."""
+    attempts = []
+
+    def start():
+        attempts.append(1)
+        return _FakeQueryWithProgress(
+            RuntimeError(_TRUNCATED_SPAWN_MSG), progress=[{"batchId": 0}]
+        )
+
+    with pytest.raises(RuntimeError):
         start_and_await(start)
     assert len(attempts) == 1
 
