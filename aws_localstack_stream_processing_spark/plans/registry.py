@@ -125,6 +125,8 @@ def all_queries() -> dict[str, QueryDef]:
     from . import web_ops  # noqa: F401
     from . import audit_ops  # noqa: F401
     from . import mixture_ops  # noqa: F401
+    from . import stream_dedup_ops  # noqa: F401
+    from . import responder_ops  # noqa: F401
 
     counts, last_green = _correctness_history()
     names = list(QUERIES)

