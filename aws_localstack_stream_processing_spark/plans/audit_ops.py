@@ -387,7 +387,14 @@ def text_unigram_kl_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     or off-domain; CCNet uses the same statistic with a reference LM).
     Vocabulary = top-200 terms by count (ORDER BY + LIMIT — a bounded
     TakeOrdered, no window); the source×vocab grid is |sources|×200 rows;
-    smoothed p·ln(p/q) terms round-12 into a DECIMAL sum."""
+    smoothed p·ln(p/q) terms round-12 into a DECIMAL sum.
+
+    r13 note: a one-tokenize-pass restructure with a persisted
+    (source, word) count table was tried and REVERTED — at bench scale
+    this query is job-overhead-bound (the whole query ≈ one tokenize
+    pass ≈ 0.5 s) and the persist's materialization barrier measured
+    SLOWER than the oracle text's re-planned passes (0.553 → 0.635 s
+    window-normalized at sf0.1). The flat oracle-shared text stands."""
     views(spark, sf_dir, "documents")
     return spark.sql(_kl_mix_sql("spark"))
 

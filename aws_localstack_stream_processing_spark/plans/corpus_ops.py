@@ -483,9 +483,73 @@ def rag_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered to the 1/25 cohort), rank windows partitioned by query_id;
     the per-rank 1/log2 gains round to 12 and sum through DECIMAL; the
     ideal DCG comes from a 10-row generated series joined under the
-    per-query relevant-count cap — O(queries·k), broadcast-sized."""
+    per-query relevant-count cap — O(queries·k), broadcast-sized.
+
+    Spark path (r13): ``normed`` persists once (the oracle text re-plans
+    the scan + 64-term norm for all four references), and the
+    relevant-count side derives from a per-label histogram — m =
+    count(label) − 1 — instead of the oracle's same-label self-join
+    (identical integers: each query's same-label non-self row count IS
+    its label count minus itself; a query whose label is unique drops
+    out of idcg in both forms via the i <= m filter). Guide §2.3/§5;
+    plan: 8→1 scans, the label self-join exchange removed."""
     views(spark, sf_dir, "embeddings")
-    return spark.sql(_ndcg_sql("spark"))
+    normed = spark.sql(
+        f"""
+SELECT vec_id, label, emb, sqrt({dot('emb', 'emb', DIM, 'spark')}) AS nrm
+FROM (SELECT vec_id, label, {to_double_arr('embedding', 'spark')} AS emb
+      FROM {tbl('embeddings', 'spark')})
+"""
+    ).persist()
+    normed.createOrReplaceTempView("slsp_ndcg_normed")
+    log2 = "(ln(CAST(i + 1 AS DOUBLE)) / ln(CAST(2 AS DOUBLE)))"
+    rlog2 = "(ln(CAST(rnk + 1 AS DOUBLE)) / ln(CAST(2 AS DOUBLE)))"
+    series = f"LATERAL VIEW explode(sequence(1, {_NDCG_K})) t AS i"
+    return spark.sql(
+        f"""
+WITH normed AS (SELECT * FROM slsp_ndcg_normed),
+ranked AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label, n.label AS nb_label,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {dot('q.emb', 'n.emb', DIM, 'spark')} / (q.nrm * n.nrm) DESC,
+                    n.vec_id
+         ) AS rnk
+  FROM normed q JOIN normed n ON q.vec_id <> n.vec_id
+  WHERE q.vec_id % {_NDCG_QMOD} = 0
+),
+dcg AS (
+  SELECT query_id,
+         CAST(SUM(CASE WHEN nb_label = query_label
+                       THEN CAST(round(CAST(1 AS DOUBLE) / {rlog2}, 12)
+                                 AS DECIMAL(28,12))
+                       ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE) AS dcg_v,
+         CAST(SUM(CASE WHEN nb_label = query_label THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_rel_at_k
+  FROM ranked WHERE rnk <= {_NDCG_K}
+  GROUP BY query_id
+),
+lc AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS c FROM normed GROUP BY label),
+nrel AS (
+  SELECT q.vec_id AS query_id, lc.c - 1 AS m
+  FROM normed q JOIN lc ON lc.label = q.label
+  WHERE q.vec_id % {_NDCG_QMOD} = 0
+),
+idcg AS (
+  SELECT r.query_id,
+         CAST(SUM(CAST(round(CAST(1 AS DOUBLE) / {log2}, 12)
+                       AS DECIMAL(28,12))) AS DOUBLE) AS idcg_v
+  FROM (SELECT query_id, m FROM nrel) r
+  {series}
+  WHERE i <= LEAST(r.m, CAST({_NDCG_K} AS BIGINT))
+  GROUP BY r.query_id
+)
+SELECT d2.query_id, d2.n_rel_at_k,
+       round(d2.dcg_v / i2.idcg_v, 12) AS ndcg_at_10
+FROM dcg d2 JOIN idcg i2 ON i2.query_id = d2.query_id
+ORDER BY d2.query_id
+"""
+    )
 
 
 # ---------------------------------------------------------------------------

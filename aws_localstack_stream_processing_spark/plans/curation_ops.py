@@ -169,9 +169,61 @@ def text_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximated with fixed-width shingles. Row count is the corpus
     token count (not squared); both shuffles key on the span hash, so
     partitions stay balanced at 100 TB, and the span-frequency count is
-    map-side combinable."""
+    map-side combinable.
+
+    Spark path (r13): the raw span table headed a diamond (frequency
+    count AND the per-doc join both read it), so the split+slide
+    expansion ran TWICE, and both shuffles carried raw position rows.
+    Now ONE expansion pass folds to per-(doc_id, span) counts ``k``
+    (map-side combinable — guide §2.3: aggregate before you shuffle),
+    that far smaller table persists, and the same integers re-derive:
+    n_occ = SUM(k) over docs, n_spans = SUM(k) per doc, dup positions =
+    SUM(k) over globally-duplicated spans (guide §5; expansion passes
+    2→1, shuffle rows: positions → distinct (doc, span) pairs)."""
     views(spark, sf_dir, "documents")
-    return spark.sql(_dup_span_sql("spark"))
+    g = spark.sql(_span_group_spark_sql()).persist()
+    g.createOrReplaceTempView("slsp_span_g")
+    return spark.sql(
+        _dup_span_over_groups("slsp_span_g") + "ORDER BY s.doc_id\n"
+    )
+
+
+def _span_group_spark_sql() -> str:
+    """Per-(doc_id, span) position counts ``k`` as a CTE-free
+    (persistable) plan — ONE split+slide expansion pass, folded
+    map-side before any shuffle (guide §2.3)."""
+    return f"""
+SELECT doc_id, span, CAST(COUNT(*) AS BIGINT) AS k
+FROM (
+  SELECT doc_id,
+         explode(transform(sequence(0, size(w) - {_SPAN_W}),
+                           i -> concat_ws(' ', slice(w, i + 1, {_SPAN_W}))))
+           AS span
+  FROM (SELECT doc_id, split(text, ' ') AS w FROM {tbl('documents', 'spark')})
+  WHERE size(w) >= {_SPAN_W}
+) spans
+GROUP BY doc_id, span
+"""
+
+
+def _dup_span_over_groups(g_src: str) -> str:
+    """The dup-span accounting over a persisted (doc_id, span, k) group
+    view — the same integers as _dup_span_sql: n_occ = SUM(k) over docs,
+    n_spans = SUM(k) per doc, dup positions = SUM(k) over spans whose
+    global count exceeds 1."""
+    return f"""
+WITH freq AS (
+  SELECT span, CAST(SUM(k) AS BIGINT) AS n_occ FROM {g_src} GROUP BY span
+)
+SELECT s.doc_id,
+       CAST(SUM(s.k) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN f.n_occ > 1 THEN s.k ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       round(CAST(SUM(CASE WHEN f.n_occ > 1 THEN s.k ELSE 0 END) AS DOUBLE)
+             / SUM(s.k), 6) AS dup_frac
+FROM {g_src} s JOIN freq f ON f.span = s.span
+GROUP BY s.doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -658,12 +710,89 @@ def sketch_theta_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     derive |A∩B| by inclusion–exclusion — the cardinality algebra behind
     "how many documents do these two crawls share?" without ever
     joining them. Each sketch is a per-slice top-k by hash (per-partition
-    heaps, k rows shuffled per slice); the union sketch merges before
-    ranking, exactly how theta sketches compose across a 1000-executor
-    fleet: k values per node, not the corpus. Exact counts ride along as
-    the error reference."""
+    heaps — WindowGroupLimit — so k rows shuffle per slice); the union
+    sketch merges before ranking, exactly how theta sketches compose
+    across a 1000-executor fleet: k values per node, not the corpus.
+    Exact counts ride along as the error reference.
+
+    Spark path (r13): the oracle's final inclusion–exclusion UNION ALL
+    references ``joined`` four times, and Catalyst inlines CTEs — the
+    whole sketch+exact subtree was re-planned 4× (measured: 166 physical
+    operators, 18 parquet scans). Here ``joined`` (3 rows) is computed
+    ONCE and persisted, the intersect row derives from it via 1-row
+    cross joins, and the three exact counts collapse into one
+    conditional-aggregation scan unpivoted with ``stack`` (guide §2.4;
+    plan: 18→4 scans, 19→7 exchanges)."""
     views(spark, sf_dir, "documents")
-    return spark.sql(_theta_union_sql("spark"))
+    d = "spark"
+    h = _doc_hash(d)
+    est = (
+        f"CASE WHEN n_kept < {_THETA_K} THEN CAST(n_kept AS DOUBLE)"
+        f" ELSE CAST({_THETA_K - 1} AS DOUBLE) * {_HASH_SPACE} / kth END"
+    )
+    joined = spark.sql(
+        f"""
+WITH hashed AS (
+  SELECT doc_id, {h} AS h FROM {tbl('documents', d)}
+),
+slices AS (
+  SELECT 'a' AS slice_id, h FROM hashed WHERE doc_id % 3 <> 0
+  UNION ALL
+  SELECT 'b' AS slice_id, h FROM hashed WHERE doc_id % 2 <> 0
+  UNION ALL
+  SELECT 'union' AS slice_id, h FROM (
+    SELECT DISTINCT h FROM hashed WHERE doc_id % 3 <> 0 OR doc_id % 2 <> 0
+  ) u
+),
+ranked AS (
+  SELECT slice_id, h,
+         ROW_NUMBER() OVER (PARTITION BY slice_id ORDER BY h) AS rnk
+  FROM slices
+),
+sketch AS (
+  SELECT slice_id,
+         CAST(MAX(h) AS BIGINT) AS kth,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM ranked WHERE rnk <= {_THETA_K}
+  GROUP BY slice_id
+),
+est AS (
+  SELECT slice_id, round({est}, 2) AS kmv_estimate FROM sketch
+),
+exact_base AS (
+  SELECT CAST(COUNT(CASE WHEN doc_id % 3 <> 0 THEN 1 END) AS BIGINT) AS ca,
+         CAST(COUNT(CASE WHEN doc_id % 2 <> 0 THEN 1 END) AS BIGINT) AS cb,
+         CAST(COUNT(CASE WHEN doc_id % 3 <> 0 OR doc_id % 2 <> 0 THEN 1 END)
+              AS BIGINT) AS cu
+  FROM {tbl('documents', d)}
+),
+exact AS (
+  SELECT stack(3, 'a', ca, 'b', cb, 'union', cu) AS (slice_id, exact_count)
+  FROM exact_base
+)
+SELECT e.slice_id, e.kmv_estimate, x.exact_count
+FROM est e JOIN exact x ON x.slice_id = e.slice_id
+"""
+        # localCheckpoint, not persist: CacheManager cannot substitute a
+        # cached plan that contains WithCTE (CTE ids renumber on reuse),
+        # so a persist here silently re-ran the whole sketch chain per
+        # consumer; the eager checkpoint materializes the 3 rows once
+    ).localCheckpoint(eager=True)
+    a = joined.filter("slice_id = 'a'").selectExpr(
+        "kmv_estimate AS ka", "exact_count AS ea"
+    )
+    b = joined.filter("slice_id = 'b'").selectExpr(
+        "kmv_estimate AS kb", "exact_count AS eb"
+    )
+    u = joined.filter("slice_id = 'union'").selectExpr(
+        "kmv_estimate AS ku", "exact_count AS eu"
+    )
+    inter = a.crossJoin(b).crossJoin(u).selectExpr(
+        "'intersect' AS slice_id",
+        "round(ka + kb - ku, 2) AS kmv_estimate",
+        "ea + eb - eu AS exact_count",
+    )
+    return joined.unionByName(inter).orderBy("slice_id")
 
 
 # ---------------------------------------------------------------------------
@@ -735,9 +864,63 @@ def profile_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-and-average-the-middle construction (identical IEEE adds in
     both engines — no quantile-interpolation variance across dialects);
     every window partitions on event_type, and the two median tables are
-    group-count-sized broadcast joins."""
+    group-count-sized broadcast joins.
+
+    Spark path (r13): the deviation table ``dev`` (events + per-type
+    median + absolute deviation) heads a diamond — the MAD rank chain
+    AND the final gate both read it — and CTE inlining re-planned the
+    whole ev→rank-window→median→join chain for each consumer (measured:
+    6 Window ops / 4 scans in the flat plan). ``dev`` is persisted once
+    (CTE-free build, so CacheManager can substitute it) and the
+    oracle-shared MAD/gate text runs over the cached view (guide §5;
+    plan: 6→2 Window ops, 4→2 scans)."""
     views(spark, sf_dir, "events")
-    return spark.sql(_outlier_mad_sql("spark"))
+    d = "spark"
+    n_lo = intdiv("(n + 1)", "2", d)
+    n_hi = intdiv("(n + 2)", "2", d)
+    ev = (
+        f"SELECT event_id, event_type, CAST(value AS DOUBLE) AS v "
+        f"FROM {tbl('events', d)}"
+    )
+    dev = spark.sql(
+        f"""
+SELECT e.event_type, e.event_id, e.v, m.med,
+       CASE WHEN e.v >= m.med THEN e.v - m.med ELSE m.med - e.v END AS ad
+FROM ({ev}) e
+JOIN (SELECT event_type, (MIN(v) + MAX(v)) / 2 AS med
+      FROM (SELECT event_type, event_id, v,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY event_type ORDER BY v, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM ({ev}) ev) rk
+      WHERE rn IN ({n_lo}, {n_hi})
+      GROUP BY event_type) m
+  ON m.event_type = e.event_type
+"""
+    ).persist()
+    dev.createOrReplaceTempView("slsp_mad_dev")
+    return spark.sql(
+        f"""
+WITH drk AS (
+  SELECT event_type, event_id, v, med, ad,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad, event_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM slsp_mad_dev
+),
+mad AS (
+  SELECT event_type, (MIN(ad) + MAX(ad)) / 2 AS mad
+  FROM drk WHERE rn IN ({n_lo}, {n_hi})
+  GROUP BY event_type
+)
+SELECT e.event_type, e.event_id, round(e.v, 6) AS value,
+       round(e.med, 6) AS med, round(m.mad, 6) AS mad,
+       round((e.v - e.med) / m.mad, 6) AS mad_score
+FROM slsp_mad_dev e JOIN mad m ON m.event_type = e.event_type
+WHERE m.mad > 0 AND e.ad > {_MAD_CUT} * m.mad
+ORDER BY e.event_type, e.event_id
+"""
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -531,17 +531,84 @@ LIMIT {_BM25_TOPN}
 """
 
 
+def _bm25_perdoc_ctes() -> str:
+    """Spark-side one-pass BM25 base (r13 optimization): the oracle's
+    tok→dl→tf→df→scored→pivoted chain re-plans the tokenize scan for
+    every CTE reference (measured: 9 parquet scans / 14 exchange nodes
+    in ``rag_rrf_fusion``'s physical plan). dl and every per-term tf are
+    ONE conditional aggregation over one tokenize pass (``perdoc``), and
+    sum_dl / n_docs / every per-term df are ONE 1-row aggregate over it
+    (``g``, broadcast by the cross join) — same integers, therefore
+    bit-identical scores. Guide §2.4 (remove shuffles outright) +
+    §2.3 (aggregate before you shuffle)."""
+    tfs = ", ".join(
+        f"CAST(COUNT(CASE WHEN word = '{t}' THEN 1 END) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    dfs = ", ".join(
+        f"CAST(COUNT(CASE WHEN tf{i} > 0 THEN 1 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""{_tok_cte('spark')},
+perdoc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl, {tfs}
+  FROM tok GROUP BY doc_id
+),
+g AS (
+  SELECT CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         CAST(COUNT(*) AS BIGINT) AS n_docs, {dfs}
+  FROM perdoc
+)"""
+
+
+def _bm25_score_i(i: int) -> str:
+    """The oracle's per-(doc,term) rational score over perdoc×g columns
+    (texts differ only by column renames tf→tf{i}, df→df{i})."""
+    return (
+        f"(CAST((2 * n_docs - 2 * df{i} + 1) * 22 * tf{i} * sum_dl AS DOUBLE)"
+        f" / CAST((2 * df{i} + 1)"
+        f"        * (10 * tf{i} * sum_dl + 3 * sum_dl + 9 * dl * n_docs)"
+        f"        AS DOUBLE))"
+    )
+
+
 @query("rag_bm25_topk", oracle=_bm25_sql("duck"), tags=("llm", "rag", "text"))
 def rag_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed query against
-    the corpus — the lexical half of hybrid RAG retrieval. The only
-    corpus-sized shuffles are the doc-length and term-frequency counts,
-    both partitioned on doc_id; df is |query|-row and the corpus stats
-    are a scalar, so Spark broadcasts both into the scoring join. The
-    idf is the log-free rational form and the per-doc total is a
-    fixed-order sum, keeping the ranking bit-stable across engines."""
+    the corpus — the lexical half of hybrid RAG retrieval. The idf is the
+    log-free rational form and the per-doc total is a fixed-order sum,
+    keeping the ranking bit-stable across engines.
+
+    Spark path (r13): ONE tokenize pass — per-doc dl and per-term tfs in
+    a single conditional aggregation, the corpus stats + per-term dfs in
+    a single 1-row aggregate cross-joined back (broadcast), so the only
+    corpus-sized shuffle is the one doc_id aggregation (the oracle's
+    multi-CTE join chain re-planned the tokenize scan 4×; plan: 9→2
+    scans, 7→2 exchanges). Top-k is a TakeOrdered, never a global sort."""
+    terms_sql = _bm25_perdoc_ctes()
+    s_i = ", ".join(
+        f"CASE WHEN tf{i} > 0 THEN {_bm25_score_i(i)} END AS s{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    total = " + ".join(
+        f"COALESCE(s{i}, CAST(0 AS DOUBLE))" for i in range(len(_BM25_TERMS))
+    )
+    any_tf = " OR ".join(f"tf{i} > 0" for i in range(len(_BM25_TERMS)))
     views(spark, sf_dir, "documents")
-    return spark.sql(_bm25_sql("spark"))
+    return spark.sql(
+        f"""
+WITH {terms_sql},
+pivoted AS (
+  SELECT doc_id, {s_i}
+  FROM perdoc CROSS JOIN g
+  WHERE {any_tf}
+)
+SELECT doc_id, round({total}, 6) AS bm25
+FROM pivoted
+ORDER BY {total} DESC, doc_id
+LIMIT {_BM25_TOPN}
+"""
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -797,9 +864,57 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation, so the global rank windows sort at most
     |query_terms| * cap rows — a stop-word query term can no longer pull
     the whole corpus into one window partition. The fused score is a
-    fixed-order sum of two integer-denominator divisions — bit-stable."""
+    fixed-order sum of two integer-denominator divisions — bit-stable.
+
+    Spark path (r13): the same one-pass perdoc/g base as
+    ``rag_bm25_topk`` (the oracle's CTE chain re-planned the tokenize
+    scan 9× / 14 exchanges here, including a scored⋈scored self-join for
+    the pivot); per-term scores, coverage and dl come straight off the
+    conditional aggregation (s_i gated on the df cap, coverage = count
+    of surviving terms — the same integers the scored/pivot join
+    produced), so only the two bounded rank windows follow the one
+    corpus aggregation. Guide §2.4."""
+    n = len(_BM25_TERMS)
+    terms_sql = _bm25_perdoc_ctes()
+    s_i = ", ".join(
+        f"CASE WHEN tf{i} > 0 AND df{i} <= {_RRF_DF_CAP} "
+        f"THEN {_bm25_score_i(i)} END AS s{i}"
+        for i in range(n)
+    )
+    coverage = " + ".join(
+        f"(CASE WHEN tf{i} > 0 AND df{i} <= {_RRF_DF_CAP} "
+        f"THEN 1 ELSE 0 END)"
+        for i in range(n)
+    )
+    total = " + ".join(
+        f"COALESCE(s{i}, CAST(0 AS DOUBLE))" for i in range(n)
+    )
     views(spark, sf_dir, "documents")
-    return spark.sql(_rrf_sql("spark"))
+    return spark.sql(
+        f"""
+WITH {terms_sql},
+pivoted AS (
+  SELECT doc_id, {s_i}, CAST({coverage} AS BIGINT) AS coverage, dl
+  FROM perdoc CROSS JOIN g
+  WHERE {coverage} > 0
+),
+ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY {total} DESC, doc_id) AS rank_bm25,
+         ROW_NUMBER() OVER (ORDER BY coverage DESC, dl, doc_id) AS rank_cov
+  FROM pivoted
+)
+SELECT doc_id,
+       CAST(rank_bm25 AS BIGINT) AS rank_bm25,
+       CAST(rank_cov AS BIGINT) AS rank_cov,
+       round(CAST(1 AS DOUBLE) / ({_RRF_K} + rank_bm25)
+             + CAST(1 AS DOUBLE) / ({_RRF_K} + rank_cov), 6) AS rrf
+FROM ranked
+ORDER BY CAST(1 AS DOUBLE) / ({_RRF_K} + rank_bm25)
+         + CAST(1 AS DOUBLE) / ({_RRF_K} + rank_cov) DESC, doc_id
+LIMIT {_RRF_TOPN}
+"""
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -148,10 +148,12 @@ _CONTAIN_DF_PCT_DEN = 100  # drop shingles present in > 1% of documents
 _CONTAIN_K = 5  # 5-word shingles: selective candidate key (3-grams pair-explode)
 
 
-def _containment_kept_sql(d: str) -> str:
-    """CTE chain from the raw corpus to the df-guarded postings table
-    ``kept`` — the diamond-reused subplan (oracle: DuckDB materializes
-    multiply-referenced CTEs; Spark: the query fn persists it once)."""
+def _containment_postings_sql(d: str) -> str:
+    """CTE chain from the raw corpus to the distinct postings table
+    ``exploded`` — the one-shingle-pass subplan the Spark path persists
+    (r13: carrying the unused guard CTEs with their correlated NOT
+    EXISTS through the analyzer overflowed DeduplicateRelations, so the
+    postings chain is its own builder)."""
     docs = tbl("documents", d)
     w = text.words("text", d)
     half = f"greatest({_CONTAIN_K}, {intdiv(arr_len('w', d), '2', d)})"
@@ -180,7 +182,14 @@ exploded AS (
   SELECT DISTINCT doc_id, {hash64('sg_raw', d)} AS sg FROM (
     SELECT doc_id, {unnest_fn(d)}(sh) AS sg_raw FROM shing
   ) x
-),
+)"""
+
+
+def _containment_kept_sql(d: str) -> str:
+    """CTE chain from the raw corpus to the df-guarded postings table
+    ``kept`` — the diamond-reused subplan (oracle: DuckDB materializes
+    multiply-referenced CTEs; Spark: the query fn persists it once)."""
+    return f"""{_containment_postings_sql(d)},
 ndocs AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM shing),
 hot AS (
   SELECT sg FROM exploded GROUP BY sg
@@ -261,13 +270,63 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     DF-object reuse substitutes the InMemoryRelation reliably. The
     oracle's single WITH lets DuckDB materialize the chain. At 100 TB
     the postings join partitions on the high-cardinality 60-bit shingle
-    key and stays balanced; the doc-sized ``sizes`` legs broadcast."""
+    key and stays balanced; the doc-sized ``sizes`` legs broadcast.
+
+    r13: the ``kept`` build ITSELF re-shingled the corpus for every
+    internal CTE reference (exploded feeds hot AND kept, shing feeds
+    exploded AND ndocs — 4 shingle passes inside the one cached build,
+    measured in the plan's InMemoryRelation subtree). The distinct
+    postings table ``exploded`` now persists first; ndocs re-derives as
+    its distinct doc count (identical: every ≥5-word doc emits ≥1
+    shingle, so the doc sets coincide), hot and the anti-join read the
+    cache (guide §5; kept-build: 4→1 shingle passes)."""
     from pyspark.sql import functions as F
 
     views(spark, sf_dir, "documents")
-    kept = spark.sql(
-        f"WITH {_containment_kept_sql('spark')} SELECT * FROM kept"
+    # CTE-free persisted plan (CacheManager cannot substitute WithCTE
+    # plans): the corpus→toks→shing→exploded chain flattened into nested
+    # FROM subqueries — the same expressions as _containment_postings_sql
+    d = "spark"
+    docs = tbl("documents", d)
+    w = text.words("text", d)
+    half = f"greatest({_CONTAIN_K}, {intdiv(arr_len('w', d), '2', d)})"
+    prefix = f"array_join(slice(w, 1, {half}), ' ')"
+    exploded = spark.sql(
+        f"""
+SELECT DISTINCT doc_id, {hash64('sg_raw', d)} AS sg FROM (
+  SELECT doc_id, {unnest_fn(d)}(sh) AS sg_raw FROM (
+    SELECT doc_id, {text.shingles('wd', _CONTAIN_K, d)} AS sh FROM (
+      SELECT doc_id, {text.words('text', d)} AS wd FROM (
+        SELECT doc_id, text FROM {docs}
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, {prefix} AS text
+        FROM (SELECT doc_id, {w} AS w FROM {docs}
+              WHERE doc_id % {_CONTAIN_COPY_MOD} = 0) h
+      ) corpus
+    ) toks WHERE {arr_len('wd', d)} >= {_CONTAIN_K}
+  ) shing
+) x
+"""
     ).persist()
+    exploded.createOrReplaceTempView("slsp_contain_postings")
+    # df cap as a scalar subquery (the oracle's shape — plans as a
+    # Subquery, not a nested-loop join, keeping the candidate-bounded
+    # lint's ≤1-BNLJ budget); ndocs re-derives as the postings' distinct
+    # doc count (identical: every ≥5-word doc emits ≥1 shingle)
+    hot = spark.sql(
+        f"""
+SELECT sg FROM slsp_contain_postings GROUP BY sg
+HAVING CAST(COUNT(*) AS BIGINT) >
+       greatest(CAST({_CONTAIN_DF_MIN} AS BIGINT),
+                (SELECT {intdiv('nd', _CONTAIN_DF_PCT_DEN, 'spark')} FROM
+                 (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+                  FROM slsp_contain_postings) n))
+"""
+    )
+    # explicit broadcast: hot is df-cap-bounded (shingles in >1% of docs)
+    # and the hint keeps the anti-join strategy deterministic — unhinted,
+    # the cached-relation stats flip it between runs (PLANFP flake)
+    kept = exploded.join(F.broadcast(hot), "sg", "left_anti").persist()
     sizes = kept.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
     a = kept.select(F.col("doc_id").alias("doc_a"), "sg")
     b = kept.select(F.col("doc_id").alias("doc_b"), "sg")

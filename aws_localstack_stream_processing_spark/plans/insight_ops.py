@@ -235,7 +235,36 @@ _HY_QVEC = 0  # query embedding = corpus vector 0 (deterministic)
 def _hybrid_bm25_cte(d: str) -> str:
     """Candidate list of the lexical side — same scoring form as
     rag_bm25_topk (integerized idf*tf-norm rational, one double
-    division), shortened to the candidate depth."""
+    division), shortened to the candidate depth.
+
+    Spark branch (r13): the one-pass perdoc/g base from
+    ``rag_bm25_topk`` — one tokenize scan + one 1-row broadcast stats
+    aggregate instead of the oracle's re-planned tok/dl/tf/df/scored
+    chain (guide §2.4); identical integers → bit-identical lex_score."""
+    if d == "spark":
+        from .dataset_ops import _bm25_perdoc_ctes, _bm25_score_i
+
+        n = len(_BM25_TERMS)
+        s_i = ", ".join(
+            f"CASE WHEN tf{i} > 0 THEN {_bm25_score_i(i)} END AS s{i}"
+            for i in range(n)
+        )
+        total = " + ".join(
+            f"COALESCE(s{i}, CAST(0 AS DOUBLE))" for i in range(n)
+        )
+        any_tf = " OR ".join(f"tf{i} > 0" for i in range(n))
+        return f"""
+  WITH {_bm25_perdoc_ctes()},
+  pivoted AS (
+    SELECT doc_id, {s_i}
+    FROM perdoc CROSS JOIN g
+    WHERE {any_tf}
+  )
+  SELECT doc_id, {total} AS lex_score
+  FROM pivoted
+  ORDER BY {total} DESC, doc_id
+  LIMIT {_HY_CAND}
+"""
     terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     score = (
         "(CAST((2 * n_docs - 2 * df + 1) * 22 * tf * sum_dl AS DOUBLE)"

@@ -213,9 +213,58 @@ def dedup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Dup flags come from content-hash cluster sizes over the planted-dup
     corpus; quality verdicts from the canonical original (id mod 1e6).
     The final share divides by a broadcast single-row total — no window
-    anywhere in the plan."""
+    anywhere in the plan.
+
+    Spark path (r13): as one SQL text, CTE inlining re-ran sha256 over
+    the tripled corpus twice (sizes + flagged), and the 1-row ``tot``
+    re-planned the ENTIRE chain — hashing, Gopher gate, both joins — a
+    second time (measured: 14 parquet scans / 6 exchanges). ``hashed``
+    is persisted (one sha256 pass), and ``tot`` derives from the
+    persisted 4-row ``agg`` (guide §2.4/§5; plan: 14→4 scans)."""
+    from pyspark.sql import functions as F
+
+    from .llm_ops import _doc_corpus
+    from .quality_ops import _gopher_sql
+
     views(spark, sf_dir, "documents")
-    return spark.sql(_dup_quality_sql("spark"))
+    # CTE-free persisted plan (CacheManager cannot substitute WithCTE
+    # plans — the corpus union rides a FROM subquery)
+    hashed = spark.sql(
+        f"SELECT doc_id, {hashing.sha256_hex('text', 'spark')} AS h "
+        f"FROM ({_doc_corpus('spark')}) corpus"
+    ).persist()
+    hashed.createOrReplaceTempView("slsp_dq_hashed")
+    # the 4-row agg materializes via localCheckpoint (its own plan carries
+    # CTEs, so a persist would not substitute into the final consumer)
+    agg = spark.sql(
+        f"""
+WITH sizes AS (SELECT h, COUNT(*) AS sz FROM slsp_dq_hashed GROUP BY h),
+flagged AS (
+  SELECT t.doc_id, (sizes.sz > 1) AS is_dup
+  FROM slsp_dq_hashed t JOIN sizes ON sizes.h = t.h
+),
+gop AS (SELECT doc_id, keep AS gate_keep FROM ({_gopher_sql('spark')}) g),
+joined AS (
+  SELECT f.is_dup, g.gate_keep
+  FROM flagged f JOIN gop g ON g.doc_id = f.doc_id % 1000000
+)
+SELECT is_dup, gate_keep, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM joined GROUP BY is_dup, gate_keep
+"""
+    ).localCheckpoint(eager=True)
+    agg.createOrReplaceTempView("slsp_dq_agg")
+    # the total rides a view reference rather than agg.crossJoin(agg.agg):
+    # the direct self-referential form hit an analyzer UnresolvedException
+    # (exprId on unresolved object) intermittently at sf0.1
+    return spark.sql(
+        """
+WITH tot AS (SELECT SUM(n_docs) AS nt FROM slsp_dq_agg)
+SELECT a.is_dup, a.gate_keep, a.n_docs,
+       round(CAST(a.n_docs AS DOUBLE) / t.nt, 6) AS share
+FROM slsp_dq_agg a CROSS JOIN tot t
+ORDER BY a.is_dup, a.gate_keep
+"""
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -289,11 +338,52 @@ def emb_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs-affected both read it), so the Spark path persists the pairs
     frame once and fans out with DataFrame ops over that same object —
     as one SQL text, CTE inlining re-ran the bucket join three times
-    (measured 20.5 s → ~1 s at sf0.1). Oracle keeps the flat WITH."""
+    (measured 20.5 s → ~1 s at sf0.1). Oracle keeps the flat WITH.
+
+    r13: ``normed`` (corpus + nrm + 8 hyperplane projections = 9 64-term
+    dots per row) is ALSO persisted — the self-join's two legs each
+    recomputed it from parquet (2 scans × 9 dots/row → 1 materialization
+    + 2 cache reads; guide §5)."""
     from pyspark.sql import functions as F
 
     views(spark, sf_dir, "embeddings")
-    pairs = spark.sql(_sweep_pairs_sql("spark")).persist()
+    bucket_bits = ", ".join(
+        f"(CASE WHEN {dot_const('emb', _hyperplane_signs(p), 'spark')} >= 0 "
+        f"THEN '1' ELSE '0' END)"
+        for p in range(_N_PLANES)
+    )
+    # CTE-free persisted plan (CacheManager cannot substitute WithCTE
+    # plans — the corpus union rides a FROM subquery)
+    normed = spark.sql(
+        f"""
+SELECT vec_id, emb, sqrt({dot('emb', 'emb', DIM, 'spark')}) AS nrm,
+       concat({bucket_bits}) AS bucket
+FROM ({_emb_corpus('spark')}) corpus
+"""
+    ).persist()
+    a = normed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("ea"),
+        F.col("nrm").alias("na"),
+        "bucket",
+    )
+    b = normed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .selectExpr(
+            "vec_a",
+            "vec_b",
+            f"{dot('ea', 'eb', DIM, 'spark')} / (na * nb) AS cos_sim",
+        )
+        .where(f"cos_sim >= CAST({_SWEEP_THRESHOLDS[0]} AS DOUBLE)")
+        .persist()
+    )
     thr = spark.createDataFrame(
         [(float(t),) for t in _SWEEP_THRESHOLDS], "threshold double"
     )
@@ -569,9 +659,49 @@ def llm_classifier_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFram
     the two reconcile). Scale shape: the corpus collapses to ≤18 bin
     rows FIRST (one map-side-combinable fold); the cumulative sums are a
     triangular self-join on that constant-size bin table — never a
-    per-document window or a corpus × spine expansion."""
+    per-document window or a corpus × spine expansion.
+
+    Spark path (r13): the ≤18-row ``bins`` table was re-planned for all
+    THREE consumers (total, both triangular legs) — the classifier +
+    Gopher corpus chain ran 3× (9 scans / 11 exchanges measured).
+    Persist ``bins``; the sweep reads the cache (guide §5; plan: 9→3
+    scans)."""
+    from .corpus_ops import _qc_scores
+    from .quality_ops import _gopher_sql
+
     views(spark, sf_dir, "documents")
-    return spark.sql(_classifier_sweep_sql("spark"))
+    bins = spark.sql(
+        f"""
+WITH {_qc_scores('spark').lstrip()},
+gop AS (SELECT doc_id, keep AS gate_keep FROM ({_gopher_sql('spark')}) g)
+SELECT {_QC_BIN} AS b,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN gate_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_gate
+FROM qc JOIN gop ON gop.doc_id = qc.doc_id
+GROUP BY {_QC_BIN}
+"""
+        # localCheckpoint, not persist: the classifier chain's plan holds
+        # WithCTE, which CacheManager cannot substitute — a persist here
+        # still re-ran the corpus chain for all three consumers
+    ).localCheckpoint(eager=True)
+    bins.createOrReplaceTempView("slsp_cts_bins")
+    return spark.sql(
+        """
+WITH tot AS (SELECT SUM(n) AS nt FROM slsp_cts_bins),
+cum AS (
+  SELECT /*+ BROADCAST(bn) */ a.b AS cutoff_bin,
+         CAST(SUM(bn.n) AS BIGINT) AS n_keep,
+         CAST(SUM(bn.n_gate) AS BIGINT) AS n_gate_agree
+  FROM slsp_cts_bins a JOIN slsp_cts_bins bn ON bn.b >= a.b
+  GROUP BY a.b
+)
+SELECT c.cutoff_bin, c.n_keep,
+       round(CAST(c.n_keep AS DOUBLE) / t.nt, 6) AS keep_rate,
+       round(CAST(c.n_gate_agree AS DOUBLE) / c.n_keep, 6) AS gate_agreement
+FROM cum c CROSS JOIN tot t
+ORDER BY cutoff_bin
+"""
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -769,15 +899,26 @@ _NPROBE_NQ = 8
 _NPROBE_K = 5
 
 
-def _nprobe_curve_sql(d: str) -> str:
-    from .dialect import qsample, to_double_arr
+def _nprobe_normed_sql(d: str) -> str:
+    """The shared normed-corpus base (vec_id, emb, nrm) — the subplan
+    every stage of the curve reads; the Spark path persists it once."""
+    from .dialect import to_double_arr
+
+    return (
+        f"SELECT vec_id, emb, sqrt({dot('emb', 'emb', DIM, d)}) AS nrm "
+        f"FROM (SELECT vec_id, {to_double_arr('embedding', d)} AS emb "
+        f"FROM {tbl('embeddings', d)})"
+    )
+
+
+def _nprobe_curve_body(d: str, normed_src: str) -> str:
+    from .dialect import qsample
     from .llm_ops import _IVF_CENT_MOD, _IVF_QUERY_MOD
 
     spine = ", ".join(f"({n})" for n in _NPROBE_SPINE)
     max_np = max(_NPROBE_SPINE)
     return f"""
-WITH base AS (SELECT vec_id, {to_double_arr('embedding', d)} AS emb FROM {tbl('embeddings', d)}),
-normed AS (SELECT vec_id, emb, sqrt({dot('emb', 'emb', DIM, d)}) AS nrm FROM base),
+WITH normed AS (SELECT * FROM {normed_src}),
 cents AS (
   SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM normed
   WHERE vec_id % {_IVF_CENT_MOD} = 0
@@ -839,6 +980,10 @@ ORDER BY nprobe
 """
 
 
+def _nprobe_curve_sql(d: str) -> str:
+    return _nprobe_curve_body(d, f"({_nprobe_normed_sql(d)})")
+
+
 @query("sim_ann_ivf_nprobe_curve", oracle=_nprobe_curve_sql("duck"), tags=("llm", "similarity", "evaluation"))
 def sim_ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF tuner's dial: recall@k at nprobe ∈ {1, 2, 4} in ONE pass —
@@ -854,9 +999,19 @@ def sim_ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     N×C exchange, windowed on the high-cardinality vector key) for
     cross-engine exactness; the SERVING path (``sim_ann_ivf``) uses the
     map-side-combinable struct-argmax — tuning runs once, serving runs
-    always, so the extra exchange lives on the right side."""
+    always, so the extra exchange lives on the right side.
+
+    Spark path (r13): ``normed`` (the corpus + per-vector norm) heads a
+    5-way diamond — cents, assign, the query cohort, qv and the exact
+    brute-force side all read it, and CTE inlining re-planned the scan +
+    64-term norm for every reference (measured: 8 parquet scans / 10
+    exchanges). It is persisted ONCE and the rest of the oracle-shared
+    text runs against the cached view (guide §5 caching: reused and
+    expensive to recompute; plan: 8→1 scans)."""
     views(spark, sf_dir, "embeddings")
-    return spark.sql(_nprobe_curve_sql("spark"))
+    normed = spark.sql(_nprobe_normed_sql("spark")).persist()
+    normed.createOrReplaceTempView("slsp_npc_normed")
+    return spark.sql(_nprobe_curve_body("spark", "slsp_npc_normed"))
 
 
 # ---------------------------------------------------------------------------

@@ -664,7 +664,26 @@ def _ivfpq_adc_topk(spark: SparkSession, sf_dir: str, topk: int) -> DataFrame:
     """The shared IVF-PQ ADC pipeline, ranked and cut at ``topk`` per
     query: (query_id, neighbor_id, rnk, adc_dist). ``emb_ivfpq_search``
     serves it directly at k=5; ``emb_ivfpq_refine`` pulls a wider cut
-    (4k) as the candidate pool for exact re-ranking."""
+    (4k) as the candidate pool for exact re-ranking.
+
+    r13 (guide §2.4): the coarse assignment and the PQ code assignment
+    previously ran as TWO independent N×C broadcast crosses (this
+    function's ``afull`` pass plus ``emb_pq_codes``'s argmin pass — the
+    dominant cost of the whole pipeline), and the per-subspace ADC
+    lookups were FOUR sequential broadcast hash joins on (qid, code_m).
+    Now ONE N×C cross computes the four subspace distances AND the
+    full-dim distance (``dfull`` stays the oracle's flat 64-term fold —
+    NOT d0+d1+d2+d3, whose different summation order could flip argmin
+    ties), and one aggregation emits all five argmins (coarse cell +
+    four codes, bit-identical winners to the oracle's per-ranking
+    ROW_NUMBER); the codes then ride the candidate row, deleting the
+    old candidate→codes re-join. The four per-subspace ADC lookups stay
+    HASH joins against the broadcast distance table: a per-qid
+    code→values map was tried and REVERTED — Spark map literals are
+    array-backed, so ``element_at`` is an O(|codebook|) linear scan per
+    candidate (O(N²) total; measured 2.13 s → 181 s at sf0.1 before the
+    revert). Plan: 3 BNLJ crosses → 2, and the corpus is
+    scanned/quantized once instead of twice."""
     views(spark, sf_dir, "embeddings")
     base = spark.sql(
         f"""
@@ -679,14 +698,29 @@ FROM {tbl('embeddings', 'spark')}
     )
     l2full = F.expr(_l2sq_range("emb", "cemb", 0, _PQ_M * _PQ_SUB, "spark"))
     scored = base.join(cents).withColumn("dfull", l2full)
-    # coarse assignment: map-side-combinable argmin, no N x C window
-    afull = (
+    for m in range(_PQ_M):
+        scored = scored.withColumn(
+            f"d{m}",
+            F.expr(_l2sq_range("emb", "cemb", m * _PQ_SUB, _PQ_SUB, "spark")),
+        )
+    # ONE pass over the N×C product: coarse argmin (dfull) and the four
+    # per-subspace argmins (the emb_pq_codes assignment, same expressions,
+    # same min(struct(dist, cid)) winner) in a single map-side-combinable
+    # aggregation — no window, no second cross
+    assign = (
         scored.groupBy("vec_id")
-        .agg(F.min(F.struct(F.col("dfull"), F.col("cid"))).alias("b"))
-        .select("vec_id", F.col("b.cid").alias("cid"))
-    )
-    codes = emb_pq_codes(spark, sf_dir).select(
-        "vec_id", *[f"code{m}" for m in range(_PQ_M)]
+        .agg(
+            F.min(F.struct(F.col("dfull"), F.col("cid"))).alias("bf"),
+            *[
+                F.min(F.struct(F.col(f"d{m}"), F.col("cid"))).alias(f"b{m}")
+                for m in range(_PQ_M)
+            ],
+        )
+        .select(
+            "vec_id",
+            F.col("bf.cid").alias("cid"),
+            *[F.col(f"b{m}.cid").alias(f"code{m}") for m in range(_PQ_M)],
+        )
     )
     # query side: top-nprobe cells (tiny side, window is fine)
     from pyspark.sql import Window
@@ -701,30 +735,26 @@ FROM {tbl('embeddings', 'spark')}
         .filter(F.col("rn") <= _IVFPQ_NPROBE)
         .select(F.col("vec_id").alias("qid"), "cid")
     )
-    # per-query ADC distance table over the codebook: |q| x K x M doubles
+    # per-query ADC distance table over the codebook: |q| x K x M doubles;
+    # the dq_m expressions are scored's d_m restricted to query rows —
+    # bit-identical values to a fresh query-side cross
     dt = F.broadcast(
-        base.filter(F.col("vec_id") % _IVFPQ_QUERY_MOD == 0)
-        .select(F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"))
-        .join(cents)
-        .select(
-            "qid",
+        qscored.select(
+            F.col("vec_id").alias("qid"),
             F.col("cid").alias("code"),
-            *[
-                F.expr(
-                    _l2sq_range("qemb", "cemb", m * _PQ_SUB, _PQ_SUB, "spark")
-                ).alias(f"dq{m}")
-                for m in range(_PQ_M)
-            ],
+            *[F.col(f"d{m}").alias(f"dq{m}") for m in range(_PQ_M)],
         )
     )
-    # the candidate list (|q| x cell-size x nprobe, serving-batch bounded)
-    # is window/broadcast-derived with no stats; pin its broadcast into the
-    # corpus-sized codes table so the join never sort-merges
-    cand = F.broadcast(
-        qp.join(afull.withColumnRenamed("vec_id", "nid"), "cid")
-        .filter(F.col("nid") != F.col("qid"))
-        .select("qid", "nid")
-    ).join(codes.withColumnRenamed("vec_id", "nid"), "nid")
+    # the candidate list (|q| x cell-size x nprobe, serving-batch bounded):
+    # the broadcast probe list joins the fused assignment table ONCE on
+    # cid — the codes ride along on the same row, so the old second join
+    # (candidate list back into the corpus-sized codes table) is gone and
+    # ``assign`` (the N×C aggregation) is referenced exactly once
+    cand = F.broadcast(qp).join(
+        assign.withColumnRenamed("vec_id", "nid"), "cid"
+    ).filter(F.col("nid") != F.col("qid")).select(
+        "qid", "nid", *[f"code{m}" for m in range(_PQ_M)]
+    )
     adc = cand
     for m in range(_PQ_M):
         w = dt.select(

@@ -92,9 +92,70 @@ def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, so join output is exactly the position count); the vocab scalar
     broadcasts. Stop-word context keys are Zipf-hot — AQE skew-join
     splits them, and the per-doc reduce is again map-side combinable.
-    No window, no cartesian, no Python."""
+    No window, no cartesian, no Python.
+
+    Spark path (r13): the bigram-position table ``pos`` was re-planned
+    for all THREE consumers (bigram counts, context counts, scoring) and
+    ``w`` (the split) a fourth time for the vocab scalar — 4 tokenize
+    scans measured. ``pos`` persists once; only the vocab count pays its
+    own (column-pruned) split pass (guide §5; scans 4→2)."""
     views(spark, sf_dir, "documents")
-    return spark.sql(_bigram_lm_sql("spark"))
+    pos = spark.sql(_pos_flat_spark_sql()).persist()
+    pos.createOrReplaceTempView("slsp_blm_pos")
+    return spark.sql(
+        f"""
+WITH {_bigram_scored_ctes('slsp_blm_pos')}
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round({dec_sum('neg_logp', 12)} / COUNT(*), 6) AS avg_neg_logp
+FROM scored
+GROUP BY doc_id
+ORDER BY avg_neg_logp DESC, doc_id
+LIMIT 20
+"""
+    )
+
+
+def _pos_flat_spark_sql() -> str:
+    """The bigram-position table as a CTE-free (persistable) plan — the
+    same pos expression as _bigram_positions, flattened into nested FROM
+    subqueries so CacheManager can substitute the persisted relation
+    (it cannot match plans containing WithCTE)."""
+    return f"""
+SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+FROM (SELECT doc_id, ws, explode(sequence(0, size(ws) - 2)) AS i
+      FROM (SELECT doc_id, split(text, ' ') AS ws
+            FROM {tbl('documents', 'spark')}) w
+      WHERE size(ws) >= 2)
+"""
+
+
+def _bigram_scored_ctes(pos_src: str) -> str:
+    """The add-one-smoothed bigram scoring chain (vocab, count tables,
+    per-position neg-logp) over a bigram-position source view — shared
+    by ``llm_bigram_lm_score`` and ``llm_filter_stack``'s LM leg so both
+    read ONE persisted pos materialization (guide §5)."""
+    return f"""toks AS (
+  SELECT explode(ws) AS tok
+  FROM (SELECT split(text, ' ') AS ws FROM {tbl('documents', 'spark')})
+),
+vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM toks),
+big_cnt AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM {pos_src} GROUP BY w1, w2
+),
+ctx_cnt AS (
+  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM {pos_src} GROUP BY w1
+),
+scored AS (
+  SELECT p.doc_id,
+         round(-ln((CAST(b.c12 AS DOUBLE) + 1.0)
+                   / (CAST(c.c1 AS DOUBLE) + CAST(vocab.v AS DOUBLE))), 12)
+           AS neg_logp
+  FROM {pos_src} p
+  JOIN big_cnt b ON b.w1 = p.w1 AND b.w2 = p.w2
+  JOIN ctx_cnt c ON c.w1 = p.w1
+  CROSS JOIN vocab
+)"""
 
 
 # ---------------------------------------------------------------------------
@@ -554,13 +615,19 @@ _AA_COHORT_MOD = 20  # same query cohort as graph_jaccard_link_predict
 _AA_TOPN = 50
 
 
-def _adamic_adar_sql(d: str) -> str:
+def _adamic_adar_fwd_sql(d: str) -> str:
+    """The distinct customer↔supplier edge list — the subplan both the
+    degree table and the query cohort read (Spark persists it once)."""
+    return (
+        f"SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp "
+        f"FROM {tbl('orders', d)} o JOIN {tbl('lineitem', d)} l "
+        f"ON o.o_orderkey = l.l_orderkey"
+    )
+
+
+def _adamic_adar_body(d: str, fwd_src: str) -> str:
     return f"""
-WITH fwd AS (
-  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
-  FROM {tbl('orders', d)} o JOIN {tbl('lineitem', d)} l
-    ON o.o_orderkey = l.l_orderkey
-),
+WITH fwd AS (SELECT * FROM {fwd_src}),
 supp_deg AS (
   SELECT supp, CAST(COUNT(*) AS BIGINT) AS sdeg FROM fwd GROUP BY supp
 ),
@@ -585,6 +652,10 @@ LIMIT {_AA_TOPN}
 """
 
 
+def _adamic_adar_sql(d: str) -> str:
+    return _adamic_adar_body(d, f"({_adamic_adar_fwd_sql(d)})")
+
+
 @query(
     "graph_adamic_adar",
     oracle=_adamic_adar_sql("duck"),
@@ -601,9 +672,17 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared supplier restricted to the query cohort (cost ~ Σ per-supplier
     cohort-degree², hub cost bounded by the inverse-log weight mattering
     least exactly where degree is largest), per-term round-12 + DECIMAL
-    sum, TakeOrdered top-k."""
+    sum, TakeOrdered top-k.
+
+    Spark path (r13): the distinct edge list ``fwd`` (orders⋈lineitem +
+    DISTINCT — the expensive corpus piece) was re-planned for both its
+    consumers (degree table and cohort; 2 sort-merge joins / 6 scans in
+    the plan); persist it once and run the oracle-shared scoring text
+    over the cached view (guide §5; plan: 6→2 scans, SMJ 2→1)."""
     views(spark, sf_dir, "orders", "lineitem")
-    return spark.sql(_adamic_adar_sql("spark"))
+    fwd = spark.sql(_adamic_adar_fwd_sql("spark")).persist()
+    fwd.createOrReplaceTempView("slsp_aa_fwd")
+    return spark.sql(_adamic_adar_body("spark", "slsp_aa_fwd"))
 
 
 # ---------------------------------------------------------------------------
@@ -911,9 +990,58 @@ def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams through one pass with JVM-codegen dot products, the rank
     window partitions by anchor over candidate rows only; the per-anchor
     positive max is map-side combinable. The cohort size is the batch
-    knob production miners already use."""
+    knob production miners already use.
+
+    Spark path (r13): ``pairs`` (the anchor×corpus cosine table) heads a
+    diamond — ``best_pos`` and ``negs`` both read it — and CTE inlining
+    ran the corpus scan + 8 64-term dot products per row TWICE. The
+    slim pair table (5 narrow columns, |anchors|·N rows) persists once;
+    both consumers read the cache (guide §5; corpus cosine passes 2→1,
+    scans 4→1)."""
+    from .llm_ops import DIM as _DIM
+    from .dialect import dot as _dot
+    from .dialect import to_double_arr as _tda
+
     views(spark, sf_dir, "embeddings")
-    return spark.sql(_hnm_sql("spark"))
+    arr = _tda("embedding", "spark")
+    normed = (
+        f"SELECT vec_id, label, emb, sqrt({_dot('emb', 'emb', _DIM, 'spark')}) AS nrm "
+        f"FROM (SELECT vec_id, label, {arr} AS emb FROM {tbl('embeddings', 'spark')})"
+    )
+    # CTE-free persisted plan; the 8-row anchor side broadcasts (pinned —
+    # the filtered subquery has no stats)
+    pairs = spark.sql(
+        f"""
+SELECT /*+ BROADCAST(a) */
+       a.vec_id AS anchor_id, a.label AS anchor_label,
+       n.vec_id AS cand_id, n.label AS cand_label,
+       {_dot('a.emb', 'n.emb', _DIM, 'spark')} / (a.nrm * n.nrm) AS cos_sim
+FROM (SELECT * FROM ({normed}) q WHERE vec_id < {_HNM_ANCHORS}) a
+JOIN ({normed}) n ON n.vec_id <> a.vec_id
+"""
+    ).persist()
+    pairs.createOrReplaceTempView("slsp_hnm_pairs")
+    return spark.sql(
+        f"""
+WITH best_pos AS (
+  SELECT anchor_id, MAX(cos_sim) AS pos_cos
+  FROM slsp_hnm_pairs WHERE cand_label = anchor_label GROUP BY anchor_id
+),
+negs AS (
+  SELECT anchor_id, cand_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id
+                            ORDER BY cos_sim DESC, cand_id) AS rnk
+  FROM slsp_hnm_pairs WHERE cand_label <> anchor_label
+)
+SELECT /*+ BROADCAST(p) */ n.anchor_id,
+       n.cand_id AS negative_id, CAST(n.rnk AS BIGINT) AS rnk,
+       round(n.cos_sim, 6) AS neg_cosine,
+       round(n.cos_sim - p.pos_cos, 6) AS margin
+FROM negs n JOIN best_pos p ON p.anchor_id = n.anchor_id
+WHERE n.rnk <= {_HNM_TOPK}
+ORDER BY n.anchor_id, n.rnk
+"""
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1001,7 +1129,7 @@ SELECT doc_id, round(SUM(CAST(neg_logp AS DECIMAL(28,12))) / COUNT(*), 6)
 FROM scored GROUP BY doc_id)"""
 
 
-def _filter_stack_sql(d: str) -> str:
+def _filter_stack_body(d: str, lm_src: str, dup_src: str | None = None) -> str:
     from .corpus_ops import _qc_scores
     from .curation_ops import _dup_span_sql
     from .quality_ops import _gopher_sql
@@ -1013,10 +1141,10 @@ WITH gopher AS (
 ),
 lm AS (
   SELECT doc_id, CAST(avg_neg_logp AS DOUBLE) AS avg_neg_logp
-  FROM {_bigram_doc_scores(d)} s
+  FROM {lm_src} s
 ),
 dup AS (
-  SELECT doc_id, dup_frac FROM ({_dup_span_sql(d)}) x
+  SELECT doc_id, dup_frac FROM ({dup_src or _dup_span_sql(d)}) x
 ),
 qcls AS (
   SELECT doc_id, logit
@@ -1044,6 +1172,10 @@ ORDER BY g.doc_id
 """
 
 
+def _filter_stack_sql(d: str) -> str:
+    return _filter_stack_body(d, _bigram_doc_scores(d))
+
+
 @query("llm_filter_stack", oracle=_filter_stack_sql("duck"), tags=("llm", "text", "quality"))
 def llm_filter_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed pretraining curation gate — the filter stack real
@@ -1059,9 +1191,33 @@ def llm_filter_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id, the natural partition key. Documents too short to emit
     bigrams or spans pass those gates trivially (LEFT JOIN + COALESCE),
     matching production semantics where length is the word-count gate's
-    job."""
+    job.
+
+    Spark path (r13): the LM leg's bigram-position table ``pos`` was
+    re-planned three times inside the nested ``_bigram_doc_scores``
+    subquery (bigram counts, context counts, scoring — each a full
+    split+explode tokenize pass), on top of the gopher/dup/qc passes.
+    ``pos`` now persists once (the same shared scoring CTEs as
+    ``llm_bigram_lm_score``) and the LM leg reads the cache; the dup
+    leg's span table likewise re-expanded twice inside its nested
+    diamond and now reads one persisted per-(doc, span) count table
+    (the ``text_dup_span_fraction`` restructure). Guide §5; tokenize/
+    expansion passes 7→4."""
+    from .curation_ops import _dup_span_over_groups, _span_group_spark_sql
+
     views(spark, sf_dir, "documents")
-    return spark.sql(_filter_stack_sql("spark"))
+    pos = spark.sql(_pos_flat_spark_sql()).persist()
+    pos.createOrReplaceTempView("slsp_fs_pos")
+    spans_g = spark.sql(_span_group_spark_sql()).persist()
+    spans_g.createOrReplaceTempView("slsp_fs_span_g")
+    # the per-doc aggregate below is _bigram_doc_scores' literal DECIMAL
+    # division (NOT dec_sum, whose extra DOUBLE cast changes the rounding)
+    lm_src = f"""(WITH {_bigram_scored_ctes('slsp_fs_pos')}
+  SELECT doc_id, round(SUM(CAST(neg_logp AS DECIMAL(28,12))) / COUNT(*), 6)
+           AS avg_neg_logp
+  FROM scored GROUP BY doc_id)"""
+    dup_src = _dup_span_over_groups("slsp_fs_span_g")
+    return spark.sql(_filter_stack_body("spark", lm_src, dup_src))
 
 
 # ---------------------------------------------------------------------------
@@ -1161,12 +1317,9 @@ JOIN slsp_cc_deg dv ON dv.node = p.v"""
 _STL_Z = 2.0
 
 
-def _stl_anomaly_sql(d: str) -> str:
+def _stl_anomaly_body(d: str, decomp_src: str) -> str:
     return f"""
-WITH decomp AS (
-  SELECT event_type, hour, value, trend, seasonal, remainder
-  FROM ({_stl_sql(d)}) s
-),
+WITH decomp AS (SELECT * FROM {decomp_src}),
 stats AS (
   SELECT event_type,
          {dec_sum('remainder', 6)} / COUNT(*) AS mu,
@@ -1185,6 +1338,14 @@ ORDER BY d.event_type, d.hour
 """
 
 
+def _stl_anomaly_sql(d: str) -> str:
+    decomp = (
+        f"(SELECT event_type, hour, value, trend, seasonal, remainder "
+        f"FROM ({_stl_sql(d)}) s)"
+    )
+    return _stl_anomaly_body(d, decomp)
+
+
 @query("ts_stl_anomaly", oracle=_stl_anomaly_sql("duck"), tags=("timeseries",))
 def ts_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-adjusted anomaly detection — the detector the
@@ -1197,9 +1358,24 @@ def ts_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-series moment stats are one map-side-combinable aggregation over
     exact-DECIMAL sums; the gate compares |remainder − μ| against 2σ in
     sigma-space (no division) and the reported z divides once. Output is
-    the anomalous rows of the probed slice, totally ordered."""
+    the anomalous rows of the probed slice, totally ordered.
+
+    Spark path (r13): the nested decomposition (two windowed passes) was
+    re-planned for both consumers — the moment stats AND the gate join —
+    doubling every window exchange (plan: 4 Window ops / 9 exchanges).
+    Persist the decomposition once; stats and gate read the cache
+    (guide §5; plan: 4→2 Window ops, scans 4→1)."""
     views(spark, sf_dir, "events")
-    return spark.sql(_stl_anomaly_sql("spark"))
+    # localCheckpoint, not persist: the decomposition's plan contains
+    # WithCTE, which CacheManager cannot match for substitution (measured:
+    # a persist here still re-ran both windowed passes per consumer); the
+    # eager checkpoint materializes the hourly-grid-sized frame once
+    decomp = spark.sql(
+        f"SELECT event_type, hour, value, trend, seasonal, remainder "
+        f"FROM ({_stl_sql('spark')}) s"
+    ).localCheckpoint(eager=True)
+    decomp.createOrReplaceTempView("slsp_stl_decomp")
+    return spark.sql(_stl_anomaly_body("spark", "slsp_stl_decomp"))
 
 
 # ---------------------------------------------------------------------------

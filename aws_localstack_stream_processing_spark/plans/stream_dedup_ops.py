@@ -284,9 +284,14 @@ def make_gate(shstore, bstore, matches_path: str):
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         bsh = _shingled(batch_df).persist()
+        cached = [bsh]
         try:
             bands_b = _banded(bsh)
             batch_ids = bsh.select("doc_id")
+            # cand persists (candidate-bounded, ≤ |batch| × matches rows):
+            # the fetch's key collect AND the verification join both read
+            # it — unpersisted, each consumer re-ran the store probe read
+            # (r13, measured ~1 s/batch of pure recompute)
             cand = (
                 bstore.probe(sp, bands_b)
                 .withColumnRenamed("doc_id", "corpus_doc")
@@ -309,7 +314,9 @@ def make_gate(shstore, bstore, matches_path: str):
                     "corpus_doc",
                     "left_anti",
                 )
+                .persist()
             )
+            cached.append(cand)
             csh = shstore.fetch(
                 sp, cand.select(F.col("corpus_doc").alias("doc_id"))
             )
@@ -317,7 +324,7 @@ def make_gate(shstore, bstore, matches_path: str):
                 "CAST(size(array_intersect(si, sc)) AS DOUBLE)"
                 " / size(array_union(si, sc))"
             )
-            matched = (
+            (
                 cand.join(
                     bsh.select(
                         F.col("doc_id").alias("in_doc"),
@@ -335,19 +342,25 @@ def make_gate(shstore, bstore, matches_path: str):
                 .withColumn("jaccard", jac)
                 .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
                 .select("in_doc", "corpus_doc", "jaccard")
-                # cut lineage from the stores BEFORE appending to them
-                .localCheckpoint(eager=True)
+                .write.mode("overwrite")
+                .parquet(f"{matches_path}/batch_id={batch_id}")
             )
-            matched.write.mode("overwrite").parquet(
-                f"{matches_path}/batch_id={batch_id}"
-            )
+            # the idempotent per-batch write above IS the materialization:
+            # reading it back cuts lineage from the mutable stores with no
+            # extra job (r13 — replaces two eager localCheckpoints that
+            # each cost a per-batch materialization pass)
+            matched = sp.read.parquet(f"{matches_path}/batch_id={batch_id}")
+            # survivors persist (batch-bounded): the shingle upsert AND the
+            # band append both consume them — unpersisted, each re-ran the
+            # anti-join and its broadcasts
             survivors = bsh.join(
                 matched.select(
                     F.col("in_doc").alias("doc_id")
                 ).dropDuplicates(["doc_id"]),
                 "doc_id",
                 "left_anti",
-            ).localCheckpoint(eager=True)
+            ).persist()
+            cached.append(survivors)
             shstore.upsert_batch(survivors, batch_id)
             # reuse the batch's banding: survivors' band rows are the
             # batch band rows restricted to surviving doc ids
@@ -359,7 +372,8 @@ def make_gate(shstore, bstore, matches_path: str):
                 )
             )
         finally:
-            bsh.unpersist()
+            for df in cached:
+                df.unpersist()
 
     return _gate
 

@@ -603,7 +603,13 @@ def mm_crossmodal_joint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ_candidates |tokens|, bounded by the collision-bounded phash
     candidate set — the recall-then-precision composition a production
     multimodal dedup runs. Re-encoded variants (same text, perturbed
-    phash) are planted to give the join real work in both directions."""
+    phash) are planted to give the join real work in both directions.
+
+    r13 note: persisting ``quarters`` and ``toks`` (each re-planned 2-3×
+    by the oracle text) was tried and REVERTED — at bench scale both
+    subtrees are cheaper to recompute than to materialize (0.694 →
+    0.970 s window-normalized at sf0.1: two persist barriers against
+    ~0.1 s subtrees). The flat oracle-shared text stands."""
     views(spark, sf_dir, "documents")
     return spark.sql(_xm_sql("spark"))
 

@@ -608,6 +608,13 @@ class Scd2ParquetSink:
     def __init__(self, path: str, n_buckets: int | None = None):
         self.path = path
         self.n_buckets = int(n_buckets or self.N_BUCKETS)
+        # superset-schema cache (r13): the sampled-footer schema is
+        # invariant for the store's lifetime — the ONLY drift this store
+        # can exhibit is the two optional guard-metadata columns, and the
+        # superset construction always includes them — so one footer
+        # sample serves every subsequent merge batch (uncached it cost a
+        # Spark schema-inference job per micro-batch)
+        self._hist_schema = None
 
     @property
     def quarantine_path(self) -> str:
@@ -673,6 +680,8 @@ class Scd2ParquetSink:
 
         from pyspark.sql.types import IntegerType, StructField, StructType
 
+        if self._hist_schema is not None:
+            return spark.read.schema(self._hist_schema).parquet(self.path)
         files = sorted(
             _glob.glob(os.path.join(self.path, "bucket=*", "*.parquet"))
         )
@@ -693,7 +702,8 @@ class Scd2ParquetSink:
                 )
             )
         fields.append(StructField("bucket", IntegerType(), True))
-        return spark.read.schema(StructType(fields)).parquet(self.path)
+        self._hist_schema = StructType(fields)
+        return spark.read.schema(self._hist_schema).parquet(self.path)
 
     @staticmethod
     def merge_plan(cand: DataFrame) -> DataFrame:

@@ -469,3 +469,115 @@ def test_recluster_hot_cells_equals_restricted_retrain_and_recall(spark):
     prop = math.ceil(2 * n_post / n_pre)
     assert recall(post_cents, post_assign, prop) >= pre
     assert recall(post_cents, post_assign, 2) >= 0.6
+
+
+def test_ivfpq_fused_adc_equals_two_pass_reference(spark):
+    """r13 ADC fusion equivalence (OPTIMIZATION_r13.md wave 2): the fused
+    single-cross pipeline (one N×C pass emitting the coarse argmin AND
+    the four per-subspace PQ argmins) must return bit-identical search
+    results to the pre-fusion two-pass formulation — an independent
+    in-test re-derivation: coarse assignment from its own cross, codes
+    from the registered emb_pq_codes operator, flat distance-table hash
+    joins. Catches a summation-order or argmin-tiebreak drift that the
+    DuckDB oracle would also catch, but localized to the fusion."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aws_localstack_stream_processing_spark.plans import all_queries
+    from aws_localstack_stream_processing_spark.plans.dialect import (
+        tbl,
+        to_double_arr,
+        views,
+    )
+    from aws_localstack_stream_processing_spark.plans.pipeline_ops import (
+        _IVFPQ_NPROBE,
+        _IVFPQ_QUERY_MOD,
+        _IVFPQ_TOPK,
+        _PQ_CENT_MOD,
+        _PQ_M,
+        _PQ_SUB,
+        _l2sq_range,
+        emb_pq_codes,
+    )
+
+    views(spark, SF_DIR, "embeddings")
+    base = spark.sql(
+        f"SELECT vec_id, {to_double_arr('embedding', 'spark')} AS emb "
+        f"FROM {tbl('embeddings', 'spark')}"
+    ).persist()
+    cents = F.broadcast(
+        base.filter(F.col("vec_id") % _PQ_CENT_MOD == 0).select(
+            F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+        )
+    )
+    l2full = F.expr(_l2sq_range("emb", "cemb", 0, _PQ_M * _PQ_SUB, "spark"))
+    scored = base.join(cents).withColumn("dfull", l2full)
+    afull = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("dfull"), F.col("cid"))).alias("b"))
+        .select("vec_id", F.col("b.cid").alias("cid"))
+    )
+    codes = emb_pq_codes(spark, SF_DIR).select(
+        "vec_id", *[f"code{m}" for m in range(_PQ_M)]
+    )
+    qscored = scored.filter(F.col("vec_id") % _IVFPQ_QUERY_MOD == 0)
+    wq = Window.partitionBy("vec_id").orderBy(F.col("dfull"), F.col("cid"))
+    qp = F.broadcast(
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _IVFPQ_NPROBE)
+        .select(F.col("vec_id").alias("qid"), "cid")
+    )
+    dt = F.broadcast(
+        base.filter(F.col("vec_id") % _IVFPQ_QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"))
+        .join(cents)
+        .select(
+            "qid",
+            F.col("cid").alias("code"),
+            *[
+                F.expr(
+                    _l2sq_range("qemb", "cemb", m * _PQ_SUB, _PQ_SUB, "spark")
+                ).alias(f"dq{m}")
+                for m in range(_PQ_M)
+            ],
+        )
+    )
+    cand = F.broadcast(
+        qp.join(afull.withColumnRenamed("vec_id", "nid"), "cid")
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid")
+    ).join(codes.withColumnRenamed("vec_id", "nid"), "nid")
+    adc = cand
+    for m in range(_PQ_M):
+        w = dt.select(
+            F.col("qid").alias("qid_w"),
+            F.col("code").alias(f"wcode{m}"),
+            f"dq{m}",
+        )
+        adc = adc.join(
+            w,
+            (F.col("qid") == F.col("qid_w"))
+            & (F.col(f"code{m}") == F.col(f"wcode{m}")),
+        ).drop("qid_w", f"wcode{m}")
+    adc_col = F.col("dq0")
+    for m in range(1, _PQ_M):
+        adc_col = adc_col + F.col(f"dq{m}")
+    wr = Window.partitionBy("qid").orderBy(F.col("adc_d"), F.col("nid"))
+    ref = (
+        adc.withColumn("adc_d", adc_col)
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _IVFPQ_TOPK)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.round("adc_d", 6).alias("adc_dist"),
+        )
+    )
+    ref_rows = sorted(tuple(r) for r in ref.collect())
+    base.unpersist()
+    spark.catalog.clearCache()
+    got = all_queries()["emb_ivfpq_search"].fn(spark, SF_DIR)
+    got_rows = sorted(tuple(r) for r in got.collect())
+    spark.catalog.clearCache()
+    assert got_rows == ref_rows
