@@ -56,6 +56,22 @@ class KeyedParquetSink:
         self.n_buckets = int(n_buckets or self.N_BUCKETS)
         # test seam for the compact() concurrent-append guard
         self._compact_pre_swap = None
+        # store-schema cache (r13, guide §6): the column set is fixed for
+        # the store's lifetime (payload columns + BUCKET_COL), so one
+        # schema inference serves every subsequent per-batch read; the
+        # offline rewrites preserve the schema (resplit still resets it
+        # out of caution since it mutates n_buckets)
+        self._store_schema = None
+
+    def _read_store(self, spark: SparkSession) -> DataFrame:
+        """Store scan with the schema cached after the first read —
+        uncached, Spark runs a schema-inference job per read, which the
+        probe path pays once per micro-batch."""
+        if self._store_schema is None:
+            df = spark.read.parquet(self.path)
+            self._store_schema = df.schema
+            return df
+        return spark.read.schema(self._store_schema).parquet(self.path)
 
     # -- self-describing layout ------------------------------------------
     def _meta_path(self) -> str:
@@ -210,24 +226,35 @@ class KeyedParquetSink:
             self.BUCKET_COL, self._bucket_expr()
         )
         if present:
-            buckets = [
-                r[0]
-                for r in fresh.select(self.BUCKET_COL).distinct().collect()
-            ]
-            seen = (
-                spark.read.parquet(self.path)
-                .filter(F.col(self.BUCKET_COL).isin(buckets))
-                .select(self.key_col)
+            # persist the deduped batch across its two consumers (the
+            # bucket collect and the probe+write job) — unpersisted, the
+            # batch dedup re-ran per job (r13, guide §5; batch-bounded)
+            fresh = fresh.persist()
+            try:
+                buckets = [
+                    r[0]
+                    for r in fresh.select(self.BUCKET_COL)
+                    .distinct()
+                    .collect()
+                ]
+                seen = (
+                    self._read_store(spark)
+                    .filter(F.col(self.BUCKET_COL).isin(buckets))
+                    .select(self.key_col)
+                )
+                self.probe_plan(seen, fresh, self.key_col).write.mode(
+                    "append"
+                ).partitionBy(self.BUCKET_COL).parquet(self.path)
+            finally:
+                fresh.unpersist()
+        else:
+            fresh.write.mode("append").partitionBy(self.BUCKET_COL).parquet(
+                self.path
             )
-            fresh = self.probe_plan(seen, fresh, self.key_col)
-        fresh.write.mode("append").partitionBy(self.BUCKET_COL).parquet(
-            self.path
-        )
-        if not present:
             self._write_meta()
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.path).drop(self.BUCKET_COL)
+        return self._read_store(spark).drop(self.BUCKET_COL)
 
     def fetch(self, spark: SparkSession, keys: DataFrame) -> DataFrame:
         """Bucket-pruned point lookup (r13, for the streaming near-dup
@@ -248,7 +275,7 @@ class KeyedParquetSink:
             r[0] for r in want.select(self.BUCKET_COL).distinct().collect()
         ]
         return (
-            spark.read.parquet(self.path)
+            self._read_store(spark)
             .filter(F.col(self.BUCKET_COL).isin(buckets))
             .join(F.broadcast(want.drop(self.BUCKET_COL)), self.key_col,
                   "left_semi")
@@ -372,6 +399,7 @@ class KeyedParquetSink:
             raise RuntimeError(f"no bucketed store at {self.path}")
         if n_buckets == self.n_buckets:
             return
+        self._store_schema = None
         df = spark.read.parquet(self.path).drop(self.BUCKET_COL)
         self.n_buckets = int(n_buckets)
         staged = self.path.rstrip("/") + f".resplit{n_buckets}"
@@ -418,6 +446,17 @@ class BandIndexSink:
     def __init__(self, path: str, n_buckets: int | None = None):
         self.path = path
         self.n_buckets = int(n_buckets or self.N_BUCKETS)
+        # store-schema cache (r13, guide §6): (band, bv, doc_id, bucket)
+        # is fixed for the store's lifetime — one schema inference serves
+        # every per-batch probe/append read
+        self._store_schema = None
+
+    def _read_store(self, spark: SparkSession) -> DataFrame:
+        if self._store_schema is None:
+            df = spark.read.parquet(self.path)
+            self._store_schema = df.schema
+            return df
+        return spark.read.schema(self._store_schema).parquet(self.path)
 
     def _meta_path(self) -> str:
         return os.path.join(self.path, self.META_FILE)
@@ -467,27 +506,37 @@ class BandIndexSink:
             ["band", "bv", "doc_id"]
         ).withColumn(self.BUCKET_COL, self._bucket_expr())
         if present:
-            buckets = [
-                r[0]
-                for r in fresh.select(self.BUCKET_COL).distinct().collect()
-            ]
-            seen = (
-                spark.read.parquet(self.path)
-                .filter(F.col(self.BUCKET_COL).isin(buckets))
-                .select("band", "bv", "doc_id")
+            # persist the deduped band rows across the bucket collect and
+            # the probe+write job (r13, guide §5; batch-bounded)
+            fresh = fresh.persist()
+            try:
+                buckets = [
+                    r[0]
+                    for r in fresh.select(self.BUCKET_COL)
+                    .distinct()
+                    .collect()
+                ]
+                seen = (
+                    self._read_store(spark)
+                    .filter(F.col(self.BUCKET_COL).isin(buckets))
+                    .select("band", "bv", "doc_id")
+                )
+                hits = seen.join(
+                    F.broadcast(fresh.select("band", "bv", "doc_id")),
+                    ["band", "bv", "doc_id"],
+                    "left_semi",
+                )
+                fresh.join(
+                    F.broadcast(hits), ["band", "bv", "doc_id"], "left_anti"
+                ).write.mode("append").partitionBy(self.BUCKET_COL).parquet(
+                    self.path
+                )
+            finally:
+                fresh.unpersist()
+        else:
+            fresh.write.mode("append").partitionBy(self.BUCKET_COL).parquet(
+                self.path
             )
-            hits = seen.join(
-                F.broadcast(fresh.select("band", "bv", "doc_id")),
-                ["band", "bv", "doc_id"],
-                "left_semi",
-            )
-            fresh = fresh.join(
-                F.broadcast(hits), ["band", "bv", "doc_id"], "left_anti"
-            )
-        fresh.write.mode("append").partitionBy(self.BUCKET_COL).parquet(
-            self.path
-        )
-        if not present:
             self._write_meta()
 
     def probe(self, spark: SparkSession, bands_df: DataFrame) -> DataFrame:
@@ -505,7 +554,7 @@ class BandIndexSink:
             r[0] for r in want.select(self.BUCKET_COL).distinct().collect()
         ]
         return (
-            spark.read.parquet(self.path)
+            self._read_store(spark)
             .filter(F.col(self.BUCKET_COL).isin(buckets))
             .join(
                 F.broadcast(want.drop(self.BUCKET_COL)),
@@ -516,7 +565,7 @@ class BandIndexSink:
         )
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.path).drop(self.BUCKET_COL)
+        return self._read_store(spark).drop(self.BUCKET_COL)
 
 
 class Scd2ParquetSink:

@@ -451,3 +451,35 @@ def test_keyed_sink_resplit_doubles_buckets(spark, tmp_path):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert f"PartitionFilters: [{sink2.BUCKET_COL}" in plan, plan
     assert probe.count() == 0  # every key already present
+
+
+def test_store_schema_cache_survives_batches_and_resets_on_resplit(
+    spark, tmp_path
+):
+    """r13 (OPTIMIZATION_r13.md): the sink caches the store schema after
+    the first read so later per-batch probes skip Spark's
+    schema-inference job. The cached-schema read must return the same
+    rows as a fresh inferred read, stay correct across further upserts,
+    and reset through resplit (the one rewrite that mutates layout
+    state)."""
+    from aws_localstack_stream_processing_spark.streaming.sinks import (
+        KeyedParquetSink,
+    )
+
+    sink = KeyedParquetSink(str(tmp_path / "kv"), "k", n_buckets=4)
+    b0 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    sink.upsert_batch(b0, 0)
+    assert sink._store_schema is None  # first write probes nothing
+    rows0 = sorted(tuple(r) for r in sink.read(spark).collect())
+    assert sink._store_schema is not None  # populated by the read
+    # second batch: probe path runs entirely on the cached schema
+    b1 = spark.createDataFrame([("b", 9), ("c", 3)], "k string, v int")
+    sink.upsert_batch(b1, 1)
+    rows1 = sorted(tuple(r) for r in sink.read(spark).collect())
+    assert rows1 == [("a", 1), ("b", 2), ("c", 3)]  # put-if-absent kept b=2
+    assert rows0 == [("a", 1), ("b", 2)]
+    # resplit rewrites the store and resets the cache; rows unchanged
+    sink.resplit(spark, 8)
+    assert sink._store_schema is None
+    rows2 = sorted(tuple(r) for r in sink.read(spark).collect())
+    assert rows2 == rows1
