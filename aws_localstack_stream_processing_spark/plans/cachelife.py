@@ -46,19 +46,43 @@ class LiveCache:
 
     def __init__(self, keep: int = 2):
         self._lock = threading.Lock()
-        self._live: list[DataFrame] = []
+        self._live: list[tuple[DataFrame, object]] = []
         self._keep = int(keep)
 
-    def track(self, df: DataFrame) -> DataFrame:
+    def track(self, df: DataFrame, key: object = None) -> DataFrame:
         """Register a freshly-persisted relation and unpersist entries
         older than the newest ``keep`` (the unpersist itself runs
         outside the lock — it can trigger JVM work and must not
-        serialize concurrent callers)."""
+        serialize concurrent callers).
+
+        Same-data guard (r13): ``DataFrame.unpersist`` uncaches by PLAN
+        match, not by object — and for plans containing WithCTE the
+        uncache matcher normalizes CTE ids while the substitution path
+        does not, so retiring an old entry built from the same SQL over
+        the same data (the normal case: every call of a query builds
+        identical text) silently uncached the LIVE call's entry too.
+        From the third call of a query in one session, that put the
+        persisted diamond right back to double-scanning — the exact
+        behavior the persist exists to prevent (caught by the pinned
+        plan fingerprints going scan_memory→scan_parquet under the full
+        test suite's call ordering; a ``sameResult`` guard cannot see
+        the collision because the renumbered CTE ids make it read
+        false, and ``inputFiles`` came back empty for these plans). A
+        LiveCache instance tracks ONE query function, so two entries
+        can only differ by their input data — which the CALLER knows:
+        ``key`` identifies it (the sf_dir at the query sites). A
+        retired entry is unpersisted only when its key differs from
+        every live entry's; same-key retirements are left for
+        clear()/clearCache(), keeping the session bound at ``keep``
+        cached relations per distinct input."""
         with self._lock:
-            self._live.append(df)
+            self._live.append((df, key))
             stale = self._live[: -self._keep]
             del self._live[: -self._keep]
-        for old in stale:
+            live_keys = [k for _, k in self._live]
+        for old, old_key in stale:
+            if old_key in live_keys:
+                continue
             try:
                 old.unpersist()
             except Exception:
@@ -69,7 +93,7 @@ class LiveCache:
         """Unpersist everything tracked (test teardown hook)."""
         with self._lock:
             stale, self._live = self._live, []
-        for old in stale:
+        for old, _key in stale:
             try:
                 old.unpersist()
             except Exception:

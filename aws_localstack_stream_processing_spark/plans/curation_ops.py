@@ -516,7 +516,8 @@ SELECT vec_id, emb, sqrt({dot('emb', 'emb', DIM, 'spark')}) AS nrm
 FROM (SELECT vec_id, {to_double_arr('embedding', 'spark')} AS emb
       FROM {tbl('embeddings', 'spark')})
 """
-        ).persist()
+        ).persist(),
+        key=sf_dir,
     )
     cents = F.broadcast(
         normed.filter(F.col("vec_id") % _IVF_CENT_MOD == 0).select(

@@ -47,6 +47,7 @@ from .registry import query
 # recent calls' persisted assignment passes — lock-guarded bounded
 # lifecycle (the profile_mutual_information discipline, plans/cachelife.py)
 _RC_ASSIGN_LIVE = LiveCache(keep=2)
+_RC_MEM_LIVE = LiveCache(keep=2)
 
 _HOT_TOP = 2  # harness trigger: split the 2 most-loaded cells
 _SPLIT_K = 2  # binary split per hot cell
@@ -97,7 +98,57 @@ cents AS (
 """
 
 
-def _recluster_sql(d: str, assign_src: str | None = None) -> str:
+def _assign_flat_spark_sql() -> str:
+    """``_assign_sql`` as a CTE-free (persistable) plan: CacheManager
+    cannot substitute cached plans containing WithCTE (r13 — the pinned
+    plan read 85 parquet scans because the 'materialized' assignment
+    re-ran per reference), so the base/normed/cents chain flattens into
+    nested FROM subqueries. Identical expressions, identical rows."""
+    d = "spark"
+    normed = (
+        f"SELECT vec_id, emb, sqrt({dot('emb', 'emb', DIM, d)}) AS nrm "
+        f"FROM (SELECT vec_id, {to_double_arr('embedding', d)} AS emb "
+        f"FROM {tbl('embeddings', d)})"
+    )
+    return f"""
+SELECT vec_id, cid FROM (
+  SELECT n.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY {dot('n.emb', 'c.cemb', DIM, d)} / (n.nrm * c.cnrm)
+                      DESC,
+                    c.cid
+         ) AS crnk
+  FROM ({normed}) n
+  CROSS JOIN (SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm
+              FROM ({normed}) q WHERE vec_id % {_IVF_CENT_MOD} = 0) c
+) a WHERE crnk = 1
+"""
+
+
+def _mem_flat_spark_sql(assign_src: str) -> str:
+    """The hot-cell member table (the oracle's ``mem`` CTE: assignment ⋈
+    top-``_HOT_TOP`` cells ⋈ integerized vectors) as a CTE-free plan over
+    the persisted assignment view — every Lloyd iteration references mem
+    twice, so without its own materialization the (cached) assignment
+    still re-joined ints per reference."""
+    d = "spark"
+    return f"""
+SELECT a.cid AS hcid, a.vec_id, i.xi
+FROM {assign_src} a
+JOIN (SELECT cid FROM (
+        SELECT cid, n, ROW_NUMBER() OVER (ORDER BY n DESC, cid) AS rk
+        FROM (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n
+              FROM {assign_src} GROUP BY cid) c
+      ) r WHERE rk <= {_HOT_TOP}) h ON h.cid = a.cid
+JOIN (SELECT vec_id, {_int_expr(d)} AS xi FROM {tbl('embeddings', d)}) i
+  ON i.vec_id = a.vec_id
+"""
+
+
+def _recluster_sql(
+    d: str, assign_src: str | None = None, mem_src: str | None = None
+) -> str:
     """The full closed form: IVF assignment (the index's own rule) →
     top-``_HOT_TOP`` cells → per-cell k=2 Lloyd (``_RC_ITERS``
     iterations, exact arithmetic) → per-cell split stats + index-wide
@@ -135,13 +186,16 @@ hot AS (
     FROM cells
   ) r WHERE rk <= {_HOT_TOP}
 ),
-ints AS (SELECT vec_id, {_int_expr(d)} AS xi FROM {tbl('embeddings', d)}),
+{
+        f"mem AS (SELECT hcid, vec_id, xi FROM {mem_src}),"
+        if mem_src
+        else f'''ints AS (SELECT vec_id, {_int_expr(d)} AS xi FROM {tbl('embeddings', d)}),
 mem AS (
   SELECT a.cid AS hcid, a.vec_id, i.xi
   FROM assign a
   JOIN hot h ON h.cid = a.cid
   JOIN ints i ON i.vec_id = a.vec_id
-),
+),'''}
 init AS (
   SELECT hcid, vec_id, rn - 1 AS sub FROM (
     SELECT hcid, vec_id,
@@ -271,9 +325,20 @@ def emb_ivf_recluster_hot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     views(spark, sf_dir, "embeddings")
+    # r13: both materializations are CTE-free so CacheManager can
+    # actually substitute them (the r12 WithCTE-shaped persist never
+    # substituted: 85 parquet scans in the pinned plan); mem gets its
+    # own persist because every Lloyd iteration references it twice
     assign = _RC_ASSIGN_LIVE.track(
-        spark.sql(_assign_sql("spark")).persist()
+        spark.sql(_assign_flat_spark_sql()).persist(), key=sf_dir
     )
     name = f"slsp_rc_assign_{uuid.uuid4().hex[:8]}"
     assign.createOrReplaceTempView(name)
-    return spark.sql(_recluster_sql("spark", assign_src=name))
+    mem = _RC_MEM_LIVE.track(
+        spark.sql(_mem_flat_spark_sql(name)).persist(), key=sf_dir
+    )
+    mem_name = f"slsp_rc_mem_{uuid.uuid4().hex[:8]}"
+    mem.createOrReplaceTempView(mem_name)
+    return spark.sql(
+        _recluster_sql("spark", assign_src=name, mem_src=mem_name)
+    )

@@ -475,7 +475,9 @@ def profile_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     views(spark, sf_dir, "events", "documents")
-    joint = _MI_JOINT_LIVE.track(spark.sql(_mi_joint_sql("spark")).persist())
+    joint = _MI_JOINT_LIVE.track(
+        spark.sql(_mi_joint_sql("spark")).persist(), key=sf_dir
+    )
     name = f"mi_joint_{uuid.uuid4().hex[:8]}"
     joint.createOrReplaceTempView(name)
     return spark.sql(_mi_sql("spark", joint_table=name))
