@@ -153,9 +153,12 @@ def _load_floor(sf_now: float) -> dict | None:
     single-window sidecars encode whatever weather the window carried, so
     round-over-round ratios flag phantom regressions. A rolling minimum
     is monotone and weather-free: current > 1.25x floor is only called a
-    regression if the query's plan fingerprint ALSO changed)."""
-    root = os.path.dirname(os.path.abspath(__file__))
-    path = os.path.join(root, "BENCH_FLOOR.json")
+    regression if the query's plan fingerprint ALSO changed).
+
+    Read from SPARK_GRAFT_BENCH_OUT_DIR when set (the same place the run
+    writes it back) so tests can plant a floor doc without touching the
+    committed copy; real runs leave OUT_DIR unset and use the repo root."""
+    path = os.path.join(_out_root(), "BENCH_FLOOR.json")
     try:
         with open(path) as f:
             raw = json.load(f)
@@ -164,6 +167,18 @@ def _load_floor(sf_now: float) -> dict | None:
     if raw.get("sf") != sf_now or not isinstance(raw.get("floor"), dict):
         return None
     return raw
+
+
+def floor_mutation_allowed(floor_doc: dict, run_cpus: int) -> bool:
+    """A floor is a per-host-SHAPE minimum: the r13 driver's 8-core
+    scaling run silently lowered 13 floors (an 8-core reading at sf0.1
+    beats the 32-core one on fixed-overhead queries) and advanced 25
+    rel-streaks, biasing every later 32-core rel-lane verdict (VERDICT
+    r13 what's-wrong #3). The doc now records the core count its floors
+    were measured at; a run at any OTHER count must adjudicate against a
+    frozen copy and never write back. Docs that predate the stamp are
+    32-core by provenance."""
+    return int(run_cpus) == int(floor_doc.get("cpus", 32))
 
 
 def adjudicate_floors(
@@ -1113,6 +1128,23 @@ def main() -> None:
     # plan-identical exceedances are weather by definition (the floor
     # proves the same plan once ran that fast on this host).
     floor_doc = _load_floor(sf)
+    run_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32") or 32)
+    floors_mutable = True
+    if floor_doc:
+        floors_mutable = floor_mutation_allowed(floor_doc, run_cpus)
+        if floors_mutable:
+            floor_doc["cpus"] = int(floor_doc.get("cpus", 32))
+            floor_doc.setdefault("opsec", {}).setdefault(
+                "cpus", floor_doc["cpus"]
+            )
+        else:
+            # report-only: ratios against the frozen floors still give the
+            # variant-core run context, but nothing this window measures
+            # may move a floor, streak, or history recorded at another
+            # core count
+            import copy
+
+            floor_doc = copy.deepcopy(floor_doc)
     if floor_doc:
         root_ = os.path.dirname(os.path.abspath(__file__))
         # pins_ok: BOTH pin files must load (ADVICE r11 — a silent load
@@ -1182,6 +1214,7 @@ def main() -> None:
             par_sec=calib.get("jvm_par_sec"),
             pins_ok=pins_ok,
         )
+        detail["vs_floor"]["floors_frozen_cpu_mismatch"] = not floors_mutable
         # Streaming opsec lane under the same floor discipline (VERDICT
         # r10 #4): harness-subtracted trigger-execution totals min-merge
         # into their own floor namespace with identical pin-reset
@@ -1204,6 +1237,9 @@ def main() -> None:
                 par_sec=calib.get("jvm_par_sec"),
                 pins_ok=pins_ok,
             )
+            detail["vs_floor_opsec"]["floors_frozen_cpu_mismatch"] = (
+                not floors_mutable
+            )
         # -- rel-lane adjudication (VERDICT r12 #1): sustained_rel flags
         # are re-measured in-session, per-query, calib-bracketed, before
         # they reach the graded artifact — see remeasure_sustained_rel's
@@ -1220,7 +1256,10 @@ def main() -> None:
             return round(time.perf_counter() - t0, 3)
 
         vf = detail["vs_floor"]
-        if vf["sustained_rel"]:
+        # a frozen (cpu-mismatched) run skips the remeasure: its flags are
+        # not persisted, so there is no streak to protect, and the extra
+        # timed passes would only burn the variant-core lane's budget
+        if vf["sustained_rel"] and floors_mutable:
             def _batch_timer(qname):
                 trials, trial_steals = _timed_trials(
                     lambda: _q_fn(qname)(spark, SF_DIR)
@@ -1243,9 +1282,9 @@ def main() -> None:
                 "queries": rec,
                 "bracket": bracket,
             }
-        if "vs_floor_opsec" in detail and detail["vs_floor_opsec"][
+        if floors_mutable and detail.get("vs_floor_opsec", {}).get(
             "sustained_rel"
-        ]:
+        ):
             vo = detail["vs_floor_opsec"]
             ops_doc = floor_doc["opsec"]
 
@@ -1266,8 +1305,11 @@ def main() -> None:
                 "queries": rec,
                 "bracket": bracket,
             }
-        with open(os.path.join(_out_root(), "BENCH_FLOOR.json"), "w") as f:
-            json.dump(floor_doc, f, indent=1, sort_keys=True)
+        if floors_mutable:
+            with open(
+                os.path.join(_out_root(), "BENCH_FLOOR.json"), "w"
+            ) as f:
+                json.dump(floor_doc, f, indent=1, sort_keys=True)
 
     # -- vs_prev, window-normalized (VERDICT r12 #4): needs this run's
     # board median from the floor adjudication above, so it is computed
@@ -1323,6 +1365,8 @@ def main() -> None:
             "n_unpinned_over_floor": len(vf["over_floor_unpinned"]),
             "n_floor_resets": len(vf["floor_reset_on_pin_change"]),
         }
+        if vf.get("floors_frozen_cpu_mismatch"):
+            report["vs_floor"]["floors_frozen_cpu_mismatch"] = True
     if "vs_floor_opsec" in detail:
         vo = detail["vs_floor_opsec"]
         report["vs_floor_opsec"] = {

@@ -12,9 +12,13 @@ the fingerprint-guarded min-merge.
 from __future__ import annotations
 
 import importlib.util
+import os
 import sys
 
 import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 _spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
 bench = importlib.util.module_from_spec(_spec)
@@ -692,3 +696,74 @@ def test_vs_prev_missing_medians_falls_back_to_stamp():
     assert rep["regressions"] == ["q"]
     assert rep["board_degraded"] is True
     assert rep["new"] == []
+
+
+# -- per-core-count floor integrity (VERDICT r13 what's-wrong #3): the r13
+# driver's 8-core scaling run silently lowered 13 floors and advanced 25
+# rel-streaks because the floor store did not key on core count --------------
+
+
+def test_floor_mutation_keyed_on_cpus():
+    """Only a run at the doc's recorded core count may mutate it; docs
+    that predate the stamp are 32-core by provenance."""
+    assert bench.floor_mutation_allowed({"cpus": 32}, 32)
+    assert not bench.floor_mutation_allowed({"cpus": 32}, 8)
+    assert not bench.floor_mutation_allowed({}, 8)  # legacy doc == 32-core
+    assert bench.floor_mutation_allowed({}, 32)
+    assert bench.floor_mutation_allowed({"cpus": 8}, 8)
+
+
+def test_8core_bench_run_cannot_move_32core_floor(tmp_path):
+    """End-to-end: a bench subprocess at SPARK_GRAFT_CPUS=8 against a
+    32-core floor doc (planted in OUT_DIR) must leave the doc
+    byte-identical — no floor lowering, no streak advance, no history
+    append — while still printing its one JSON line with the frozen flag."""
+    import json as _json
+    import subprocess as _sp
+
+    q = "tpch_q6_forecast_revenue"
+    doc = {
+        "sf": 0.001,
+        "cpus": 32,
+        "floor": {q: 999.0},  # absurdly high: any trial would min-merge
+        "pins": {},
+        "over_streak": {},
+        "rel_streak": {q: 2},
+        "board_history": [1.0],
+        "opsec": {"floor": {}, "cpus": 32},
+    }
+    floor_path = tmp_path / "BENCH_FLOOR.json"
+    floor_path.write_text(_json.dumps(doc, indent=1, sort_keys=True))
+    before = floor_path.read_bytes()
+    env = dict(os.environ)
+    env.update(
+        {
+            "SPARK_GRAFT_SF_DIR": SF_DIR,
+            "SPARK_GRAFT_BENCH_ONLY": q,
+            "SPARK_GRAFT_BENCH_TRIALS": "1",
+            "SPARK_GRAFT_BENCH_EXT_TRIALS": "1",
+            "SPARK_GRAFT_BENCH_STREAM_OPSEC": "0",
+            "SPARK_GRAFT_CALIB_MAX": "999",
+            "SPARK_GRAFT_CALIB_RETRIES": "0",
+            "SPARK_GRAFT_BENCH_OUT_DIR": str(tmp_path),
+            "SPARK_GRAFT_CPUS": "8",
+        }
+    )
+    proc = _sp.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()][-1]
+    report = _json.loads(line)
+    assert report["vs_floor"]["floors_frozen_cpu_mismatch"] is True
+    assert floor_path.read_bytes() == before  # nothing moved
+    with open(tmp_path / "BENCH_DETAIL.json") as f:
+        detail = _json.load(f)
+    # the frozen run still reports ratios against the frozen floors
+    assert detail["vs_floor"]["floors_frozen_cpu_mismatch"] is True
+    assert q in detail["vs_floor"]["ratio"]
