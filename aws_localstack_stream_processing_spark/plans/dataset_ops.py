@@ -942,16 +942,22 @@ def _kmv_hash(d: str) -> str:
     return f"CAST({digits} AS BIGINT)"
 
 
-def _kmv_sql(d: str) -> str:
-    h = _kmv_hash(d)
+def _kmv_hashes_sql(d: str) -> str:
+    """The distinct (event_type, hash) table — the md5 pass every other
+    stage of the sketch reads; the Spark path persists it once."""
+    return (
+        f"SELECT DISTINCT event_type, {_kmv_hash(d)} AS h "
+        f"FROM {tbl('events', d)}"
+    )
+
+
+def _kmv_body(d: str, hashes_src: str) -> str:
     est = (
         f"CASE WHEN n_kept < {_KMV_K} THEN CAST(n_kept AS DOUBLE)"
         f" ELSE CAST({_KMV_K - 1} AS DOUBLE) * {_HASH_SPACE} / kth END"
     )
     return f"""
-WITH hashes AS (
-  SELECT DISTINCT event_type, {h} AS h FROM {tbl('events', d)}
-),
+WITH hashes AS (SELECT * FROM {hashes_src}),
 keyed AS (
   SELECT event_type, h FROM hashes
   UNION ALL
@@ -983,6 +989,12 @@ ORDER BY s.event_type
 """
 
 
+def _kmv_sql(d: str) -> str:
+    """One-WITH composition for the oracle (DuckDB materializes the
+    multiply-referenced ``hashes`` CTE itself)."""
+    return _kmv_body(d, f"({_kmv_hashes_sql(d)})")
+
+
 @query("sketch_kmv_distinct", oracle=_kmv_sql("duck"), tags=("sketch", "scale"))
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) distinct-count sketch, k=64: keep the k
@@ -994,9 +1006,18 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     row is exactly that), which is what makes KMV the right distinct
     counter for re-aggregatable 100 TB rollup layers: per-partition
     sketches are k rows each, the merge is associative, and the exact
-    distinct column here exhibits the estimate quality."""
+    distinct column here exhibits the estimate quality.
+
+    r14 (guide §5): the ``hashes`` CTE (the md5 pass over events) headed
+    a 4-way diamond — keyed reads it twice (per-type rows + the
+    ``__all__`` distinct-h merge) and exact twice (per-type counts +
+    COUNT(DISTINCT h)) — so CTE inlining re-ran the hash scan 4×
+    (8 scans/4 generators in the before plan). Persist it once; the
+    oracle-shared body text runs over the cached view."""
     views(spark, sf_dir, "events")
-    return spark.sql(_kmv_sql("spark"))
+    hashes = spark.sql(_kmv_hashes_sql("spark")).persist()
+    hashes.createOrReplaceTempView("slsp_kmv_hashes")
+    return spark.sql(_kmv_body("spark", "slsp_kmv_hashes"))
 
 
 # ---------------------------------------------------------------------------

@@ -284,26 +284,33 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     views(spark, sf_dir, "documents")
     # CTE-free persisted plan (CacheManager cannot substitute WithCTE
-    # plans): the corpus→toks→shing→exploded chain flattened into nested
-    # FROM subqueries — the same expressions as _containment_postings_sql
+    # plans), and — r14, guide §2.3/§2.4 — built in ONE documents pass:
+    # the oracle's UNION ALL scanned and tokenized the corpus twice (the
+    # copy branch re-reads every doc, space-joins the prefix back into a
+    # string and re-splits it); here each doc tokenizes once and the
+    # half-prefix copy is derived from the SAME token array with slice()
+    # — provably identical, because words() is a plain single-space
+    # split, so re-splitting the space-joined slice returns the slice
+    # itself, and the ≥K gate on the prefix (|slice| ≥ K with
+    # half = max(K, |w| DIV 2) ≥ K) holds exactly when |w| ≥ K, the same
+    # rows the resplit branch kept. Docs scans 2→1, tokenize passes 2→1,
+    # no prefix string materialization.
     d = "spark"
     docs = tbl("documents", d)
-    w = text.words("text", d)
-    half = f"greatest({_CONTAIN_K}, {intdiv(arr_len('w', d), '2', d)})"
-    prefix = f"array_join(slice(w, 1, {half}), ' ')"
+    half = f"greatest({_CONTAIN_K}, (size(w) DIV 2))"
     exploded = spark.sql(
         f"""
 SELECT DISTINCT doc_id, {hash64('sg_raw', d)} AS sg FROM (
   SELECT doc_id, {unnest_fn(d)}(sh) AS sg_raw FROM (
-    SELECT doc_id, {text.shingles('wd', _CONTAIN_K, d)} AS sh FROM (
-      SELECT doc_id, {text.words('text', d)} AS wd FROM (
-        SELECT doc_id, text FROM {docs}
-        UNION ALL
-        SELECT doc_id + 1000000 AS doc_id, {prefix} AS text
-        FROM (SELECT doc_id, {w} AS w FROM {docs}
-              WHERE doc_id % {_CONTAIN_COPY_MOD} = 0) h
-      ) corpus
-    ) toks WHERE {arr_len('wd', d)} >= {_CONTAIN_K}
+    SELECT v.did AS doc_id, {text.shingles('v.wd', _CONTAIN_K, d)} AS sh
+    FROM (
+      SELECT explode(CASE WHEN doc_id % {_CONTAIN_COPY_MOD} = 0
+               THEN array(named_struct('did', doc_id, 'wd', w),
+                          named_struct('did', doc_id + 1000000,
+                                       'wd', slice(w, 1, {half})))
+               ELSE array(named_struct('did', doc_id, 'wd', w)) END) AS v
+      FROM (SELECT doc_id, {text.words('text', d)} AS w FROM {docs}) t
+    ) ex WHERE size(v.wd) >= {_CONTAIN_K}
   ) shing
 ) x
 """
@@ -328,12 +335,34 @@ HAVING CAST(COUNT(*) AS BIGINT) >
     # the cached-relation stats flip it between runs (PLANFP flake)
     kept = exploded.join(F.broadcast(hot), "sg", "left_anti").persist()
     sizes = kept.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
-    a = kept.select(F.col("doc_id").alias("doc_a"), "sg")
-    b = kept.select(F.col("doc_id").alias("doc_b"), "sg")
-    inter = (
-        a.join(b, (a["sg"] == b["sg"]) & (F.col("doc_a") < F.col("doc_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    # r14 (guide §2.3/§2.4): the candidate pass was a postings SELF-JOIN on
+    # sg — TWO shuffles of the full postings table to meet itself, even
+    # though the overwhelming majority of 5-word shingles have df=1 and can
+    # never produce a pair. Group by sg instead (ONE shuffle of the
+    # postings), drop df=1 groups outright (strictly smaller candidate
+    # input — they contribute nothing to n_shared), and expand each
+    # surviving group's sorted doc list into its (doc_a < doc_b) pairs with
+    # array expressions; the pair count per group is identical to the
+    # join's match count, so n_shared is bit-identical. Per-group memory is
+    # bounded by the same df cap that already bounds the join's worst
+    # posting list (max(5, 1% of docs) — the SMJ buffered the same group
+    # per key).
+    grouped = (
+        kept.groupBy("sg")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count("*").cast("bigint").alias("n_shared")
     )
     sa = F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")))
     sb = F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")))

@@ -814,14 +814,21 @@ def privacy_k_suppression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _dataset_card_sql(d: str) -> str:
+def _card_hashed_sql(d: str) -> str:
+    """One sha256 pass: (source, content-hash) per document — the
+    subplan both dup-rate stages read (the Spark path persists it)."""
+    docs = tbl("documents", d)
+    return f"SELECT source, {hashing.sha256_hex('text', d)} AS h FROM {docs}"
+
+
+def _dataset_card_body(d: str, hashed_src: str) -> str:
     from .quality_ops import _gopher_sql
 
     gen = "explode" if d == "spark" else "unnest"
     docs = tbl("documents", d)
-    sha = hashing.sha256_hex("text", d)
     return f"""
-WITH base AS (
+WITH hashed AS (SELECT * FROM {hashed_src}),
+base AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM {docs} GROUP BY source
 ),
 tok AS (
@@ -829,12 +836,12 @@ tok AS (
   FROM (SELECT source, {gen}(split(text, ' ')) AS w FROM {docs}) x
   WHERE w <> '' GROUP BY source
 ),
-ch AS (SELECT {sha} AS h, COUNT(*) AS cnt FROM {docs} GROUP BY {sha}),
+ch AS (SELECT h, COUNT(*) AS cnt FROM hashed GROUP BY h),
 dup AS (
   SELECT dd.source,
          CAST(SUM(CASE WHEN ch.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
          CAST(COUNT(*) AS BIGINT) AS n
-  FROM {docs} dd JOIN ch ON ch.h = {hashing.sha256_hex('dd.text', d)}
+  FROM hashed dd JOIN ch ON ch.h = dd.h
   GROUP BY dd.source
 ),
 gop AS (
@@ -867,6 +874,12 @@ ORDER BY b.source
 """
 
 
+def _dataset_card_sql(d: str) -> str:
+    """One-WITH composition for the oracle (DuckDB materializes the
+    multiply-referenced ``hashed`` CTE itself)."""
+    return _dataset_card_body(d, f"({_card_hashed_sql(d)})")
+
+
 def _pii_density_sql_ref(d: str) -> str:
     """The privacy_pii_density query as a nestable subquery (the proven
     full-WITH-as-subquery composition pattern)."""
@@ -885,9 +898,20 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconciles with the detailed views (pinned in tests). Five corpus
     passes joined on the tiny source key — the composition pattern every
     summary dashboard in this engine uses; at 100 TB each pass is
-    map-side-combinable and the joins are broadcast-sized."""
+    map-side-combinable and the joins are broadcast-sized.
+
+    r14 (guide §2.4/§5): the dup-rate term hashed the corpus TWICE —
+    ``ch`` ran sha256 over every doc and ``dup`` re-ran the same sha256
+    to join against it. The (source, hash) table is now one persisted
+    pass both stages read (sha passes 2→1); each remaining audit term
+    is a genuinely different full-text expression pass (tokenize,
+    Gopher gates, PII regexes, license scan), where a persist barrier
+    on the raw text column loses (the text_unigram_kl_mix lesson), so
+    they stay independent map-side scans."""
     views(spark, sf_dir, "documents")
-    return spark.sql(_dataset_card_sql("spark"))
+    hashed = spark.sql(_card_hashed_sql("spark")).persist()
+    hashed.createOrReplaceTempView("slsp_card_hashed")
+    return spark.sql(_dataset_card_body("spark", "slsp_card_hashed"))
 
 
 # ---------------------------------------------------------------------------

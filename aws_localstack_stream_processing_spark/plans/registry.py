@@ -29,17 +29,37 @@ class QueryDef:
     fn: QueryFn
     oracle: str | None = None
     tags: tuple[str, ...] = field(default=())
+    # Cross-run /tmp staging classification (VERDICT r13 what's-wrong #2).
+    # The accepted staging precedent is "input synthesis only" (time-sliced
+    # delivery plans, redelivery duplication, envelope decode — work a real
+    # SOURCE does before the engine sees the data): ``"inputs"``. A builder
+    # whose cache carries DERIVED ENGINE COMPUTE (e.g. the near-dup gate's
+    # corpus-seeded MinHash band index) declares ``"derived"`` — the bench
+    # lint (tests/test_bench_guard.py) refuses to wall-clock-time any such
+    # query, so the cache can never become cross-run result caching in a
+    # timed lane. ``None`` = no cross-run staging at all.
+    staged_cache: str | None = None
 
 
 QUERIES: dict[str, QueryDef] = {}
 
 
-def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+def query(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    staged_cache: str | None = None,
+):
     """Register a named query. ``oracle=None`` → the driver records a weaker
-    rows-only check (reserved for genuinely non-SQL-expressible operators)."""
+    rows-only check (reserved for genuinely non-SQL-expressible operators).
+    ``staged_cache`` declares cross-run /tmp staging (see QueryDef)."""
+    assert staged_cache in (None, "inputs", "derived"), staged_cache
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = QueryDef(name=name, fn=fn, oracle=oracle, tags=tags)
+        QUERIES[name] = QueryDef(
+            name=name, fn=fn, oracle=oracle, tags=tags,
+            staged_cache=staged_cache,
+        )
         return fn
 
     return deco

@@ -286,7 +286,14 @@ def make_gate(shstore, bstore, matches_path: str):
         bsh = _shingled(batch_df).persist()
         cached = [bsh]
         try:
-            bands_b = _banded(bsh)
+            # bands_b persists (batch-bounded, 4 rows/doc): unpersisted,
+            # the 8-seed MinHash signature re-ran for every consumer —
+            # the probe's key collect, the probe semi-join's broadcast,
+            # the candidate join, the survivor band append and its
+            # internal dedup/collect/write: six signature passes per
+            # batch (r14 phase profile; guide §5)
+            bands_b = _banded(bsh).persist()
+            cached.append(bands_b)
             batch_ids = bsh.select("doc_id")
             # cand persists (candidate-bounded, ≤ |batch| × matches rows):
             # the fetch's key collect AND the verification join both read
@@ -382,6 +389,12 @@ def make_gate(shstore, bstore, matches_path: str):
     "stream_dedup_lsh",
     oracle=_stream_dedup_lsh_sql("duck"),
     tags=("streaming", "dedup", "incremental", "sink"),
+    # the corpus-seeded band/shingle stores carry real MinHash compute
+    # across runs: banned from every wall-clock bench lane (the lint in
+    # tests/test_bench_guard.py); the opsec lane is safe — it sums only
+    # triggerExecution durations and the seeding runs before the stream
+    # starts, with each run copying then mutating a fresh store
+    staged_cache="derived",
 )
 def stream_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup gate (module docstring; VERDICT r12 #2): per

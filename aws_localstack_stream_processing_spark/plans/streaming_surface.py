@@ -729,7 +729,7 @@ def stream_firehose_directput(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_manifest_lake", oracle=_stream_mv_sql("duck"), tags=("streaming", "source", "connector", "lake"))
+@query("stream_manifest_lake", oracle=_stream_mv_sql("duck"), tags=("streaming", "source", "connector", "lake"), staged_cache="inputs")
 def stream_manifest_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 at scale, end to end: the event stream is ingested in 4
     micro-batches whose files are recorded in the lake's append-only
@@ -892,6 +892,7 @@ GROUP BY event_type
     "stream_kv_upsert_sink",
     oracle=_kv_dedup_sql("duck"),
     tags=("streaming", "sink", "connector"),
+    staged_cache="inputs",
 )
 def stream_kv_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8/T2 through the connector write loop: DirectPut records with 20%
@@ -1050,7 +1051,7 @@ ORDER BY day
 """
 
 
-@query("stream_watermark_late_drop", oracle=_late_drop_sql("duck"), tags=("streaming", "watermark"))
+@query("stream_watermark_late_drop", oracle=_late_drop_sql("duck"), tags=("streaming", "watermark"), staged_cache="inputs")
 def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 with teeth: a REAL multi-micro-batch watermark run whose late
     DROPS are exact and oracle-checked — not a single-drain stream where
@@ -1135,7 +1136,7 @@ ORDER BY event_type
 """
 
 
-@query("stream_dedup_ttl_boundary", oracle=_dedup_ttl_sql("duck"), tags=("streaming", "dedup", "watermark"))
+@query("stream_dedup_ttl_boundary", oracle=_dedup_ttl_sql("duck"), tags=("streaming", "dedup", "watermark"), staged_cache="inputs")
 def stream_dedup_ttl_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB-viable exactly-once: ``dropDuplicatesWithinWatermark``
     keeps dedup state only for the watermark delay (un-TTL'd
@@ -1237,7 +1238,7 @@ ORDER BY e.event_type
 """
 
 
-@query("stream_join_state_boundary", oracle=_join_boundary_sql("duck"), tags=("streaming", "join", "watermark"))
+@query("stream_join_state_boundary", oracle=_join_boundary_sql("duck"), tags=("streaming", "join", "watermark"), staged_cache="inputs")
 def stream_join_state_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The third pinned watermark operator: a REAL stream-stream interval
     join (events ⋈ acks at ts+30min, range [ts, ts+2h], 1-hour
@@ -1378,6 +1379,7 @@ ORDER BY day, event_type
     "stream_chained_stateful",
     oracle=_chained_stateful_sql("duck"),
     tags=("streaming", "dedup", "watermark", "agg"),
+    staged_cache="inputs",
 )
 def stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real pipeline shape: exactly-once dedup and windowed metrics in
@@ -1514,6 +1516,7 @@ ORDER BY day, event_type
     "stream_chained_join_agg",
     oracle=_chained_join_agg_sql("duck"),
     tags=("streaming", "join", "watermark", "agg"),
+    staged_cache="inputs",
 )
 def stream_chained_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The second chained-stateful composition: the trilogy's
@@ -1681,6 +1684,7 @@ ORDER BY window_start, event_type
     "stream_triple_stateful_chain",
     oracle=_triple_chain_sql("duck"),
     tags=("streaming", "dedup", "join", "watermark", "agg"),
+    staged_cache="inputs",
 )
 def stream_triple_stateful_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full reference pipeline in ONE streaming query: exactly-once
@@ -1765,6 +1769,7 @@ def _cdc_scd2_oracle(d: str) -> str:
     "stream_cdc_scd2",
     oracle=_cdc_scd2_oracle("duck"),
     tags=("streaming", "lakehouse", "cdc", "sink"),
+    staged_cache="inputs",
 )
 def stream_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 extended to history (VERDICT r9 #4): a streaming CDC changelog —
@@ -1887,6 +1892,7 @@ WHERE s.delayed
     "stream_cdc_scd2_ooo",
     oracle=_cdc_scd2_ooo_oracle("duck"),
     tags=("streaming", "lakehouse", "cdc", "sink"),
+    staged_cache="inputs",
 )
 def stream_cdc_scd2_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CDC→SCD2 merge with the binlog promise deliberately BROKEN

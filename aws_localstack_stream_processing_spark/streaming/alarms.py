@@ -89,6 +89,10 @@ class AlarmActionSink:
 
         spark = batch_df.sparkSession
         register_kv_sink(spark)
+        # st persists (alarm-cardinality-bounded: #keys × #periods rows):
+        # unpersisted, the complete-mode window evaluation re-ran for
+        # every consumer — the store probe's key set, the diff join's
+        # both sides, and the state upsert (r14 phase profile; guide §5)
         st = evaluate_states(batch_df, self.threshold).select(
             F.concat_ws("|", "event_type", F.date_format("h", "yyyy-MM-dd HH")).alias(
                 "slot"
@@ -97,22 +101,26 @@ class AlarmActionSink:
             F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
             F.col("n").cast("bigint").alias("n"),
             "state",
-        )
+        ).persist()
         try:
-            # probe-pruned: the store never shuffles or broadcasts; only
-            # rows for the batch's slots reach the last-writer groupBy
-            prev = read_kv_table(
-                spark, self.state_path, "slot", probe=st
-            ).select("slot", F.col("state").alias("prev_state"))
-        except FileNotFoundError:
-            prev = None
-        diff = self.diff_plan(st, prev)
-        diff.write.format("kv_upsert").option("path", self.actions_path).mode(
-            "append"
-        ).save()
-        st.write.format("kv_upsert").option("path", self.state_path).mode(
-            "append"
-        ).save()
+            try:
+                # probe-pruned: the store never shuffles or broadcasts;
+                # only rows for the batch's slots reach the last-writer
+                # groupBy
+                prev = read_kv_table(
+                    spark, self.state_path, "slot", probe=st
+                ).select("slot", F.col("state").alias("prev_state"))
+            except FileNotFoundError:
+                prev = None
+            diff = self.diff_plan(st, prev)
+            diff.write.format("kv_upsert").option(
+                "path", self.actions_path
+            ).mode("append").save()
+            st.write.format("kv_upsert").option("path", self.state_path).mode(
+                "append"
+            ).save()
+        finally:
+            st.unpersist()
 
 
 def alarm_actions_view(spark: SparkSession, store_dir: str) -> DataFrame:

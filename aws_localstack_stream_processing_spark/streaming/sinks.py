@@ -888,15 +888,21 @@ class Scd2ParquetSink:
 
         spark = batch_df.sparkSession
         present = self.exists()  # syncs n_buckets from meta BEFORE bucketing
+        # cand persists (batch-bounded): unpersisted, the source slice was
+        # re-read and re-bucketed for every consumer — the bucket collect,
+        # the guard, the seen aggregate and the merge union (three to four
+        # evaluations per batch, r14 phase profile; guide §5)
         cand = batch_df.select(
             "user_id", "attr", "ts_s", "event_id"
         ).withColumn(
             "bucket", F.pmod("user_id", F.lit(self.n_buckets)).cast("int")
-        )
+        ).persist()
+        released = [cand]
         buckets = [
             r.bucket for r in cand.select("bucket").distinct().collect()
         ]
         if not buckets:
+            cand.unpersist()
             return
         hist = None
         if present:
@@ -907,7 +913,11 @@ class Scd2ParquetSink:
             )
         try:
             if hist is not None:
-                violators = self.guard_plan(hist, cand)
+                # violators persist (violation-sized, normally empty): the
+                # emptiness check, the quarantine write and the merge's
+                # anti-join each re-ran the whole guard otherwise
+                violators = self.guard_plan(hist, cand).persist()
+                released.append(violators)
                 if not violators.isEmpty():
                     violators.write.mode("overwrite").parquet(
                         f"{self.quarantine_path}/batch_id={batch_id}"
@@ -977,6 +987,8 @@ class Scd2ParquetSink:
         finally:
             if hist is not None:
                 hist.unpersist()
+            for df in released:
+                df.unpersist()
         prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:

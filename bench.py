@@ -88,6 +88,131 @@ BENCH_EXCLUDED = {
 }
 
 
+EXT = [
+    "rag_bm25_topk",
+    "rag_rrf_fusion",
+    "text_repetition_stats",
+    "text_chunk_dedup",
+    "sketch_kmv_distinct",
+    "ts_m4_downsample",
+    "seq_pattern_match",
+    "lake_snapshot_diff",
+    # round-4 additions
+    "data_domain_quota",
+    "emb_pq_codes",
+    "emb_ivfpq_search",
+    "lake_mor_delete_read",
+    "sim_ann_ivf_recall_eval",
+    "text_boilerplate_ngrams",
+    "text_dup_span_fraction",
+    "emb_matryoshka_recall",
+    "sketch_theta_union",
+    "profile_outlier_mad",
+    "scale_range_boundaries",
+    # round-4 wave 2
+    "er_blocking_fuzzy_join",
+    "rag_hybrid_rrf",
+    "profile_correlation_matrix",
+    "profile_entropy",
+    "seq_markov_transitions",
+    "profile_quantile_bins",
+    "ts_autocorr",
+    # round-4 connectors (full source→decode→sink loops, so these time
+    # the DataSource protocol overhead, not just the query plan)
+    "stream_firehose_directput",
+    "stream_kv_upsert_sink",
+    # round-4 wave 3 (statistical signals)
+    "llm_bigram_lm_score",
+    "ts_stl_decompose",
+    "profile_psi_drift",
+    "profile_mutual_information",
+    "attribution_linear_multi_touch",
+    "graph_adamic_adar",
+    "cohort_cumulative_hazard",
+    "emb_hard_negative_mining",
+    "llm_filter_stack",
+    "ts_stl_anomaly",
+    "profile_freshness_lag",
+    "text_langid_eval",
+    # round-5 wave (corpus curation, vector diagnostics, journeys)
+    "text_exact_substring_dedup",
+    "llm_quality_classifier",
+    "data_temperature_sample",
+    "text_readability_score",
+    "text_zipf_fit",
+    "rag_ndcg_eval",
+    "emb_power_iteration",
+    "emb_centroid_outliers",
+    "sketch_bottomk_jaccard_eval",
+    "ts_burst_ratio",
+    "attribution_u_shaped",
+    "graph_copurchase_lift",
+    "lake_time_travel_read",
+    # round-5 governance trio
+    "lake_scd2_build",
+    "privacy_l_diversity",
+    "dedup_containment",
+    # round-5 SLO replay pair
+    "ref_slo_queue_backtest",
+    "ref_alarm_episodes",
+    # round-6 wave (manifest/alarm connectors, web provenance,
+    # tokenizer application, cross-modal dedup)
+    "stream_manifest_lake",
+    "stream_alarm_actions",
+    "url_parse_extract",
+    "url_canonical_dedup",
+    "url_registrable_domain",
+    "url_domain_content_dedup",
+    "text_bpe_encode",
+    "text_bpe_compression_by_lang",
+    "mm_crossmodal_joint_dedup",
+    "data_dedup_keep_best",
+    # round-6 wave 2 (audits + retrieval polish)
+    "privacy_t_closeness",
+    "ref_slo_burn_rate",
+    "rag_mmr_rerank",
+    "text_unigram_kl_mix",
+    "lake_manifest_health",
+    "emb_pair_cosine_hist",
+    "seq_user_path_topk",
+    # round-6 wave 3 (curation audits)
+    "dedup_cluster_size_hist",
+    "data_epoch_mix_plan",
+    "llm_quality_calibration",
+    "privacy_pii_density",
+    # round-6 wave 4 (training-mix governance)
+    "data_shuffle_shard_audit",
+    "web_license_gate",
+    "dedup_quality_interaction",
+    "emb_dedup_threshold_sweep",
+    "privacy_dp_count_release",
+    # round-6 wave 5 (split/lateness audits)
+    "ops_watermark_planner",
+    "data_split_leakage",
+    "dedup_survivorship_audit",
+    # round-6 wave 6 (release gates)
+    "llm_dataset_card",
+    "llm_classifier_threshold_sweep",
+    "mm_scene_segments",
+    "privacy_k_suppression_curve",
+    # round-6 wave 7 (exact late-data semantics)
+    "stream_watermark_late_drop",
+    "stream_dedup_ttl_boundary",
+    "stream_join_state_boundary",
+    # round-6 wave 8 (ANN serving polish)
+    "sim_ann_ivf_nprobe_curve",
+    "sim_ann_filtered_topk",
+    # round-7 (exact-rescore refine stage)
+    "emb_ivfpq_refine",
+    # round-10 (streaming CDC→SCD2): timed IN ext rather than joining
+    # the excluded set — its per-trial cost is the 6-batch MERGE
+    # protocol itself (affected-bucket reads + overwrites, the
+    # operator under test), not replay harness; the CDC staging is
+    # content-cached so trials never pay the slice synthesis
+    "stream_cdc_scd2",
+]
+
+
 def _load_prev_bench() -> tuple[str, dict[str, float], float | None] | None:
     """Previous run's (source name, per-query seconds, board median) for
     the vs_prev ratio table; the board median (the prev run's
@@ -851,129 +976,7 @@ def main() -> None:
 
     # round-3 extension showcase: timed the same way but kept OUT of the
     # headline total so `value` stays comparable round over round
-    ext_names = [
-        "rag_bm25_topk",
-        "rag_rrf_fusion",
-        "text_repetition_stats",
-        "text_chunk_dedup",
-        "sketch_kmv_distinct",
-        "ts_m4_downsample",
-        "seq_pattern_match",
-        "lake_snapshot_diff",
-        # round-4 additions
-        "data_domain_quota",
-        "emb_pq_codes",
-        "emb_ivfpq_search",
-        "lake_mor_delete_read",
-        "sim_ann_ivf_recall_eval",
-        "text_boilerplate_ngrams",
-        "text_dup_span_fraction",
-        "emb_matryoshka_recall",
-        "sketch_theta_union",
-        "profile_outlier_mad",
-        "scale_range_boundaries",
-        # round-4 wave 2
-        "er_blocking_fuzzy_join",
-        "rag_hybrid_rrf",
-        "profile_correlation_matrix",
-        "profile_entropy",
-        "seq_markov_transitions",
-        "profile_quantile_bins",
-        "ts_autocorr",
-        # round-4 connectors (full source→decode→sink loops, so these time
-        # the DataSource protocol overhead, not just the query plan)
-        "stream_firehose_directput",
-        "stream_kv_upsert_sink",
-        # round-4 wave 3 (statistical signals)
-        "llm_bigram_lm_score",
-        "ts_stl_decompose",
-        "profile_psi_drift",
-        "profile_mutual_information",
-        "attribution_linear_multi_touch",
-        "graph_adamic_adar",
-        "cohort_cumulative_hazard",
-        "emb_hard_negative_mining",
-        "llm_filter_stack",
-        "ts_stl_anomaly",
-        "profile_freshness_lag",
-        "text_langid_eval",
-        # round-5 wave (corpus curation, vector diagnostics, journeys)
-        "text_exact_substring_dedup",
-        "llm_quality_classifier",
-        "data_temperature_sample",
-        "text_readability_score",
-        "text_zipf_fit",
-        "rag_ndcg_eval",
-        "emb_power_iteration",
-        "emb_centroid_outliers",
-        "sketch_bottomk_jaccard_eval",
-        "ts_burst_ratio",
-        "attribution_u_shaped",
-        "graph_copurchase_lift",
-        "lake_time_travel_read",
-        # round-5 governance trio
-        "lake_scd2_build",
-        "privacy_l_diversity",
-        "dedup_containment",
-        # round-5 SLO replay pair
-        "ref_slo_queue_backtest",
-        "ref_alarm_episodes",
-        # round-6 wave (manifest/alarm connectors, web provenance,
-        # tokenizer application, cross-modal dedup)
-        "stream_manifest_lake",
-        "stream_alarm_actions",
-        "url_parse_extract",
-        "url_canonical_dedup",
-        "url_registrable_domain",
-        "url_domain_content_dedup",
-        "text_bpe_encode",
-        "text_bpe_compression_by_lang",
-        "mm_crossmodal_joint_dedup",
-        "data_dedup_keep_best",
-        # round-6 wave 2 (audits + retrieval polish)
-        "privacy_t_closeness",
-        "ref_slo_burn_rate",
-        "rag_mmr_rerank",
-        "text_unigram_kl_mix",
-        "lake_manifest_health",
-        "emb_pair_cosine_hist",
-        "seq_user_path_topk",
-        # round-6 wave 3 (curation audits)
-        "dedup_cluster_size_hist",
-        "data_epoch_mix_plan",
-        "llm_quality_calibration",
-        "privacy_pii_density",
-        # round-6 wave 4 (training-mix governance)
-        "data_shuffle_shard_audit",
-        "web_license_gate",
-        "dedup_quality_interaction",
-        "emb_dedup_threshold_sweep",
-        "privacy_dp_count_release",
-        # round-6 wave 5 (split/lateness audits)
-        "ops_watermark_planner",
-        "data_split_leakage",
-        "dedup_survivorship_audit",
-        # round-6 wave 6 (release gates)
-        "llm_dataset_card",
-        "llm_classifier_threshold_sweep",
-        "mm_scene_segments",
-        "privacy_k_suppression_curve",
-        # round-6 wave 7 (exact late-data semantics)
-        "stream_watermark_late_drop",
-        "stream_dedup_ttl_boundary",
-        "stream_join_state_boundary",
-        # round-6 wave 8 (ANN serving polish)
-        "sim_ann_ivf_nprobe_curve",
-        "sim_ann_filtered_topk",
-        # round-7 (exact-rescore refine stage)
-        "emb_ivfpq_refine",
-        # round-10 (streaming CDC→SCD2): timed IN ext rather than joining
-        # the excluded set — its per-trial cost is the 6-batch MERGE
-        # protocol itself (affected-bucket reads + overwrites, the
-        # operator under test), not replay harness; the CDC staging is
-        # content-cached so trials never pay the slice synthesis
-        "stream_cdc_scd2",
-    ]
+    ext_names = list(EXT)
     # the ext showcase is held to the regression bar but is not the
     # headline: 3 trials (vs the headline's 4) keep total bench wall time
     # inside the driver's budget as the section grows (63 queries in round

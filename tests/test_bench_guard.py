@@ -77,3 +77,34 @@ def test_bench_survives_injected_failing_query(tmp_path):
         for f in before
     }
     assert after == before
+
+
+def test_no_derived_cross_run_cache_in_timed_lanes():
+    """Bench lint (VERDICT r13 what's-wrong #2): a query whose builder
+    reads a cross-run /tmp cache carrying DERIVED engine compute (vs the
+    accepted input-synthesis staging) must never be wall-clock timed —
+    repeat trials would amortize real work across runs, which the brief
+    bans as result caching. The registry declares the classification
+    (``QueryDef.staged_cache``); this test pins both the ban and the
+    declaration that makes it enforceable."""
+    import importlib.util
+
+    from aws_localstack_stream_processing_spark.plans import all_queries
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_lint", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    qs = all_queries()
+    timed = list(bench.HEADLINE) + list(bench.EXT)
+    derived = sorted(
+        q for q in timed
+        if q in qs and qs[q].staged_cache == "derived"
+    )
+    assert derived == [], (
+        f"wall-clock lanes must not time derived-cache queries: {derived}"
+    )
+    # the tripwire: the known derived-cache builder stays declared, so a
+    # future ext-list edit cannot silently make it timeable
+    assert qs["stream_dedup_lsh"].staged_cache == "derived"
