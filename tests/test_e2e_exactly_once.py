@@ -14,6 +14,8 @@ Each stage was fault-tested in isolation in earlier rounds
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -36,6 +38,9 @@ from aws_localstack_stream_processing_spark.streaming.jobs import (
 )
 
 from .conftest import SF_DIR
+
+# skip-by-default (VERDICT r13 #1): multi-minute suite; run with --runslow
+pytestmark = pytest.mark.slow
 
 EVENTS = f"{SF_DIR}/events.parquet"
 

@@ -9,6 +9,9 @@ from aws_localstack_stream_processing_spark.plans import all_queries
 
 from .conftest import SF_DIR, normalize
 
+# skip-by-default (VERDICT r13 #1): multi-minute suite; run with --runslow
+pytestmark = pytest.mark.slow
+
 QUERIES = all_queries()
 ORACLE_NAMES = sorted(n for n, q in QUERIES.items() if q.oracle)
 ROWS_ONLY_NAMES = sorted(n for n, q in QUERIES.items() if not q.oracle)

@@ -39,6 +39,9 @@ from aws_localstack_stream_processing_spark.streaming.statestore import (
 
 from .conftest import SF_DIR, normalize
 
+# skip-by-default (VERDICT r13 #1): multi-minute suite; run with --runslow
+pytestmark = pytest.mark.slow
+
 QUERIES = all_queries()
 STREAM_ORACLE_NAMES = sorted(
     n for n, q in QUERIES.items() if n.startswith("stream_") and q.oracle
