@@ -282,6 +282,8 @@ def make_gate(shstore, bstore, matches_path: str):
     :func:`stream_dedup_lsh`."""
 
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        from ..session import concurrent_jobs
+
         sp = batch_df.sparkSession
         bsh = _shingled(batch_df).persist()
         cached = [bsh]
@@ -295,12 +297,20 @@ def make_gate(shstore, bstore, matches_path: str):
             bands_b = _banded(bsh).persist()
             cached.append(bands_b)
             batch_ids = bsh.select("doc_id")
+            # the RAW probe result persists (r14, guide §5): it feeds the
+            # candidate build below AND stands in for the band-store
+            # re-read in the tail append's put-if-absent check (the rows
+            # it could collide with are exactly store rows matching batch
+            # band keys — all in this probe) — one store read per batch
+            # instead of two
+            probed = bstore.probe(sp, bands_b).persist()
+            cached.append(probed)
             # cand persists (candidate-bounded, ≤ |batch| × matches rows):
             # the fetch's key collect AND the verification join both read
             # it — unpersisted, each consumer re-ran the store probe read
             # (r13, measured ~1 s/batch of pure recompute)
             cand = (
-                bstore.probe(sp, bands_b)
+                probed
                 .withColumnRenamed("doc_id", "corpus_doc")
                 .join(
                     F.broadcast(
@@ -368,15 +378,22 @@ def make_gate(shstore, bstore, matches_path: str):
                 "left_anti",
             ).persist()
             cached.append(survivors)
-            shstore.upsert_batch(survivors, batch_id)
             # reuse the batch's banding: survivors' band rows are the
             # batch band rows restricted to surviving doc ids
-            bstore.append_batch(
-                bands_b.join(
-                    F.broadcast(survivors.select("doc_id")),
-                    "doc_id",
-                    "left_semi",
-                )
+            surv_bands = bands_b.join(
+                F.broadcast(survivors.select("doc_id")),
+                "doc_id",
+                "left_semi",
+            )
+            # the two tail store writes touch DIFFERENT stores and both
+            # read only persisted batch-bounded inputs — submit them as
+            # concurrent driver jobs so the second write's tasks backfill
+            # the first's straggler tail (guide §2.6); the band append
+            # reuses the probe snapshot taken before any same-batch write
+            concurrent_jobs(
+                sp,
+                lambda: shstore.upsert_batch(survivors, batch_id),
+                lambda: bstore.append_batch(surv_bands, probed),
             )
         finally:
             for df in cached:

@@ -120,6 +120,44 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def concurrent_jobs(spark: SparkSession, *thunks):
+    """Run independent driver-submitted Spark actions concurrently
+    (optimization guide §2.6: the scheduler happily interleaves several
+    jobs in one application; the second job's tasks backfill executors
+    freed by the first job's straggler tail — actions are only
+    sequential because driver code calls them sequentially).
+
+    Each thunk runs via ``inheritable_thread_target`` (so Spark's
+    thread-local job properties are inherited) AND with the JVM
+    active-session thread-local pinned to ``spark``: a fresh py4j
+    worker thread starts with no active session, which breaks every
+    lookup that resolves through it — found with Python DataSource
+    writes (``kv_upsert`` lives in the session's ``dataSourceManager``;
+    an unpinned thread raised DATA_SOURCE_NOT_FOUND).
+
+    Returns the thunks' results in submission order; the first failure
+    re-raises after all threads finish (the pool context waits)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def _wrap(fn):
+        def run():
+            jvm = spark._jvm
+            jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+                spark._jsparkSession
+            )
+            return fn()
+
+        # passing the session (3.5+ form) inherits tags too and silences
+        # the "Tags will not be inherited" warning classic mode emits
+        return inheritable_thread_target(spark)(run)
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(_wrap(t)) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def get_spark(
     app_name: str = "aws-localstack-stream-processing-spark",
     master: str | None = None,

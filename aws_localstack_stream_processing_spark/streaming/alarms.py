@@ -82,6 +82,7 @@ class AlarmActionSink:
         )
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..session import concurrent_jobs
         from ..sources.kv_sink_datasource import (
             read_kv_table,
             register_kv_sink,
@@ -113,12 +114,22 @@ class AlarmActionSink:
             except FileNotFoundError:
                 prev = None
             diff = self.diff_plan(st, prev)
-            diff.write.format("kv_upsert").option(
-                "path", self.actions_path
-            ).mode("append").save()
-            st.write.format("kv_upsert").option("path", self.state_path).mode(
-                "append"
-            ).save()
+            # the two writes run as concurrent driver jobs (guide §2.6):
+            # they target DIFFERENT stores, both consume the persisted
+            # ``st``, and the diff's read of the state store is frozen —
+            # ``read_kv_table`` resolved the committed ``batch=`` dirs on
+            # the driver above, so the state append's NEW batch dir is
+            # invisible to the already-planned prev view
+            def _write(df: DataFrame, path: str):
+                return lambda: df.write.format("kv_upsert").option(
+                    "path", path
+                ).mode("append").save()
+
+            concurrent_jobs(
+                spark,
+                _write(diff, self.actions_path),
+                _write(st, self.state_path),
+            )
         finally:
             st.unpersist()
 

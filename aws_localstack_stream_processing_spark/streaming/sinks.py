@@ -493,11 +493,23 @@ class BandIndexSink:
             F.lit(self.n_buckets),
         ).cast("int")
 
-    def append_batch(self, bands_df: DataFrame) -> None:
+    def append_batch(
+        self, bands_df: DataFrame, seen: DataFrame | None = None
+    ) -> None:
         """Put-if-absent append of ``(band, bv, doc_id)`` rows (see the
         class docstring). Within-batch duplicates collapse first; the
         cross-run probe prunes to the batch's buckets and anti-joins on
-        the composite — only batch-sized sets ride broadcasts."""
+        the composite — only batch-sized sets ride broadcasts.
+
+        ``seen`` (r14, guide §5): a caller that already probed the store
+        this batch can pass the probe result — any ``(band, bv, doc_id)``
+        superset of the store rows matching the batch's band keys, taken
+        BEFORE any same-batch append — and the absence check reuses it
+        instead of reading the store a second time. Sound because a
+        store row colliding with an appended row on the full composite
+        necessarily matches its ``(band, bv)`` key, so it is in the
+        probe result; the near-dup gate's appended rows are a subset of
+        the batch band rows it probed with."""
         from pyspark.sql import functions as F
 
         spark = bands_df.sparkSession
@@ -510,17 +522,20 @@ class BandIndexSink:
             # the probe+write job (r13, guide §5; batch-bounded)
             fresh = fresh.persist()
             try:
-                buckets = [
-                    r[0]
-                    for r in fresh.select(self.BUCKET_COL)
-                    .distinct()
-                    .collect()
-                ]
-                seen = (
-                    self._read_store(spark)
-                    .filter(F.col(self.BUCKET_COL).isin(buckets))
-                    .select("band", "bv", "doc_id")
-                )
+                if seen is None:
+                    buckets = [
+                        r[0]
+                        for r in fresh.select(self.BUCKET_COL)
+                        .distinct()
+                        .collect()
+                    ]
+                    seen = (
+                        self._read_store(spark)
+                        .filter(F.col(self.BUCKET_COL).isin(buckets))
+                        .select("band", "bv", "doc_id")
+                    )
+                else:
+                    seen = seen.select("band", "bv", "doc_id")
                 hits = seen.join(
                     F.broadcast(fresh.select("band", "bv", "doc_id")),
                     ["band", "bv", "doc_id"],
@@ -594,7 +609,8 @@ class Scd2ParquetSink:
       5. run-collapse (LAG) drops consecutive same-value records, then
          ROW_NUMBER/LEAD rebuild version numbers and validity intervals —
          every window partitions on ``user_id``, one hash exchange;
-      6. dynamic-partition-overwrite writes ONLY the affected buckets.
+      6. the merge result is written once to a staging sibling and ONLY
+         the affected bucket directories are swapped in (driver rename).
 
     Delivery contract and the out-of-order GUARD (VERDICT r10 #1): the
     merge is exact under per-key in-order delivery of NEW change records
@@ -647,9 +663,11 @@ class Scd2ParquetSink:
     both consume it), and shuffles once on ``user_id``. Bucket count
     trades write amplification against small files exactly like Delta
     MERGE file sizing and evolves offline via :meth:`resplit`; the
-    ``localCheckpoint`` materializes the merge result before the
-    overwrite job deletes the files it was derived from (Spark forbids
-    read-and-overwrite of the same path in one job)."""
+    merge result is materialized exactly once, into a staging sibling
+    directory, then swapped in per affected bucket
+    (:meth:`_swap_affected_buckets` — writing to a different path keeps
+    clear of Spark's read-and-overwrite restriction without the extra
+    ``localCheckpoint`` materialization pass it used to require)."""
 
     N_BUCKETS = 8
     META_FILE = "_slsp_meta.json"
@@ -982,25 +1000,67 @@ class Scd2ParquetSink:
                 F.col("__seen.t").alias("seen_ts_s"),
                 F.col("__seen.e").alias("seen_event_id"),
             )
-            # cut lineage from self.path BEFORE overwriting it
-            out = versioned.localCheckpoint(eager=True)
+            # One write job per batch (r14, guide §5): the merge result is
+            # written to a staging sibling — a DIFFERENT path, so Spark's
+            # read-and-overwrite restriction never applies and the eager
+            # localCheckpoint that existed only to cut lineage from
+            # self.path (a full extra materialization pass per micro-batch)
+            # is gone — then each affected bucket directory is swapped in
+            # with a driver rename. Crash window: a crash between a
+            # bucket's remove and its rename can lose that bucket's files,
+            # the SAME non-transactional exposure the plain-parquet
+            # dynamic-partition overwrite already documented (its commit
+            # deletes the old files per partition before the final
+            # rename); recovery for both is the idempotent batch replay.
+            self._swap_affected_buckets(versioned, buckets)
         finally:
             if hist is not None:
                 hist.unpersist()
             for df in released:
                 df.unpersist()
-        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            out.write.mode("overwrite").partitionBy("bucket").parquet(
-                self.path
-            )
-        finally:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev_mode
-            )
         if not present:
             self._write_meta()
+
+    def _swap_affected_buckets(
+        self, versioned: DataFrame, buckets: list[int]
+    ) -> None:
+        """Materialize the merge result ONCE and swap it in (r14,
+        guide §5).
+
+        The result is written partitioned-by-bucket to a staging
+        sibling directory — a DIFFERENT path, so Spark's
+        read-and-overwrite restriction never applies — and each
+        affected bucket directory is then swapped into the store with a
+        driver rename (local fs / HDFS: O(1) metadata op per bucket).
+        This replaces the eager ``localCheckpoint`` + dynamic-partition
+        overwrite, which cost one full extra materialization job per
+        micro-batch: checkpoint the merge into block storage, then a
+        second job re-reading the checkpointed blocks to write parquet.
+
+        Crash window: a crash between a bucket's remove and its rename
+        can lose that bucket's files — the SAME non-transactional
+        exposure the plain-parquet dynamic-partition overwrite already
+        documented (its commit likewise deletes each affected
+        partition's old files before renaming in the staged ones);
+        recovery for both is the idempotent batch replay. A fixed
+        staging name keeps a crash-leftover from accumulating: the
+        replay's ``overwrite`` reclaims it."""
+        import shutil
+
+        staging = self.path.rstrip("/") + "_staging"
+        versioned.write.mode("overwrite").partitionBy("bucket").parquet(
+            staging
+        )
+        try:
+            os.makedirs(self.path, exist_ok=True)
+            for b in buckets:
+                new = os.path.join(staging, f"bucket={b}")
+                old = os.path.join(self.path, f"bucket={b}")
+                shutil.rmtree(old, ignore_errors=True)
+                if os.path.isdir(new):
+                    os.rename(new, old)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
 
     def needs_rebuild(self, spark: SparkSession) -> DataFrame:
         """Keys whose history is incomplete: distinct user_ids in the
@@ -1076,19 +1136,9 @@ class Scd2ParquetSink:
             for c in ("seen_ts_s", "seen_event_id"):  # legacy stores
                 if c not in keep.columns:
                     keep = keep.withColumn(c, F.lit(None).cast("bigint"))
-            out = keep.unionByName(rebuilt).localCheckpoint(eager=True)
+            self._swap_affected_buckets(keep.unionByName(rebuilt), buckets)
         finally:
             flagged.unpersist()
-        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            out.write.mode("overwrite").partitionBy("bucket").parquet(
-                self.path
-            )
-        finally:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev_mode
-            )
         shutil.rmtree(self.quarantine_path)
         return n
 
