@@ -1008,16 +1008,18 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches are k rows each, the merge is associative, and the exact
     distinct column here exhibits the estimate quality.
 
-    r14 (guide §5): the ``hashes`` CTE (the md5 pass over events) headed
-    a 4-way diamond — keyed reads it twice (per-type rows + the
-    ``__all__`` distinct-h merge) and exact twice (per-type counts +
-    COUNT(DISTINCT h)) — so CTE inlining re-ran the hash scan 4×
-    (8 scans/4 generators in the before plan). Persist it once; the
-    oracle-shared body text runs over the cached view."""
+    r14 (guide §5, tried and REVERTED): the ``hashes`` CTE (the md5
+    pass over events) heads a 4-way diamond, so CTE inlining re-runs
+    the hash scan 4×. Persisting it once was measured at sf0.1 in two
+    calibrated gated windows: 0.525 s before → 1.091 s after (×2.08
+    WORSE) — the DISTINCT's exchange plus materializing the ~|events|
+    row cache costs more than three extra columnar md5 scans at this
+    scale (the same persist-barrier trap r13 measured on
+    text_unigram_kl_mix and mm_crossmodal_joint_dedup). The inlined
+    4-scan shape is the keeper; each scan is a pipelined
+    scan→project→partial-agg with no barrier."""
     views(spark, sf_dir, "events")
-    hashes = spark.sql(_kmv_hashes_sql("spark")).persist()
-    hashes.createOrReplaceTempView("slsp_kmv_hashes")
-    return spark.sql(_kmv_body("spark", "slsp_kmv_hashes"))
+    return spark.sql(_kmv_sql("spark"))
 
 
 # ---------------------------------------------------------------------------
